@@ -1,0 +1,438 @@
+"""Continuous-batching LLM engine over the elastic KV pool.
+
+The piece the reference delegates to vLLM/SGLang, built TPU-native:
+
+- **Scheduler** (host): FCFS admission, per-sequence block allocation through
+  :class:`KVCacheManager` (so `kvctl limit` elasticity applies to serving),
+  preemption under memory pressure (newest-first, like vLLM's recompute
+  policy).
+- **Runner** (device): jitted prefill + **multi-step decode horizon** — K
+  decode iterations scanned on-device per dispatch with greedy/temperature
+  sampling in the loop.  Static shapes everywhere: fixed max batch, fixed
+  page-table width, bucketed prefill lengths; pools donated so KV writes are
+  in-place.
+- Engine blocks ARE pool pages here (``block_tokens == page_tokens``): on
+  TPU the map granule is free metadata, so the reference's 2 MB-page-under-
+  block split collapses; per-sequence page tables feed the Pallas kernel
+  physical ids directly.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence as Seq
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import KVConfig
+from ..device.pool import DevicePagePool, PoolSpec, hbm_free_bytes
+from ..kv_cache_manager import KVCacheManager
+from ..logging_utils import get_kvcached_logger
+from ..models.llama import (
+    LlamaConfig,
+    init_llama_params,
+    llama_decode_step,
+    llama_prefill_step,
+)
+
+logger = get_kvcached_logger(__name__)
+
+
+@dataclass
+class SamplingParams:
+    max_new_tokens: int = 32
+    temperature: float = 0.0  # 0 = greedy (deterministic)
+    seed: int = 0
+    stop_token_ids: tuple[int, ...] = ()
+
+
+@dataclass
+class Request:
+    req_id: int
+    prompt: list[int]
+    sampling: SamplingParams
+
+
+@dataclass
+class RequestOutput:
+    req_id: int
+    prompt: list[int]
+    output_tokens: list[int]
+    finished: bool = True
+
+
+class Sequence:
+    def __init__(self, req: Request):
+        self.req = req
+        self.tokens: list[int] = list(req.prompt)
+        self.blocks: list[int] = []  # virtual page ids from KVCacheManager
+        self.num_prefilled = 0
+
+    @property
+    def prompt_len(self) -> int:
+        return len(self.req.prompt)
+
+    @property
+    def num_generated(self) -> int:
+        return len(self.tokens) - self.prompt_len
+
+    def finished(self) -> bool:
+        sp = self.req.sampling
+        if self.num_generated >= sp.max_new_tokens:
+            return True
+        return bool(
+            sp.stop_token_ids
+            and self.num_generated > 0
+            and self.tokens[-1] in sp.stop_token_ids
+        )
+
+
+@dataclass
+class EngineConfig:
+    max_batch: int = 8
+    max_model_len: int = 2048
+    page_tokens: int = 64
+    decode_horizon: int = 8  # device steps per dispatch
+    prefill_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
+    num_pages: int | None = None  # physical pool pages; None = from HBM budget
+    hbm_utilization: float = 0.3
+    kv_dtype: str = "bfloat16"
+    ipc_name: str | None = None
+    interpret: bool = False  # pallas interpret (CPU testing)
+
+
+class LLMEngine:
+    """Single-model serving engine.  Multiple engines may share one
+    :class:`DevicePagePool` (colocated models arbitrating one HBM pool —
+    the kvcached story)."""
+
+    _ids = itertools.count()
+
+    def __init__(
+        self,
+        model_cfg: LlamaConfig,
+        engine_cfg: EngineConfig | None = None,
+        *,
+        params: dict | None = None,
+        shared_pool: DevicePagePool | None = None,
+        pool_arrays: tuple[jax.Array, jax.Array] | None = None,
+        seed: int = 0,
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = engine_cfg or EngineConfig()
+        ec = self.cfg
+
+        self.kv_cfg = KVConfig(
+            num_layers=model_cfg.num_layers,
+            num_kv_heads=model_cfg.num_kv_heads,
+            head_dim=model_cfg.head_dim,
+            block_tokens=ec.page_tokens,  # block == page on TPU
+            page_tokens=ec.page_tokens,
+            kv_dtype=ec.kv_dtype,
+        )
+
+        if shared_pool is not None:
+            self.pool = shared_pool
+            assert pool_arrays is not None, "shared pool requires shared arrays"
+            self.k_pools, self.v_pools = pool_arrays
+        else:
+            if ec.num_pages is not None:
+                spec = PoolSpec.from_config(self.kv_cfg, num_pages=ec.num_pages)
+            else:
+                budget = hbm_free_bytes()
+                if budget is None:
+                    budget = 2 << 30  # CPU fallback: 2 GB worth of pages
+                spec = PoolSpec.from_config(
+                    self.kv_cfg,
+                    hbm_budget_bytes=int(budget * ec.hbm_utilization),
+                )
+            self.pool = DevicePagePool(spec)
+            self.k_pools, self.v_pools = self.pool.allocate_arrays()
+
+        self.manager = KVCacheManager(
+            self.kv_cfg,
+            self.pool,
+            ipc_name=ec.ipc_name,
+            reserve_null_block=True,
+        )
+
+        self.params = (
+            params
+            if params is not None
+            else init_llama_params(model_cfg, jax.random.PRNGKey(seed))
+        )
+
+        self.max_pages_per_seq = ec.max_model_len // ec.page_tokens
+        self.waiting: list[Sequence] = []
+        self.running: list[Sequence] = []
+        self.finished_outputs: list[RequestOutput] = []
+        self._preempt_count = 0
+        self._step_count = 0
+
+        self._decode_fn = self._build_decode_fn()
+        self._prefill_fn = self._build_prefill_fn()
+
+    # ------------------------------------------------------------- jit build
+
+    def _build_decode_fn(self):
+        cfg, ec = self.model_cfg, self.cfg
+        P = ec.page_tokens
+        K = ec.decode_horizon
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def decode_multi(params, k_pools, v_pools, tokens0, seq_lens0, page_tables, temps, rng_key):
+            """K decode steps on device.  seq_lens0 counts tokens whose KV is
+            already written; the j-th step consumes input token j at position
+            seq_lens0 + j.  Returns sampled tokens [K, B]."""
+
+            def one_step(carry, j):
+                tokens, k_pools, v_pools, key = carry
+                seq_lens = seq_lens0 + j + 1  # including current token
+                positions = jnp.maximum(seq_lens - 1, 0)
+                page_idx = positions // P
+                b_idx = jnp.arange(tokens.shape[0])
+                slot_pages = page_tables[b_idx, page_idx]
+                slot_offsets = positions % P
+                logits, k_pools, v_pools = llama_decode_step(
+                    params, cfg, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    interpret=ec.interpret,
+                )
+                key, sub = jax.random.split(key)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                sampled = jax.random.categorical(
+                    sub, logits / jnp.maximum(temps, 1e-6)[:, None]
+                ).astype(jnp.int32)
+                next_tokens = jnp.where(temps > 0, sampled, greedy)
+                return (next_tokens, k_pools, v_pools, key), next_tokens
+
+            (_, k_pools, v_pools, _), toks = jax.lax.scan(
+                one_step, (tokens0, k_pools, v_pools, rng_key), jnp.arange(K)
+            )
+            return toks, k_pools, v_pools
+
+        return decode_multi
+
+    def _build_prefill_fn(self):
+        cfg, ec = self.model_cfg, self.cfg
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def prefill(params, k_pools, v_pools, tokens, positions, slot_pages,
+                    slot_offsets, true_len):
+            logits, k_pools, v_pools = llama_prefill_step(
+                params, cfg, tokens, positions, k_pools, v_pools,
+                slot_pages, slot_offsets, true_len,
+            )
+            next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return next_token, k_pools, v_pools
+
+        return prefill
+
+    # ------------------------------------------------------------- requests
+
+    def add_request(self, prompt: list[int], sampling: SamplingParams | None = None) -> int:
+        req = Request(next(self._ids), list(prompt), sampling or SamplingParams())
+        if len(req.prompt) + req.sampling.max_new_tokens > self.cfg.max_model_len:
+            raise ValueError(
+                f"prompt+max_new_tokens exceeds max_model_len={self.cfg.max_model_len}"
+            )
+        self.waiting.append(Sequence(req))
+        return req.req_id
+
+    def has_unfinished(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    # ------------------------------------------------------------- scheduling
+
+    def _blocks_needed(self, num_tokens: int) -> int:
+        return -(-num_tokens // self.cfg.page_tokens)
+
+    def _ensure_blocks(self, seq: Sequence, num_tokens: int) -> bool:
+        """Grow seq's block list to cover ``num_tokens`` tokens."""
+        num_tokens = min(num_tokens, self.cfg.max_model_len)
+        need = self._blocks_needed(num_tokens) - len(seq.blocks)
+        if need <= 0:
+            return True
+        blocks = self.manager.alloc(need)
+        if blocks is None:
+            return False
+        seq.blocks.extend(blocks)
+        return True
+
+    def _free_seq(self, seq: Sequence) -> None:
+        if seq.blocks:
+            self.manager.free(seq.blocks)
+            seq.blocks = []
+
+    def _preempt_one(self) -> bool:
+        """Evict the newest running sequence back to waiting (recompute)."""
+        if not self.running:
+            return False
+        seq = self.running.pop()
+        self._free_seq(seq)
+        # restart from scratch: drop generated tokens (recompute semantics
+        # would keep them; dropping keeps determinism for greedy decoding)
+        seq.tokens = list(seq.req.prompt)
+        seq.num_prefilled = 0
+        self.waiting.insert(0, seq)
+        self._preempt_count += 1
+        logger.info("preempted request %d under memory pressure", seq.req.req_id)
+        return True
+
+    def _phys_row(self, seq: Sequence) -> np.ndarray:
+        pt = self.manager.page_allocator.page_table
+        row = np.zeros(self.max_pages_per_seq, np.int32)
+        if seq.blocks:
+            row[: len(seq.blocks)] = pt[np.asarray(seq.blocks, np.int64)]
+        return row
+
+    def _bucket_len(self, n: int) -> int:
+        for b in self.cfg.prefill_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds largest prefill bucket")
+
+    # ------------------------------------------------------------- stepping
+
+    def _do_prefill(self, seq: Sequence) -> bool:
+        P = self.cfg.page_tokens
+        plen = seq.prompt_len
+        if not self._ensure_blocks(seq, plen + 1):
+            return False
+        T = self._bucket_len(plen)
+        tokens = np.zeros(T, np.int32)
+        tokens[:plen] = seq.req.prompt
+        positions = np.arange(T, dtype=np.int32)
+        phys = self._phys_row(seq)
+        tok_pages = phys[np.minimum(positions // P, self.max_pages_per_seq - 1)]
+        slot_offsets = positions % P
+        # padding tokens → zero page
+        tok_pages[plen:] = 0
+        next_token, self.k_pools, self.v_pools = self._prefill_fn(
+            self.params, self.k_pools, self.v_pools,
+            jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(tok_pages), jnp.asarray(slot_offsets),
+            jnp.asarray(plen, jnp.int32),
+        )
+        seq.tokens.append(int(next_token))
+        seq.num_prefilled = plen
+        self.running.append(seq)
+        return True
+
+    def _do_decode(self) -> None:
+        ec = self.cfg
+        P = ec.page_tokens
+        K = ec.decode_horizon
+        B = ec.max_batch
+        batch = self.running[:B]
+
+        # ensure every sequence has blocks for +K tokens; preempt on pressure
+        i = 0
+        while i < len(batch):
+            seq = batch[i]
+            if self._ensure_blocks(seq, len(seq.tokens) + K):
+                i += 1
+                continue
+            if not self._preempt_one():
+                break
+            batch = self.running[:B]  # repair view after preemption
+
+        batch = [s for s in batch if s in self.running]
+        if not batch:
+            return
+
+        tokens0 = np.zeros(B, np.int32)
+        seq_lens0 = np.zeros(B, np.int32)
+        page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        temps = np.zeros(B, np.float32)
+        for i, seq in enumerate(batch):
+            tokens0[i] = seq.tokens[-1]
+            seq_lens0[i] = len(seq.tokens) - 1  # KV written so far
+            page_tables[i] = self._phys_row(seq)
+            temps[i] = seq.req.sampling.temperature
+
+        key = jax.random.PRNGKey(self._step_count)
+        toks, self.k_pools, self.v_pools = self._decode_fn(
+            self.params, self.k_pools, self.v_pools,
+            jnp.asarray(tokens0), jnp.asarray(seq_lens0),
+            jnp.asarray(page_tables), jnp.asarray(temps), key,
+        )
+        toks = np.asarray(toks)  # [K, B]
+
+        for i, seq in enumerate(batch):
+            for j in range(K):
+                seq.tokens.append(int(toks[j, i]))
+                if seq.finished():
+                    break
+            if seq.finished():
+                # trim over-generated tokens beyond the stop point
+                sp = seq.req.sampling
+                keep = min(seq.num_generated, sp.max_new_tokens)
+                seq.tokens = seq.tokens[: seq.prompt_len + keep]
+                self._finish_seq(seq)
+
+    def _finish_seq(self, seq: Sequence) -> None:
+        self.running.remove(seq)
+        self._free_seq(seq)
+        self.finished_outputs.append(
+            RequestOutput(
+                seq.req.req_id,
+                seq.req.prompt,
+                seq.tokens[seq.prompt_len :],
+            )
+        )
+
+    def step(self) -> None:
+        """One scheduler iteration: admit+prefill one waiting request if
+        possible, else run a decode horizon."""
+        self._step_count += 1
+        if self.waiting and len(self.running) < self.cfg.max_batch:
+            seq = self.waiting[0]
+            if self._do_prefill(seq):
+                self.waiting.pop(0)
+                return
+            # cannot admit: fall through to decode if anything is running
+            if not self.running:
+                # nothing running and can't admit → hard pressure; try shrink
+                # completion via a no-op alloc (picks up resize targets), then
+                # preemption is impossible; wait for operator action.
+                self.manager.alloc(0)
+                time.sleep(0.01)
+                return
+        if self.running:
+            self._do_decode()
+
+    # ------------------------------------------------------------- frontends
+
+    def generate(
+        self,
+        prompts: Seq[Seq[int]],
+        sampling: SamplingParams | None = None,
+    ) -> list[RequestOutput]:
+        ids = [self.add_request(list(p), sampling) for p in prompts]
+        want = set(ids)
+        while self.has_unfinished() and want - {o.req_id for o in self.finished_outputs}:
+            self.step()
+        by_id = {o.req_id: o for o in self.finished_outputs}
+        return [by_id[i] for i in ids]
+
+    # ------------------------------------------------------------- metrics
+
+    def kv_metrics(self) -> dict:
+        return {
+            "mapped_bytes": self.manager.get_mapped_memory_size(),
+            "in_use_pages": self.manager.page_allocator.num_in_use,
+            "reserved_pages": self.manager.page_allocator.num_reserved,
+            "available_blocks": self.manager.available_size(),
+            "running": len(self.running),
+            "waiting": len(self.waiting),
+            "preemptions": self._preempt_count,
+        }
+
+    def shutdown(self) -> None:
+        self.manager.shutdown()
