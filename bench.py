@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Headline benchmark: paged decode throughput vs static preallocation.
+
+Mirrors the reference's key acceptance metric (benchmarks/bench_layout
+README §1: kvcached non-contiguous reaches 14.17 vs 14.21 req/s vanilla,
+i.e. ≈99.7% of static allocation; BASELINE.md target ≥95%): we measure
+decode tokens/s through the full paged path (page-table indirection +
+Pallas kernel + pool scatter writes) against the same model decoding over a
+dense, statically preallocated KV cache (the "vanilla engine" analogue).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tokens/s (paged), "unit": "tok/s",
+   "vs_baseline": paged/dense ratio}
+
+Timing uses chained on-device steps + host-sync slope (the axon tunnel adds
+~30 ms per dispatch and block_until_ready does not reliably block).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvcached_tpu.models.llama import (
+    LlamaConfig,
+    init_llama_params,
+    llama_decode_step,
+    rms_norm,
+    rope,
+)
+
+ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+def dense_decode_step(params, cfg, tokens, positions, k_cache, v_cache, seq_lens):
+    """Static-preallocation baseline: dense KV cache [L, B, KH, Tmax, D]."""
+    B = tokens.shape[0]
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    group = H // KH
+    Tmax = k_cache.shape[3]
+    sm_scale = 1.0 / math.sqrt(D)
+    x = params["embed"][tokens]
+
+    def layer_fn(carry, layer):
+        x, k_cache, v_cache = carry
+        lp, l_idx = layer["p"], layer["i"]
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q = rope((h @ lp["wq"]).reshape(B, H, D)[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+        k = rope((h @ lp["wk"]).reshape(B, KH, D)[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+        v = (h @ lp["wv"]).reshape(B, KH, D)
+        b_idx = jnp.arange(B)
+        k_cache = k_cache.at[l_idx, b_idx, :, positions].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[l_idx, b_idx, :, positions].set(v.astype(v_cache.dtype))
+        qg = q.reshape(B, KH, group, D).astype(jnp.float32)
+        kf = k_cache[l_idx].astype(jnp.float32)  # [B, KH, Tmax, D]
+        s = jnp.einsum("bkgd,bktd->bkgt", qg, kf) * sm_scale
+        mask = jnp.arange(Tmax)[None, None, None, :] < seq_lens[:, None, None, None]
+        s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        attn = jnp.einsum("bkgt,bktd->bkgd", p, v_cache[l_idx].astype(jnp.float32))
+        x = x + attn.reshape(B, H * D).astype(x.dtype) @ lp["wo"]
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        return (x, k_cache, v_cache), None
+
+    layers = {"p": params["layers"], "i": jnp.arange(cfg.num_layers)}
+    (x, k_cache, v_cache), _ = jax.lax.scan(layer_fn, (x, k_cache, v_cache), layers)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, k_cache, v_cache
+
+
+def timed_slope(fn, iters_lo=4, iters_hi=32):
+    """Per-iteration cost from the slope between two chained-run lengths."""
+    lo = fn(iters_lo)
+    hi = fn(iters_hi)
+    return max((hi - lo) / (iters_hi - iters_lo), 1e-9)
+
+
+def main():
+    if ON_TPU:
+        cfg = LlamaConfig(
+            vocab_size=32000, hidden_size=2048, num_layers=16,
+            num_heads=16, num_kv_heads=8, head_dim=128, intermediate_size=5632,
+        )
+        B, CTX, P, NPAGES = 8, 1024, 64, 1024
+        interpret = False
+    else:  # smoke mode off-TPU
+        cfg = LlamaConfig.toy()
+        B, CTX, P, NPAGES = 2, 64, 16, 32
+        interpret = True
+
+    L, KH, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    n_per = CTX // P
+
+    # paged state: shuffled physical pages per sequence
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(np.arange(1, NPAGES))
+    page_tables = jnp.asarray(perm[: B * n_per].reshape(B, n_per).astype(np.int32))
+    k_pools = jax.random.normal(jax.random.PRNGKey(1), (L, NPAGES, KH, P, D), jnp.bfloat16)
+    v_pools = jax.random.normal(jax.random.PRNGKey(2), (L, NPAGES, KH, P, D), jnp.bfloat16)
+    seq0 = jnp.full((B,), CTX // 2, jnp.int32)
+    tokens0 = jnp.ones((B,), jnp.int32)
+
+    def make_paged_runner(K):
+        @jax.jit
+        def run(params, k_pools, v_pools, tokens0, seq0, page_tables):
+            def one(carry, j):
+                tokens, k_pools, v_pools = carry
+                seq_lens = seq0 + j + 1
+                positions = seq_lens - 1
+                b_idx = jnp.arange(B)
+                slot_pages = page_tables[b_idx, positions // P]
+                slot_offsets = positions % P
+                logits, k_pools, v_pools = llama_decode_step(
+                    params, cfg, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    interpret=interpret,
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, k_pools, v_pools), nxt
+            (_, k_pools, v_pools), toks = jax.lax.scan(
+                one, (tokens0, k_pools, v_pools), jnp.arange(K))
+            return toks
+        def call(K_iters=None):
+            t0 = time.time()
+            toks = run(params, k_pools, v_pools, tokens0, seq0, page_tables)
+            float(jnp.sum(toks))  # host sync
+            return time.time() - t0
+        # warm
+        call()
+        return call
+
+    # dense baseline state
+    k_cache = jax.random.normal(jax.random.PRNGKey(3), (L, B, KH, CTX, D), jnp.bfloat16)
+    v_cache = jax.random.normal(jax.random.PRNGKey(4), (L, B, KH, CTX, D), jnp.bfloat16)
+
+    def make_dense_runner(K):
+        @jax.jit
+        def run(params, k_cache, v_cache, tokens0, seq0):
+            def one(carry, j):
+                tokens, k_cache, v_cache = carry
+                seq_lens = seq0 + j + 1
+                positions = seq_lens - 1
+                logits, k_cache, v_cache = dense_decode_step(
+                    params, cfg, tokens, positions, k_cache, v_cache, seq_lens)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, k_cache, v_cache), nxt
+            (_, k_cache, v_cache), toks = jax.lax.scan(
+                one, (tokens0, k_cache, v_cache), jnp.arange(K))
+            return toks
+        def call(K_iters=None):
+            t0 = time.time()
+            toks = run(params, k_cache, v_cache, tokens0, seq0)
+            float(jnp.sum(toks))
+            return time.time() - t0
+        call()
+        return call
+
+    K_LO, K_HI = (4, 32) if ON_TPU else (2, 4)
+    paged_lo, paged_hi = make_paged_runner(K_LO), make_paged_runner(K_HI)
+    t_paged = (paged_hi() - paged_lo()) / (K_HI - K_LO)
+    dense_lo, dense_hi = make_dense_runner(K_LO), make_dense_runner(K_HI)
+    t_dense = (dense_hi() - dense_lo()) / (K_HI - K_LO)
+    # best of 3 slopes to cut tunnel noise
+    for _ in range(2):
+        t_paged = min(t_paged, (paged_hi() - paged_lo()) / (K_HI - K_LO))
+        t_dense = min(t_dense, (dense_hi() - dense_lo()) / (K_HI - K_LO))
+
+    paged_tps = B / max(t_paged, 1e-9)
+    dense_tps = B / max(t_dense, 1e-9)
+    print(json.dumps({
+        "metric": "paged_decode_throughput_1B_class_B8_ctx512",
+        "value": round(paged_tps, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(paged_tps / dense_tps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,8 +43,7 @@ def native_available() -> bool:
 
 
 def get_page_allocator_cls():
-    if native_available():
-        from .native import NativePageAllocator
-
-        return NativePageAllocator
+    # The Python KVCacheManager always pairs with the Python PageAllocator;
+    # the native C++ path replaces the whole manager (see
+    # kv_cache_manager_native.create_kv_cache_manager), not just this layer.
     return PageAllocator

@@ -144,9 +144,20 @@ class DevicePagePool:
 
     def __init__(self, spec: PoolSpec, *, sharding=None):
         self.spec = spec
-        self._free: deque[int] = deque(range(1, spec.num_pages))
-        self._lock = threading.Lock()
         self.sharding = sharding
+        # free-list backend: native C++ when built (shared with the native
+        # block manager), else a Python deque
+        self.native_pool = None
+        from ..core import native_available
+
+        if native_available():
+            from ..core.native import NativePagePool
+
+            self.native_pool = NativePagePool(spec.num_pages)
+            self._free = None
+        else:
+            self._free = deque(range(1, spec.num_pages))
+        self._lock = threading.Lock()
 
     # -- PhysicalBackend protocol -------------------------------------------
 
@@ -155,18 +166,24 @@ class DevicePagePool:
         return self.spec.num_pages
 
     def acquire(self, n: int) -> list[int] | None:
+        if self.native_pool is not None:
+            return self.native_pool.acquire(n)
         with self._lock:
             if len(self._free) < n:
                 return None
             return [self._free.popleft() for _ in range(n)]
 
     def release(self, page_ids: Sequence[int]) -> None:
+        if self.native_pool is not None:
+            return self.native_pool.release(page_ids)
         with self._lock:
             for p in page_ids:
                 assert p != 0, "cannot release the zero page"
                 self._free.append(p)
 
     def avail_physical_pages(self) -> int:
+        if self.native_pool is not None:
+            return self.native_pool.avail_physical_pages()
         with self._lock:
             return len(self._free)
 

@@ -32,6 +32,7 @@ import numpy as np
 from ..config import KVConfig
 from ..device.pool import DevicePagePool, PoolSpec, hbm_free_bytes
 from ..kv_cache_manager import KVCacheManager
+from ..kv_cache_manager_native import create_kv_cache_manager
 from ..logging_utils import get_kvcached_logger
 from ..models.llama import (
     LlamaConfig,
@@ -39,6 +40,7 @@ from ..models.llama import (
     llama_decode_step,
     llama_prefill_step,
 )
+from .prefix_cache import PrefixCache, page_keys
 
 logger = get_kvcached_logger(__name__)
 
@@ -72,6 +74,7 @@ class Sequence:
         self.tokens: list[int] = list(req.prompt)
         self.blocks: list[int] = []  # virtual page ids from KVCacheManager
         self.num_prefilled = 0
+        self.num_cached_pages = 0  # prefix-cache hit pages at admission
 
     @property
     def prompt_len(self) -> int:
@@ -104,6 +107,8 @@ class EngineConfig:
     kv_dtype: str = "bfloat16"
     ipc_name: str | None = None
     interpret: bool = False  # pallas interpret (CPU testing)
+    enable_prefix_caching: bool = True
+    max_cached_tokens: int | None = None  # None = KVCACHED_MAX_CACHED_TOKENS
 
 
 class LLMEngine:
@@ -154,7 +159,7 @@ class LLMEngine:
             self.pool = DevicePagePool(spec)
             self.k_pools, self.v_pools = self.pool.allocate_arrays()
 
-        self.manager = KVCacheManager(
+        self.manager = create_kv_cache_manager(
             self.kv_cfg,
             self.pool,
             ipc_name=ec.ipc_name,
@@ -168,6 +173,11 @@ class LLMEngine:
         )
 
         self.max_pages_per_seq = ec.max_model_len // ec.page_tokens
+        self.prefix_cache = PrefixCache(
+            ec.page_tokens,
+            (ec.max_cached_tokens if ec.enable_prefix_caching else 0),
+        )
+        self.cache_namespace = f"model{id(self)}"
         self.waiting: list[Sequence] = []
         self.running: list[Sequence] = []
         self.finished_outputs: list[RequestOutput] = []
@@ -222,11 +232,12 @@ class LLMEngine:
         cfg, ec = self.model_cfg, self.cfg
 
         @partial(jax.jit, donate_argnums=(1, 2))
-        def prefill(params, k_pools, v_pools, tokens, positions, slot_pages,
-                    slot_offsets, true_len):
+        def prefill(params, k_pools, v_pools, tokens, positions, chunk_pages,
+                    page_table, q_start, true_len):
             logits, k_pools, v_pools = llama_prefill_step(
                 params, cfg, tokens, positions, k_pools, v_pools,
-                slot_pages, slot_offsets, true_len,
+                chunk_pages, page_table, q_start, true_len,
+                interpret=ec.interpret,
             )
             next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return next_token, k_pools, v_pools
@@ -252,22 +263,51 @@ class LLMEngine:
     def _blocks_needed(self, num_tokens: int) -> int:
         return -(-num_tokens // self.cfg.page_tokens)
 
+    def _alloc_blocks(self, need: int) -> list[int] | None:
+        """Allocate through the manager, reclaiming prefix-cache pages under
+        pressure first (the reference evicts LRU evictable blocks before
+        failing, vllm/patches.py:492-495)."""
+        blocks = self.manager.alloc(need)
+        if blocks is None and self.prefix_cache.num_evictable:
+            evicted = self.prefix_cache.evict(need + 4)
+            if evicted:
+                self.manager.free(evicted)
+                blocks = self.manager.alloc(need)
+        return blocks
+
     def _ensure_blocks(self, seq: Sequence, num_tokens: int) -> bool:
         """Grow seq's block list to cover ``num_tokens`` tokens."""
         num_tokens = min(num_tokens, self.cfg.max_model_len)
         need = self._blocks_needed(num_tokens) - len(seq.blocks)
         if need <= 0:
             return True
-        blocks = self.manager.alloc(need)
+        blocks = self._alloc_blocks(need)
         if blocks is None:
             return False
         seq.blocks.extend(blocks)
         return True
 
-    def _free_seq(self, seq: Sequence) -> None:
-        if seq.blocks:
-            self.manager.free(seq.blocks)
-            seq.blocks = []
+    def _free_seq(self, seq: Sequence, cache_kv: bool = True) -> None:
+        if not seq.blocks:
+            return
+        if cache_kv and self.prefix_cache.enabled:
+            # register this sequence's full pages (prompt AND generated —
+            # their tokens are now immutable) before releasing references
+            n_full = min(len(seq.tokens) // self.cfg.page_tokens, len(seq.blocks))
+            if n_full:
+                keys = page_keys(
+                    seq.tokens[: n_full * self.cfg.page_tokens],
+                    self.cfg.page_tokens,
+                    self.cache_namespace,
+                )
+                self.prefix_cache.insert(keys[:n_full], seq.blocks[:n_full])
+            _retained, to_free = self.prefix_cache.release(seq.blocks)
+            if to_free:
+                self.manager.free(to_free)
+        else:
+            _retained, to_free = self.prefix_cache.release(seq.blocks)
+            self.manager.free(to_free)
+        seq.blocks = []
 
     def _preempt_one(self) -> bool:
         """Evict the newest running sequence back to waiting (recompute)."""
@@ -302,22 +342,43 @@ class LLMEngine:
     def _do_prefill(self, seq: Sequence) -> bool:
         P = self.cfg.page_tokens
         plen = seq.prompt_len
+
+        # prefix-cache lookup: reuse whole pages of identical prefix
+        hits: list[int] = []
+        if self.prefix_cache.enabled:
+            keys = page_keys(seq.req.prompt, P, self.cache_namespace)
+            hits = self.prefix_cache.lookup(keys)
+            if hits and len(hits) * P >= plen:
+                # must compute at least the last token for its logits
+                dropped = hits.pop()
+                self.prefix_cache.release([dropped])
+        n_hit = len(hits)
+        seq.blocks = list(hits)
+        seq.num_cached_pages = n_hit
+
         if not self._ensure_blocks(seq, plen + 1):
+            # roll back the lookup references
+            self.prefix_cache.release(hits)
+            seq.blocks = []
             return False
-        T = self._bucket_len(plen)
+
+        q_start = n_hit * P
+        tail = plen - q_start  # >= 1
+        T = self._bucket_len(tail)
+        assert T % P == 0, "prefill buckets must be multiples of page_tokens"
         tokens = np.zeros(T, np.int32)
-        tokens[:plen] = seq.req.prompt
-        positions = np.arange(T, dtype=np.int32)
+        tokens[:tail] = seq.req.prompt[q_start:]
+        positions = q_start + np.arange(T, dtype=np.int32)
         phys = self._phys_row(seq)
-        tok_pages = phys[np.minimum(positions // P, self.max_pages_per_seq - 1)]
-        slot_offsets = positions % P
-        # padding tokens → zero page
-        tok_pages[plen:] = 0
+        n_chunks = T // P
+        n_real = -(-tail // P)
+        chunk_pages = np.zeros(n_chunks, np.int32)
+        chunk_pages[:n_real] = phys[n_hit : n_hit + n_real]
         next_token, self.k_pools, self.v_pools = self._prefill_fn(
             self.params, self.k_pools, self.v_pools,
             jnp.asarray(tokens), jnp.asarray(positions),
-            jnp.asarray(tok_pages), jnp.asarray(slot_offsets),
-            jnp.asarray(plen, jnp.int32),
+            jnp.asarray(chunk_pages), jnp.asarray(phys),
+            jnp.asarray(q_start, jnp.int32), jnp.asarray(tail, jnp.int32),
         )
         seq.tokens.append(int(next_token))
         seq.num_prefilled = plen
@@ -432,6 +493,7 @@ class LLMEngine:
             "running": len(self.running),
             "waiting": len(self.waiting),
             "preemptions": self._preempt_count,
+            "prefix_cache": self.prefix_cache.get_usage(),
         }
 
     def shutdown(self) -> None:

@@ -25,7 +25,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.paged_attention import paged_attention, paged_attention_reference
+from ..ops.paged_attention import (
+    paged_attention,
+    paged_attention_decode,
+    paged_attention_reference,
+    write_prefill_kv,
+)
+from ..ops.paged_prefill import paged_prefill_attention
 
 
 @dataclass(frozen=True)
@@ -169,20 +175,19 @@ def llama_decode_step(
         q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
         k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
 
-        # write this token's K/V, then attend over everything incl. itself
-        k_pools = k_pools.at[l_idx, slot_pages, :, slot_offsets, :].set(
-            k.astype(k_pools.dtype)
-        )
-        v_pools = v_pools.at[l_idx, slot_pages, :, slot_offsets, :].set(
-            v.astype(v_pools.dtype)
-        )
-
-        attn = paged_attention(
+        # fused kernel: write this token's K/V into its page (in-place via
+        # buffer aliasing), then attend over everything incl. itself
+        attn, k_pools, v_pools = paged_attention_decode(
             q,
-            k_pools[l_idx],
-            v_pools[l_idx],
+            k_pools,
+            v_pools,
             page_tables,
             seq_lens,
+            l_idx,
+            k.astype(k_pools.dtype),
+            v.astype(v_pools.dtype),
+            slot_pages,
+            slot_offsets,
             interpret=interpret,
         )  # [B, H, D]
         attn_out = attn.reshape(B, H * D) @ lp["wo"]
@@ -206,36 +211,36 @@ def llama_decode_step(
 def llama_prefill_step(
     params: dict,
     cfg: LlamaConfig,
-    tokens: jax.Array,  # [T] int32 (one sequence, padded)
-    positions: jax.Array,  # [T] int32
+    tokens: jax.Array,  # [T] int32: the NEW chunk (after any prefix-cache hit),
+    #                      padded to a bucket; T % page_tokens == 0
+    positions: jax.Array,  # [T] int32 = q_start + arange(T)
     k_pools: jax.Array,
     v_pools: jax.Array,
-    slot_pages: jax.Array,  # [T] int32 physical page per token
-    slot_offsets: jax.Array,  # [T] int32
-    true_len: jax.Array,  # [] int32 actual prompt length
+    chunk_pages: jax.Array,  # [T // page_tokens] int32 physical page per chunk
+    page_table: jax.Array,  # [max_pages] int32: FULL sequence physical pages
+    q_start: jax.Array,  # [] int32: global position of tokens[0] (page-aligned)
+    true_len: jax.Array,  # [] int32: actual number of new tokens in the chunk
     *,
     tp_axis: str | None = None,
+    interpret: bool = False,
 ):
-    """Prefill one sequence: causal self-attention over the prompt, writing
-    K/V into its pages.  Returns (logits_last [vocab], k_pools, v_pools).
+    """Prefill one chunk of one sequence through the unified paged path:
+    write the chunk's K/V into its pages (in place), then run causal paged
+    flash attention over the whole sequence so far (cached prefix pages +
+    this chunk).  Returns (logits_last [vocab], k_pools, v_pools).
 
-    Padding tokens (index ≥ true_len) are causally masked out and their KV
-    writes are redirected to the zero page (page 0) so the pool stays clean.
+    Because cache-hit and recompute share this exact code path, prefix
+    caching is bit-identical to recomputation.  Padding chunks write to the
+    zero page (defined-write discard, reference csrc/ftensor.cpp:160-176).
     """
     T = tokens.shape[0]
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     if tp_axis:
         tp = jax.lax.axis_size(tp_axis)
         H, KH = H // tp, KH // tp
-    group = H // KH
-    sm_scale = 1.0 / math.sqrt(D)
-
-    valid = jnp.arange(T) < true_len
-    safe_pages = jnp.where(valid, slot_pages, 0)
+    kv_len = q_start + true_len
 
     x = params["embed"][tokens]  # [T, E]
-    causal = jnp.tril(jnp.ones((T, T), bool))
-    mask = causal & valid[None, :]
 
     def layer_fn(carry, layer):
         x, k_pools, v_pools = carry
@@ -248,23 +253,19 @@ def llama_prefill_step(
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
-        k_pools = k_pools.at[l_idx, safe_pages, :, slot_offsets, :].set(
-            k.astype(k_pools.dtype)
-        )
-        v_pools = v_pools.at[l_idx, safe_pages, :, slot_offsets, :].set(
-            v.astype(v_pools.dtype)
+        k_pools, v_pools = write_prefill_kv(
+            k_pools, v_pools,
+            k.transpose(1, 0, 2),  # [KH, T, D]
+            v.transpose(1, 0, 2),
+            chunk_pages, l_idx,
+            interpret=interpret,
         )
 
-        # dense causal attention over the prompt (fp32 softmax)
-        qg = q.reshape(T, KH, group, D).astype(jnp.float32)
-        kf = k.astype(jnp.float32)
-        vf = v.astype(jnp.float32)
-        s = jnp.einsum("tkgd,skd->ktgs", qg, kf) * sm_scale
-        # s: [KH, T, group, T_kv] — mask over the kv axis
-        s = jnp.where(mask[None, :, None, :], s, -1e30)
-        p = jax.nn.softmax(s, axis=-1)
-        attn = jnp.einsum("ktgs,skd->tkgd", p, vf)  # [T, KH, group, D]
-        attn_out = attn.reshape(T, H * D).astype(x.dtype) @ lp["wo"]
+        attn = paged_prefill_attention(
+            q, k_pools, v_pools, page_table, q_start, kv_len, l_idx,
+            interpret=interpret,
+        )  # [T, H, D]
+        attn_out = attn.reshape(T, H * D) @ lp["wo"]
         x = x + _maybe_psum(attn_out, tp_axis)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)

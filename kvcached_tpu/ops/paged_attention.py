@@ -1,23 +1,27 @@
-"""Paged decode attention as a Pallas TPU kernel.
+"""Paged attention + KV-write Pallas TPU kernels.
 
-The consumer of the page-table indirection that replaces CUDA VMM: instead
-of the attention kernel reading K/V through remapped virtual addresses (how
-the host engines' FlashAttention sees kvcached tensors), the kernel receives
-the physical pool and per-sequence page tables, and DMAs exactly the live
-pages from HBM into VMEM with a multi-page double-buffered pipeline that
-overlaps DMA with compute.
+The consumers of the page-table indirection that replaces CUDA VMM: the
+kernels receive the physical pool and per-sequence page tables, DMA exactly
+the live pages from HBM into VMEM (multi-page double-buffered pipeline),
+and update the pool **in place** via ``input_output_aliases``.
 
-Layout (see device/pool.py): pool ``[num_pages, num_kv_heads, page_tokens,
-head_dim]`` per layer.  One *whole page* — all kv heads — is a single
-contiguous ``num_kv_heads × page_tokens × head_dim`` slab (e.g. 128 KB for
-8 heads × 64 tokens × 128 dim bf16), so page indirection costs one large DMA
-per page rather than per-head strided reads (the reference's
-contiguous-layout trap cost −31% e2e from exactly this kind of stride
-fragmentation, benchmarks/bench_layout).
+Why writes live inside the kernels: an XLA scatter that feeds a
+``pallas_call`` operand cannot be aliased through it, so the pool would be
+copied wholesale every layer (measured: 13 ms/step for a 2×2.1 GB pool pair
+vs 18 µs for the kernel itself).  With aliasing, "writing KV" is a ≤64 KB
+DMA inside the kernel and the pool buffer never moves.
 
-Grid: ``(batch,)`` — each program handles one sequence: it streams the
-sequence's pages in chunks of ``pages_per_chunk`` (2×chunk DMAs in flight),
-and runs an online (flash) softmax in fp32 per kv head over each chunk.
+Pool layout (see device/pool.py): ``[num_layers, num_pages, num_kv_heads,
+page_tokens, head_dim]``.  One whole page — all kv heads — is one contiguous
+slab (128 KB at 8 heads × 64 tokens × 128 dim bf16): page indirection costs
+one large DMA per page, preserving the per-layer density whose loss cost the
+reference −31% e2e (benchmarks/bench_layout).  TPU HBM tiling is (8,128) on
+the last two dims, so the decode-token write is an 8-slot-aligned
+read-modify-write window.
+
+Grid: ``(batch,)`` — each program handles one sequence: optional KV write
+for the current token, then streams the sequence's pages in chunks with an
+online (flash) softmax in fp32 per kv head.
 """
 
 from __future__ import annotations
@@ -31,55 +35,128 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_SUBLANE = 8  # HBM tiling granule on the page_tokens dim
 
 
-def _paged_attn_kernel(
-    # scalar prefetch
+def _decode_write_kernel(
+    page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref, slot_offsets_ref,
+    q_ref, k_new_ref, v_new_ref, k_pool_in, v_pool_in,
+    o_ref, k_pool_out, v_pool_out,
+    k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
+    **consts,
+):
+    """Fused write+attend variant: pools are aliased outputs."""
+    _attn_body(
+        page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref,
+        slot_offsets_ref, q_ref, k_new_ref, v_new_ref,
+        k_pool_out, v_pool_out, o_ref,
+        k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
+        write_kv=True, **consts,
+    )
+
+
+def _readonly_kernel(
+    page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref, slot_offsets_ref,
+    q_ref, k_new_ref, v_new_ref, k_pool_in, v_pool_in,
+    o_ref,
+    k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
+    **consts,
+):
+    _attn_body(
+        page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref,
+        slot_offsets_ref, q_ref, k_new_ref, v_new_ref,
+        k_pool_in, v_pool_in, o_ref,
+        k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
+        write_kv=False, **consts,
+    )
+
+
+def _attn_body(
     page_tables_ref,  # [B, max_pages] int32 (SMEM)
     seq_lens_ref,  # [B] int32 (SMEM)
-    # inputs
+    layer_ref,  # [1] int32 (SMEM)
+    slot_pages_ref,  # [B] int32: physical page receiving this token's KV
+    slot_offsets_ref,  # [B] int32: slot within that page
     q_ref,  # [1, num_kv_heads, q_pad, head_dim] VMEM block
-    k_pool_ref,  # [num_pages, num_kv_heads, page_tokens, head_dim] (HBM)
+    k_new_ref,  # [1, num_kv_heads, head_dim] VMEM block (token to write)
+    v_new_ref,  # same
+    k_pool_ref,  # [L, num_pages, num_kv_heads, page_tokens, head_dim] (HBM)
     v_pool_ref,  # same
-    # outputs
     o_ref,  # [1, num_kv_heads, q_pad, head_dim] VMEM block
-    # scratch
     k_buf,  # [2, num_kv_heads, C, page_tokens, head_dim] VMEM
     v_buf,  # same
     sems,  # DMA sems [2, C, 2]
+    win_k,  # [num_kv_heads, SUBLANE, head_dim] VMEM (RMW window)
+    win_v,
+    win_sems,  # DMA sems [2]
     m_scr,  # [num_kv_heads, q_pad, 128] f32
-    l_scr,  # [num_kv_heads, q_pad, 128] f32
+    l_scr,
     acc_scr,  # [num_kv_heads, q_pad, head_dim] f32
     *,
     page_tokens: int,
     pages_per_chunk: int,
     num_kv_heads: int,
     sm_scale: float,
+    write_kv: bool,
 ):
     b = pl.program_id(0)
+    layer = layer_ref[0]
     seq_len = seq_lens_ref[b]
     num_pages = pl.cdiv(seq_len, page_tokens)
     C = pages_per_chunk
     num_chunks = pl.cdiv(num_pages, C)
     chunk_tokens = C * page_tokens
 
+    # ---- 1) write this token's K/V via an aligned RMW window --------------
+    if write_kv:
+        page = slot_pages_ref[b]
+        off = slot_offsets_ref[b]
+        win = (off // _SUBLANE) * _SUBLANE
+        row = off - win
+
+        def win_copy(dst_vmem, pool, sem):
+            return pltpu.make_async_copy(
+                pool.at[layer, page, :, pl.ds(win, _SUBLANE)], dst_vmem, sem
+            )
+
+        win_copy(win_k, k_pool_ref, win_sems.at[0]).start()
+        win_copy(win_v, v_pool_ref, win_sems.at[1]).start()
+        win_copy(win_k, k_pool_ref, win_sems.at[0]).wait()
+        win_copy(win_v, v_pool_ref, win_sems.at[1]).wait()
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (num_kv_heads, _SUBLANE, win_k.shape[-1]), 1
+        )
+        win_k[...] = jnp.where(
+            row_ids == row, k_new_ref[0][:, None, :].astype(win_k.dtype), win_k[...]
+        )
+        win_v[...] = jnp.where(
+            row_ids == row, v_new_ref[0][:, None, :].astype(win_v.dtype), win_v[...]
+        )
+
+        def win_write(src_vmem, pool, sem):
+            return pltpu.make_async_copy(
+                src_vmem, pool.at[layer, page, :, pl.ds(win, _SUBLANE)], sem
+            )
+
+        win_write(win_k, k_pool_ref, win_sems.at[0]).start()
+        win_write(win_v, v_pool_ref, win_sems.at[1]).start()
+        # must land before the attention pipeline reads this page
+        win_write(win_k, k_pool_ref, win_sems.at[0]).wait()
+        win_write(win_v, v_pool_ref, win_sems.at[1]).wait()
+
+    # ---- 2) paged attention over the sequence's pages ---------------------
     def page_dma(chunk, j, slot, kv):
-        """DMA page j of `chunk` into buffer column j (strided dst so each
-        head's chunk ends up dense: buf[slot, :, j] <- pool[page])."""
         page_idx = chunk * C + j
-        # clamp so speculative/out-of-range issues read a valid (ignored) page
+        # clamp so tail columns read a valid (masked-out) page: scratch VMEM
+        # is uninitialized and a masked score still multiplies V (0×NaN=NaN)
         page_idx = jnp.minimum(page_idx, num_pages - 1)
         page_id = page_tables_ref[b, page_idx]
         pool = k_pool_ref if kv == 0 else v_pool_ref
         buf = k_buf if kv == 0 else v_buf
         return pltpu.make_async_copy(
-            pool.at[page_id], buf.at[slot, :, j], sems.at[slot, j, kv]
+            pool.at[layer, page_id], buf.at[slot, :, j], sems.at[slot, j, kv]
         )
 
-    # Tail chunks DMA a clamped (valid) page into the unused columns instead
-    # of skipping them: scratch VMEM is uninitialized, and a masked score
-    # still multiplies the V buffer (0 × NaN = NaN), so every column must
-    # hold finite data.  Costs ≤ C−1 redundant page reads per sequence.
     def start_chunk(chunk, slot):
         for j in range(C):
             page_dma(chunk, j, slot, 0).start()
@@ -108,7 +185,6 @@ def _paged_attn_kernel(
 
             wait_chunk(c, slot)
 
-            # token index across the chunk, for the tail mask
             base = c * chunk_tokens
             for h in range(num_kv_heads):  # unrolled; data already in VMEM
                 q = q_ref[0, h].astype(jnp.float32) * sm_scale  # [q_pad, D]
@@ -169,21 +245,77 @@ def _pick_pages_per_chunk(
     return c
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret", "pages_per_chunk"))
-def paged_attention(
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "interpret", "pages_per_chunk"),
+    donate_argnums=(1, 2),
+)
+def paged_attention_decode(
     q: jax.Array,  # [B, num_q_heads, head_dim]
-    k_pool: jax.Array,  # [num_pages, num_kv_heads, page_tokens, head_dim]
+    k_pool: jax.Array,  # [L, num_pages, num_kv_heads, page_tokens, head_dim]
     v_pool: jax.Array,
     page_tables: jax.Array,  # [B, max_pages_per_seq] int32 (physical ids)
-    seq_lens: jax.Array,  # [B] int32
+    seq_lens: jax.Array,  # [B] int32 INCLUDING the current token
+    layer: jax.Array | int,
+    k_new: jax.Array,  # [B, num_kv_heads, head_dim] current token's K
+    v_new: jax.Array,
+    slot_pages: jax.Array,  # [B] int32
+    slot_offsets: jax.Array,  # [B] int32
+    *,
+    sm_scale: float | None = None,
+    interpret: bool = False,
+    pages_per_chunk: int | None = None,
+):
+    """Fused decode step: write the current token's KV into its page, then
+    attend over the sequence.  Returns (out, k_pool, v_pool) with the pools
+    aliased in place — callers must donate them."""
+    return _paged_attention_impl(
+        q, k_pool, v_pool, page_tables, seq_lens, layer,
+        k_new, v_new, slot_pages, slot_offsets,
+        sm_scale=sm_scale, interpret=interpret,
+        pages_per_chunk=pages_per_chunk, write_kv=True,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "interpret", "pages_per_chunk")
+)
+def paged_attention(
+    q: jax.Array,
+    k_pool: jax.Array,  # [(L,) num_pages, num_kv_heads, page_tokens, head_dim]
+    v_pool: jax.Array,
+    page_tables: jax.Array,
+    seq_lens: jax.Array,
+    layer: jax.Array | int = 0,
     *,
     sm_scale: float | None = None,
     interpret: bool = False,
     pages_per_chunk: int | None = None,
 ) -> jax.Array:
-    """Decode-mode paged attention. Returns [B, num_q_heads, head_dim]."""
+    """Read-only paged attention (no KV write). Returns [B, num_q_heads, D]."""
+    if k_pool.ndim == 4:
+        k_pool = k_pool[None]
+        v_pool = v_pool[None]
+    B, _, head_dim = q.shape
+    num_kv_heads = k_pool.shape[2]
+    dummy = jnp.zeros((B, num_kv_heads, head_dim), k_pool.dtype)
+    zeros = jnp.zeros((B,), jnp.int32)
+    out, _, _ = _paged_attention_impl(
+        q, k_pool, v_pool, page_tables, seq_lens, layer,
+        dummy, dummy, zeros, zeros,
+        sm_scale=sm_scale, interpret=interpret,
+        pages_per_chunk=pages_per_chunk, write_kv=False,
+    )
+    return out
+
+
+def _paged_attention_impl(
+    q, k_pool, v_pool, page_tables, seq_lens, layer,
+    k_new, v_new, slot_pages, slot_offsets,
+    *, sm_scale, interpret, pages_per_chunk, write_kv,
+):
     batch, num_q_heads, head_dim = q.shape
-    _, num_kv_heads, page_tokens, head_dim_k = k_pool.shape
+    _, _, num_kv_heads, page_tokens, head_dim_k = k_pool.shape
     assert head_dim == head_dim_k
     assert num_q_heads % num_kv_heads == 0
     q_per_kv = num_q_heads // num_kv_heads
@@ -192,8 +324,8 @@ def paged_attention(
     max_pages = page_tables.shape[1]
     if pages_per_chunk is None:
         pages_per_chunk = _pick_pages_per_chunk(
-            num_kv_heads, page_tokens, head_dim, jnp.dtype(k_pool.dtype).itemsize,
-            max_pages,
+            num_kv_heads, page_tokens, head_dim,
+            jnp.dtype(k_pool.dtype).itemsize, max_pages,
         )
     C = pages_per_chunk
 
@@ -203,49 +335,176 @@ def paged_attention(
     if q_pad != q_per_kv:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, q_pad - q_per_kv), (0, 0)))
 
-    out = pl.pallas_call(
-        functools.partial(
-            _paged_attn_kernel,
-            page_tokens=page_tokens,
-            pages_per_chunk=C,
-            num_kv_heads=num_kv_heads,
-            sm_scale=sm_scale,
-        ),
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    consts = dict(
+        page_tokens=page_tokens,
+        pages_per_chunk=C,
+        num_kv_heads=num_kv_heads,
+        sm_scale=sm_scale,
+    )
+    o_spec = pl.BlockSpec(
+        (1, num_kv_heads, q_pad, head_dim), lambda b, *_: (b, 0, 0, 0)
+    )
+    in_specs = [
+        o_spec,
+        pl.BlockSpec((1, num_kv_heads, head_dim), lambda b, *_: (b, 0, 0)),
+        pl.BlockSpec((1, num_kv_heads, head_dim), lambda b, *_: (b, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), k_pool.dtype),
+        pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), v_pool.dtype),
+        pltpu.SemaphoreType.DMA((2, C, 2)),
+        pltpu.VMEM((num_kv_heads, _SUBLANE, head_dim), k_pool.dtype),
+        pltpu.VMEM((num_kv_heads, _SUBLANE, head_dim), v_pool.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((num_kv_heads, q_pad, 128), jnp.float32),
+        pltpu.VMEM((num_kv_heads, q_pad, 128), jnp.float32),
+        pltpu.VMEM((num_kv_heads, q_pad, head_dim), jnp.float32),
+    ]
+    o_shape = jax.ShapeDtypeStruct((batch, num_kv_heads, q_pad, head_dim), q.dtype)
+    args = (page_tables, seq_lens, layer_arr, slot_pages, slot_offsets,
+            qg, k_new, v_new, k_pool, v_pool)
+
+    if write_kv:
+        out, k_pool, v_pool = pl.pallas_call(
+            functools.partial(_decode_write_kernel, **consts),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(batch,),
+                in_specs=in_specs,
+                out_specs=(
+                    o_spec,
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ),
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=(
+                o_shape,
+                jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+                jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            ),
+            # flat input indices incl. the 5 scalar-prefetch args:
+            # 5=q, 6=k_new, 7=v_new, 8=k_pool, 9=v_pool → outputs 1, 2
+            input_output_aliases={8: 1, 9: 2},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*args)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_readonly_kernel, **consts),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(batch,),
+                in_specs=in_specs,
+                out_specs=o_spec,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=o_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*args)
+
+    out = out[:, :, :q_per_kv, :]
+    return out.reshape(batch, num_q_heads, head_dim), k_pool, v_pool
+
+
+# ---------------------------------------------------------------------------
+# Prefill page writer: copy a sequence's fresh KV into its pages, in place.
+# ---------------------------------------------------------------------------
+
+
+def _prefill_write_kernel(
+    pages_ref,  # [n_pages] int32 physical page per chunk (SMEM)
+    layer_ref,  # [1] int32
+    k_new_ref,  # [num_kv_heads, page_tokens, head_dim] VMEM block (chunk j)
+    v_new_ref,
+    k_pool_in,
+    v_pool_in,
+    k_pool_ref,  # aliased outputs (HBM)
+    v_pool_ref,
+    sems,
+):
+    j = pl.program_id(0)
+    layer = layer_ref[0]
+    page = pages_ref[j]
+    ck = pltpu.make_async_copy(k_new_ref, k_pool_ref.at[layer, page], sems.at[0])
+    cv = pltpu.make_async_copy(v_new_ref, v_pool_ref.at[layer, page], sems.at[1])
+    ck.start()
+    cv.start()
+    ck.wait()
+    cv.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0, 1))
+def write_prefill_kv(
+    k_pool: jax.Array,  # [L, num_pages, num_kv_heads, page_tokens, head_dim]
+    v_pool: jax.Array,
+    k_new: jax.Array,  # [num_kv_heads, T, head_dim]; T multiple of page_tokens
+    v_new: jax.Array,
+    pages: jax.Array,  # [T // page_tokens] int32 physical pages (0 = discard)
+    layer: jax.Array | int,
+    *,
+    interpret: bool = False,
+):
+    """Write a prefilled sequence's KV into its pages (in-place via aliasing).
+
+    Page 0 (the zero page) acts as a discard target for padding chunks —
+    defined-write semantics exactly like the reference's zero page
+    (csrc/ftensor.cpp:160-176)."""
+    L, num_pages, num_kv_heads, page_tokens, head_dim = k_pool.shape
+    T = k_new.shape[1]
+    assert T % page_tokens == 0, "prefill length must be page-aligned"
+    n = T // page_tokens
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    k_pool, v_pool = pl.pallas_call(
+        _prefill_write_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(batch,),
+            grid=(n,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, num_kv_heads, q_pad, head_dim),
-                    lambda b, *_: (b, 0, 0, 0),
+                    (num_kv_heads, page_tokens, head_dim),
+                    lambda j, *_: (0, j, 0),
+                ),
+                pl.BlockSpec(
+                    (num_kv_heads, page_tokens, head_dim),
+                    lambda j, *_: (0, j, 0),
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(
-                (1, num_kv_heads, q_pad, head_dim),
-                lambda b, *_: (b, 0, 0, 0),
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), k_pool.dtype),
-                pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), v_pool.dtype),
-                pltpu.SemaphoreType.DMA((2, C, 2)),
-                pltpu.VMEM((num_kv_heads, q_pad, 128), jnp.float32),
-                pltpu.VMEM((num_kv_heads, q_pad, 128), jnp.float32),
-                pltpu.VMEM((num_kv_heads, q_pad, head_dim), jnp.float32),
-            ],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_kv_heads, q_pad, head_dim), q.dtype
+        out_shape=(
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
         ),
+        # flat inputs: 0=pages, 1=layer, 2=k_new, 3=v_new, 4=k_pool, 5=v_pool
+        input_output_aliases={4: 0, 5: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(page_tables, seq_lens, qg, k_pool, v_pool)
+    )(pages, layer_arr, k_new.astype(k_pool.dtype), v_new.astype(v_pool.dtype),
+      k_pool, v_pool)
+    return k_pool, v_pool
 
-    out = out[:, :, :q_per_kv, :]
-    return out.reshape(batch, num_q_heads, head_dim)
+
+# ---------------------------------------------------------------------------
+# Dense XLA reference (tests + non-TPU fallback).
+# ---------------------------------------------------------------------------
 
 
 def paged_attention_reference(
@@ -257,9 +516,10 @@ def paged_attention_reference(
     *,
     sm_scale: float | None = None,
 ) -> jax.Array:
-    """Dense XLA reference used for bit-accuracy tests and as a fallback on
-    non-TPU backends."""
     batch, num_q_heads, head_dim = q.shape
+    if k_pool.ndim == 5:
+        k_pool = k_pool[0]
+        v_pool = v_pool[0]
     _, num_kv_heads, page_tokens, _ = k_pool.shape
     q_per_kv = num_q_heads // num_kv_heads
     if sm_scale is None:
@@ -267,7 +527,6 @@ def paged_attention_reference(
     max_pages = page_tables.shape[1]
     max_len = max_pages * page_tokens
 
-    # gather: [B, max_pages, H, page_tokens, D] -> [B, H, max_len, D]
     k = k_pool[page_tables]  # [B, max_pages, H, P, D]
     v = v_pool[page_tables]
     k = k.transpose(0, 2, 1, 3, 4).reshape(batch, num_kv_heads, max_len, head_dim)

@@ -1,0 +1,269 @@
+"""Paged prefill (flash) attention kernel.
+
+Queries are a contiguous chunk of ``T`` new tokens starting at global
+position ``q_start``; keys/values are read from the sequence's pages in the
+shared pool — including pages reused from the prefix cache and the pages
+this chunk just wrote.  One code path covers:
+
+- plain prefill            (q_start = 0),
+- prefix-cache hits        (q_start = n_cached_pages × page_tokens),
+- chunked prefill          (q_start advances per chunk),
+
+so a cache hit is *bit-identical* to recomputation — the determinism the
+reference's acceptance gate demands (tests/test_elastic_serving.py:150-165)
+extends to the cache path by construction.
+
+Grid: ``(num_q_tiles,)``; each program owns ``q_tile`` query tokens and
+streams kv pages in chunks (double-buffered DMA), with a causal online
+softmax in fp32.  Pages whose tokens all exceed the tile's last position
+are skipped entirely (block-causal early exit).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    page_table_ref,  # [max_pages] int32 physical ids for THIS sequence
+    meta_ref,  # [2] int32: (q_start, kv_len)
+    layer_ref,  # [1] int32
+    # inputs
+    q_ref,  # [1, num_kv_heads, rows_per_tile, head_dim] VMEM (tile of queries)
+    k_pool_ref,  # [L, num_pages, num_kv_heads, page_tokens, head_dim] (HBM)
+    v_pool_ref,
+    # outputs
+    o_ref,  # [1, num_kv_heads, rows_per_tile, head_dim]
+    # scratch
+    k_buf,  # [2, num_kv_heads, C, page_tokens, head_dim]
+    v_buf,
+    sems,  # [2, C, 2]
+    m_scr,  # [num_kv_heads, rows, 128] f32
+    l_scr,
+    acc_scr,  # [num_kv_heads, rows, head_dim] f32
+    *,
+    page_tokens: int,
+    pages_per_chunk: int,
+    num_kv_heads: int,
+    group: int,
+    q_tile: int,  # query TOKENS per tile
+    sm_scale: float,
+):
+    tile = pl.program_id(0)
+    layer = layer_ref[0]
+    q_start = meta_ref[0]
+    kv_len = meta_ref[1]
+    C = pages_per_chunk
+    chunk_tokens = C * page_tokens
+
+    # last kv position any query in this tile may see (causal)
+    tile_q_end = q_start + (tile + 1) * q_tile  # exclusive
+    kv_hi = jnp.minimum(kv_len, tile_q_end)
+    num_pages = pl.cdiv(kv_hi, page_tokens)
+    num_chunks = pl.cdiv(num_pages, C)
+
+    def page_dma(chunk, j, slot, kv):
+        page_idx = jnp.minimum(chunk * C + j, num_pages - 1)
+        page_id = page_table_ref[page_idx]
+        pool = k_pool_ref if kv == 0 else v_pool_ref
+        buf = k_buf if kv == 0 else v_buf
+        return pltpu.make_async_copy(
+            pool.at[layer, page_id], buf.at[slot, :, j], sems.at[slot, j, kv]
+        )
+
+    def start_chunk(chunk, slot):
+        for j in range(C):
+            page_dma(chunk, j, slot, 0).start()
+            page_dma(chunk, j, slot, 1).start()
+
+    def wait_chunk(chunk, slot):
+        for j in range(C):
+            page_dma(chunk, j, slot, 0).wait()
+            page_dma(chunk, j, slot, 1).wait()
+
+    m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    rows = q_ref.shape[2]
+
+    @pl.when(num_pages > 0)
+    def _():
+        start_chunk(0, 0)
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+            next_slot = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                start_chunk(c + 1, next_slot)
+
+            wait_chunk(c, slot)
+
+            base = c * chunk_tokens
+            for h in range(num_kv_heads):
+                q = q_ref[0, h].astype(jnp.float32) * sm_scale  # [rows, D]
+                k = (
+                    k_buf[slot, h]
+                    .reshape(chunk_tokens, q.shape[1])
+                    .astype(jnp.float32)
+                )
+                v = (
+                    v_buf[slot, h]
+                    .reshape(chunk_tokens, q.shape[1])
+                    .astype(jnp.float32)
+                )
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [rows, chunk_tokens]
+                kv_idx = base + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, dimension=1
+                )
+                # row r belongs to query token t = tile*q_tile + r//group
+                q_pos = (
+                    q_start
+                    + tile * q_tile
+                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group
+                )
+                mask = (kv_idx <= q_pos) & (kv_idx < kv_len)
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+                m_prev = m_scr[h, :, :1]
+                l_prev = l_scr[h, :, :1]
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                acc_scr[h] = acc_scr[h] * alpha + jax.lax.dot_general(
+                    p, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_scr[h, :, :1] = m_new
+                l_scr[h, :, :1] = l_new
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, body, 0, unroll=False)
+
+    l = l_scr[:, :, :1]
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
+def _pick_chunk(num_kv_heads, page_tokens, head_dim, itemsize, max_pages):
+    page_bytes = num_kv_heads * page_tokens * head_dim * itemsize
+    budget = 4 * 1024 * 1024
+    c = max(1, budget // (4 * page_bytes))
+    return min(c, 8, max(1, max_pages))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "q_tile"),
+)
+def paged_prefill_attention(
+    q: jax.Array,  # [T, num_q_heads, head_dim] (chunk of new tokens)
+    k_pool: jax.Array,  # [L, num_pages, num_kv_heads, page_tokens, head_dim]
+    v_pool: jax.Array,
+    page_table: jax.Array,  # [max_pages] int32 this sequence's physical pages
+    q_start: jax.Array | int,  # global position of q[0]
+    kv_len: jax.Array | int,  # total valid tokens (q_start + true chunk len)
+    layer: jax.Array | int = 0,
+    *,
+    sm_scale: float | None = None,
+    interpret: bool = False,
+    pages_per_chunk: int | None = None,
+    q_tile: int = 128,
+) -> jax.Array:
+    """Causal attention of a prefill chunk against its sequence's pages.
+    Returns [T, num_q_heads, head_dim].  KV for the chunk must already be
+    written to the pages (write_prefill_kv runs first)."""
+    T, num_q_heads, head_dim = q.shape
+    _, _, num_kv_heads, page_tokens, _ = k_pool.shape
+    assert num_q_heads % num_kv_heads == 0
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    q_tile = min(q_tile, T)
+    assert T % q_tile == 0, f"T={T} must be a multiple of q_tile={q_tile}"
+    num_tiles = T // q_tile
+    rows = q_tile * group
+    max_pages = page_table.shape[0]
+    C = pages_per_chunk or _pick_chunk(
+        num_kv_heads, page_tokens, head_dim, jnp.dtype(k_pool.dtype).itemsize,
+        max_pages,
+    )
+
+    # [T, QH, D] -> [KH, T*group, D] with row r = t*group + g
+    qg = (
+        q.reshape(T, num_kv_heads, group, head_dim)
+        .transpose(1, 0, 2, 3)
+        .reshape(1, num_kv_heads, T * group, head_dim)
+    )
+
+    meta = jnp.stack(
+        [jnp.asarray(q_start, jnp.int32), jnp.asarray(kv_len, jnp.int32)]
+    )
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _prefill_kernel,
+            page_tokens=page_tokens,
+            pages_per_chunk=C,
+            num_kv_heads=num_kv_heads,
+            group=group,
+            q_tile=q_tile,
+            sm_scale=sm_scale,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, num_kv_heads, rows, head_dim),
+                    lambda t, *_: (0, 0, t, 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, num_kv_heads, rows, head_dim),
+                lambda t, *_: (0, 0, t, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), k_pool.dtype),
+                pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), v_pool.dtype),
+                pltpu.SemaphoreType.DMA((2, C, 2)),
+                pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads, rows, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (1, num_kv_heads, T * group, head_dim), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(page_table, meta, layer_arr, qg, k_pool, v_pool)
+
+    # [1, KH, T*group, D] -> [T, QH, D]
+    out = (
+        out.reshape(num_kv_heads, T, group, head_dim)
+        .transpose(1, 0, 2, 3)
+        .reshape(T, num_q_heads, head_dim)
+    )
+    return out

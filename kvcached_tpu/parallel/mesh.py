@@ -1,0 +1,111 @@
+"""Mesh construction and sharded serving steps.
+
+The reference's TP story is metadata-only (broadcast page map/unmap to every
+rank's process, SURVEY §2f).  Here TP is real compute sharding the JAX way:
+
+- KV pools shard over the **kv-head axis** (`PartitionSpec(None, None,
+  "tp")`): every chip holds the same physical page ids for its head shard,
+  so the reference's "all ranks mirror identical mappings" invariant holds
+  by construction — one host-side page table serves every shard, no
+  per-rank socket broadcast needed within a host.
+- Model params shard Megatron-style (heads / ffn columns), activations
+  replicated, with the two ``psum``s inside the model (models/llama.py).
+- DP shards the batch axis; each DP group serves different sequences
+  against the same shared pool pages.
+
+Everything runs under ``shard_map`` so the Pallas paged-attention kernel
+sees per-shard local shapes and needs no SPMD awareness.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import LlamaConfig, llama_decode_step
+
+
+def make_mesh(
+    tp: int = 1, dp: int = 1, devices=None, axis_names=("dp", "tp")
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= tp * dp, f"need {tp * dp} devices, have {len(devices)}"
+    arr = np.array(devices[: tp * dp]).reshape(dp, tp)
+    return Mesh(arr, axis_names)
+
+
+def llama_param_specs(tp_axis: str = "tp") -> dict:
+    """PartitionSpecs for the stacked Llama param tree (Megatron TP)."""
+    t = tp_axis
+    return {
+        "embed": P(),
+        "layers": {
+            "attn_norm": P(),
+            "wq": P(None, None, t),
+            "wk": P(None, None, t),
+            "wv": P(None, None, t),
+            "wo": P(None, t, None),
+            "mlp_norm": P(),
+            "w_gate": P(None, None, t),
+            "w_up": P(None, None, t),
+            "w_down": P(None, t, None),
+        },
+        "final_norm": P(),
+        "lm_head": P(),
+    }
+
+
+def pool_spec_partition(tp_axis: str = "tp") -> P:
+    """Pools [L, pages, kv_heads, page_tokens, head_dim] shard on kv heads."""
+    return P(None, None, tp_axis)
+
+
+def shard_params(params: dict, mesh: Mesh, tp_axis: str = "tp") -> dict:
+    specs = llama_param_specs(tp_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def build_sharded_decode_step(
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    *,
+    tp_axis: str = "tp",
+    dp_axis: str | None = "dp",
+    interpret: bool = False,
+):
+    """Jitted single decode step over a (dp, tp) mesh.
+
+    Batch shards over dp; heads/pools over tp.  Returns a function
+    ``(params, k_pools, v_pools, tokens, positions, page_tables, slot_pages,
+    slot_offsets, seq_lens) -> (logits, k_pools, v_pools)`` with pools
+    donated.
+    """
+    pspecs = llama_param_specs(tp_axis)
+    pool_p = pool_spec_partition(tp_axis)
+    bd = P(dp_axis) if dp_axis else P()
+    b2 = P(dp_axis, None) if dp_axis else P()
+
+    def step(params, k_pools, v_pools, tokens, positions, page_tables,
+             slot_pages, slot_offsets, seq_lens):
+        return llama_decode_step(
+            params, cfg, tokens, positions, k_pools, v_pools,
+            page_tables, slot_pages, slot_offsets, seq_lens,
+            tp_axis=tp_axis, interpret=interpret,
+        )
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            pspecs, pool_p, pool_p, bd, bd, b2, bd, bd, bd,
+        ),
+        out_specs=(bd, pool_p, pool_p),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1, 2))
