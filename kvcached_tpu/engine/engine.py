@@ -34,12 +34,8 @@ from ..device.pool import DevicePagePool, PoolSpec, hbm_free_bytes
 from ..kv_cache_manager import KVCacheManager
 from ..kv_cache_manager_native import create_kv_cache_manager
 from ..logging_utils import get_kvcached_logger
-from ..models.llama import (
-    LlamaConfig,
-    init_llama_params,
-    llama_decode_step,
-    llama_prefill_step,
-)
+from ..models.adapter import as_adapter
+from ..models.llama import LlamaConfig
 from .prefix_cache import PrefixCache, page_keys
 
 logger = get_kvcached_logger(__name__)
@@ -120,25 +116,27 @@ class LLMEngine:
 
     def __init__(
         self,
-        model_cfg: LlamaConfig,
+        model_cfg,
         engine_cfg: EngineConfig | None = None,
         *,
         params: dict | None = None,
         shared_pool: DevicePagePool | None = None,
-        pool_arrays: tuple[jax.Array, jax.Array] | None = None,
+        pool_arrays: tuple[jax.Array, jax.Array | None] | None = None,
         seed: int = 0,
     ):
+        self.adapter = as_adapter(model_cfg)
         self.model_cfg = model_cfg
         self.cfg = engine_cfg or EngineConfig()
         ec = self.cfg
 
         self.kv_cfg = KVConfig(
-            num_layers=model_cfg.num_layers,
-            num_kv_heads=model_cfg.num_kv_heads,
-            head_dim=model_cfg.head_dim,
+            num_layers=self.adapter.num_layers,
+            num_kv_heads=self.adapter.num_kv_heads,
+            head_dim=self.adapter.head_dim,
             block_tokens=ec.page_tokens,  # block == page on TPU
             page_tokens=ec.page_tokens,
             kv_dtype=ec.kv_dtype,
+            num_kv_buffers=self.adapter.num_kv_buffers,
         )
 
         if shared_pool is not None:
@@ -169,7 +167,7 @@ class LLMEngine:
         self.params = (
             params
             if params is not None
-            else init_llama_params(model_cfg, jax.random.PRNGKey(seed))
+            else self.adapter.init_params(jax.random.PRNGKey(seed))
         )
 
         self.max_pages_per_seq = ec.max_model_len // ec.page_tokens
@@ -190,7 +188,7 @@ class LLMEngine:
     # ------------------------------------------------------------- jit build
 
     def _build_decode_fn(self):
-        cfg, ec = self.model_cfg, self.cfg
+        adapter, ec = self.adapter, self.cfg
         P = ec.page_tokens
         K = ec.decode_horizon
 
@@ -208,8 +206,8 @@ class LLMEngine:
                 b_idx = jnp.arange(tokens.shape[0])
                 slot_pages = page_tables[b_idx, page_idx]
                 slot_offsets = positions % P
-                logits, k_pools, v_pools = llama_decode_step(
-                    params, cfg, tokens, positions, k_pools, v_pools,
+                logits, k_pools, v_pools = adapter.decode_step(
+                    params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
                     interpret=ec.interpret,
                 )
@@ -229,13 +227,13 @@ class LLMEngine:
         return decode_multi
 
     def _build_prefill_fn(self):
-        cfg, ec = self.model_cfg, self.cfg
+        adapter, ec = self.adapter, self.cfg
 
         @partial(jax.jit, donate_argnums=(1, 2))
         def prefill(params, k_pools, v_pools, tokens, positions, chunk_pages,
                     page_table, q_start, true_len):
-            logits, k_pools, v_pools = llama_prefill_step(
-                params, cfg, tokens, positions, k_pools, v_pools,
+            logits, k_pools, v_pools = adapter.prefill_step(
+                params, tokens, positions, k_pools, v_pools,
                 chunk_pages, page_table, q_start, true_len,
                 interpret=ec.interpret,
             )
@@ -251,6 +249,11 @@ class LLMEngine:
         if len(req.prompt) + req.sampling.max_new_tokens > self.cfg.max_model_len:
             raise ValueError(
                 f"prompt+max_new_tokens exceeds max_model_len={self.cfg.max_model_len}"
+            )
+        if len(req.prompt) > max(self.cfg.prefill_buckets):
+            raise ValueError(
+                f"prompt length {len(req.prompt)} exceeds largest prefill "
+                f"bucket {max(self.cfg.prefill_buckets)}"
             )
         self.waiting.append(Sequence(req))
         return req.req_id

@@ -55,6 +55,23 @@ def _decode_write_kernel(
     )
 
 
+def _decode_write_kernel_mla(
+    page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref, slot_offsets_ref,
+    q_ref, k_new_ref, v_new_ref, k_pool_in, v_pool_in,
+    o_ref, k_pool_out,
+    k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
+    **consts,
+):
+    """MLA fused variant: one latent pool, aliased once."""
+    _attn_body(
+        page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref,
+        slot_offsets_ref, q_ref, k_new_ref, v_new_ref,
+        k_pool_out, k_pool_out, o_ref,
+        k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
+        write_kv=True, **consts,
+    )
+
+
 def _readonly_kernel(
     page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref, slot_offsets_ref,
     q_ref, k_new_ref, v_new_ref, k_pool_in, v_pool_in,
@@ -98,7 +115,12 @@ def _attn_body(
     num_kv_heads: int,
     sm_scale: float,
     write_kv: bool,
+    v_head_dim: int | None = None,
 ):
+    # MLA mode (v_head_dim set): a single latent buffer serves as both K and
+    # V — scores use the full head_dim (c_kv ++ k_rope), values are the
+    # first ``v_head_dim`` lanes (c_kv).  V DMAs are skipped entirely.
+    mla = v_head_dim is not None
     b = pl.program_id(0)
     layer = layer_ref[0]
     seq_len = seq_lens_ref[b]
@@ -120,18 +142,22 @@ def _attn_body(
             )
 
         win_copy(win_k, k_pool_ref, win_sems.at[0]).start()
-        win_copy(win_v, v_pool_ref, win_sems.at[1]).start()
+        if not mla:
+            win_copy(win_v, v_pool_ref, win_sems.at[1]).start()
         win_copy(win_k, k_pool_ref, win_sems.at[0]).wait()
-        win_copy(win_v, v_pool_ref, win_sems.at[1]).wait()
+        if not mla:
+            win_copy(win_v, v_pool_ref, win_sems.at[1]).wait()
         row_ids = jax.lax.broadcasted_iota(
             jnp.int32, (num_kv_heads, _SUBLANE, win_k.shape[-1]), 1
         )
         win_k[...] = jnp.where(
             row_ids == row, k_new_ref[0][:, None, :].astype(win_k.dtype), win_k[...]
         )
-        win_v[...] = jnp.where(
-            row_ids == row, v_new_ref[0][:, None, :].astype(win_v.dtype), win_v[...]
-        )
+        if not mla:
+            win_v[...] = jnp.where(
+                row_ids == row, v_new_ref[0][:, None, :].astype(win_v.dtype),
+                win_v[...],
+            )
 
         def win_write(src_vmem, pool, sem):
             return pltpu.make_async_copy(
@@ -139,10 +165,12 @@ def _attn_body(
             )
 
         win_write(win_k, k_pool_ref, win_sems.at[0]).start()
-        win_write(win_v, v_pool_ref, win_sems.at[1]).start()
+        if not mla:
+            win_write(win_v, v_pool_ref, win_sems.at[1]).start()
         # must land before the attention pipeline reads this page
         win_write(win_k, k_pool_ref, win_sems.at[0]).wait()
-        win_write(win_v, v_pool_ref, win_sems.at[1]).wait()
+        if not mla:
+            win_write(win_v, v_pool_ref, win_sems.at[1]).wait()
 
     # ---- 2) paged attention over the sequence's pages ---------------------
     def page_dma(chunk, j, slot, kv):
@@ -160,12 +188,14 @@ def _attn_body(
     def start_chunk(chunk, slot):
         for j in range(C):
             page_dma(chunk, j, slot, 0).start()
-            page_dma(chunk, j, slot, 1).start()
+            if not mla:
+                page_dma(chunk, j, slot, 1).start()
 
     def wait_chunk(chunk, slot):
         for j in range(C):
             page_dma(chunk, j, slot, 0).wait()
-            page_dma(chunk, j, slot, 1).wait()
+            if not mla:
+                page_dma(chunk, j, slot, 1).wait()
 
     m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -193,11 +223,14 @@ def _attn_body(
                     .reshape(chunk_tokens, q.shape[1])
                     .astype(jnp.float32)
                 )
-                v = (
-                    v_buf[slot, h]
-                    .reshape(chunk_tokens, q.shape[1])
-                    .astype(jnp.float32)
-                )
+                if mla:
+                    v = k[:, :v_head_dim]
+                else:
+                    v = (
+                        v_buf[slot, h]
+                        .reshape(chunk_tokens, q.shape[1])
+                        .astype(jnp.float32)
+                    )
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -214,10 +247,16 @@ def _attn_body(
                 alpha = jnp.exp(m_prev - m_new)
                 p = jnp.exp(s - m_new)
                 l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                acc_scr[h] = acc_scr[h] * alpha + jax.lax.dot_general(
+                pv = jax.lax.dot_general(
                     p, v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                if mla:
+                    acc_scr[h, :, :v_head_dim] = (
+                        acc_scr[h, :, :v_head_dim] * alpha + pv
+                    )
+                else:
+                    acc_scr[h] = acc_scr[h] * alpha + pv
                 m_scr[h, :, :1] = m_new
                 l_scr[h, :, :1] = l_new
             return 0
@@ -247,7 +286,7 @@ def _pick_pages_per_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "interpret", "pages_per_chunk"),
+    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "mla_v_dim"),
     donate_argnums=(1, 2),
 )
 def paged_attention_decode(
@@ -265,20 +304,25 @@ def paged_attention_decode(
     sm_scale: float | None = None,
     interpret: bool = False,
     pages_per_chunk: int | None = None,
+    mla_v_dim: int | None = None,
 ):
     """Fused decode step: write the current token's KV into its page, then
     attend over the sequence.  Returns (out, k_pool, v_pool) with the pools
-    aliased in place — callers must donate them."""
+    aliased in place — callers must donate them.
+
+    ``mla_v_dim``: MLA mode — k_pool holds the single latent buffer
+    (c_kv ++ k_rope); scores use the full head_dim, values its first
+    ``mla_v_dim`` lanes; v_pool is ignored (pass k_pool)."""
     return _paged_attention_impl(
         q, k_pool, v_pool, page_tables, seq_lens, layer,
         k_new, v_new, slot_pages, slot_offsets,
         sm_scale=sm_scale, interpret=interpret,
-        pages_per_chunk=pages_per_chunk, write_kv=True,
+        pages_per_chunk=pages_per_chunk, write_kv=True, mla_v_dim=mla_v_dim,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret", "pages_per_chunk")
+    jax.jit, static_argnames=("sm_scale", "interpret", "pages_per_chunk", "mla_v_dim")
 )
 def paged_attention(
     q: jax.Array,
@@ -291,6 +335,7 @@ def paged_attention(
     sm_scale: float | None = None,
     interpret: bool = False,
     pages_per_chunk: int | None = None,
+    mla_v_dim: int | None = None,
 ) -> jax.Array:
     """Read-only paged attention (no KV write). Returns [B, num_q_heads, D]."""
     if k_pool.ndim == 4:
@@ -304,7 +349,7 @@ def paged_attention(
         q, k_pool, v_pool, page_tables, seq_lens, layer,
         dummy, dummy, zeros, zeros,
         sm_scale=sm_scale, interpret=interpret,
-        pages_per_chunk=pages_per_chunk, write_kv=False,
+        pages_per_chunk=pages_per_chunk, write_kv=False, mla_v_dim=mla_v_dim,
     )
     return out
 
@@ -312,7 +357,7 @@ def paged_attention(
 def _paged_attention_impl(
     q, k_pool, v_pool, page_tables, seq_lens, layer,
     k_new, v_new, slot_pages, slot_offsets,
-    *, sm_scale, interpret, pages_per_chunk, write_kv,
+    *, sm_scale, interpret, pages_per_chunk, write_kv, mla_v_dim=None,
 ):
     batch, num_q_heads, head_dim = q.shape
     _, _, num_kv_heads, page_tokens, head_dim_k = k_pool.shape
@@ -341,6 +386,7 @@ def _paged_attention_impl(
         pages_per_chunk=C,
         num_kv_heads=num_kv_heads,
         sm_scale=sm_scale,
+        v_head_dim=mla_v_dim,
     )
     o_spec = pl.BlockSpec(
         (1, num_kv_heads, q_pad, head_dim), lambda b, *_: (b, 0, 0, 0)
@@ -352,12 +398,16 @@ def _paged_attention_impl(
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
+    mla = mla_v_dim is not None
+    # in MLA mode the V-side buffers are never touched — allocate minimal
+    v_buf_shape = (1, 1, 1, 1, 128) if mla else (2, num_kv_heads, C, page_tokens, head_dim)
+    win_v_shape = (1, 1, 128) if mla else (num_kv_heads, _SUBLANE, head_dim)
     scratch_shapes = [
         pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), k_pool.dtype),
-        pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), v_pool.dtype),
+        pltpu.VMEM(v_buf_shape, v_pool.dtype),
         pltpu.SemaphoreType.DMA((2, C, 2)),
         pltpu.VMEM((num_kv_heads, _SUBLANE, head_dim), k_pool.dtype),
-        pltpu.VMEM((num_kv_heads, _SUBLANE, head_dim), v_pool.dtype),
+        pltpu.VMEM(win_v_shape, v_pool.dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.VMEM((num_kv_heads, q_pad, 128), jnp.float32),
         pltpu.VMEM((num_kv_heads, q_pad, 128), jnp.float32),
@@ -367,7 +417,31 @@ def _paged_attention_impl(
     args = (page_tables, seq_lens, layer_arr, slot_pages, slot_offsets,
             qg, k_new, v_new, k_pool, v_pool)
 
-    if write_kv:
+    if write_kv and mla:
+        out, k_pool = pl.pallas_call(
+            functools.partial(_decode_write_kernel_mla, **consts),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(batch,),
+                in_specs=in_specs,
+                out_specs=(
+                    o_spec,
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ),
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=(
+                o_shape,
+                jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            ),
+            input_output_aliases={8: 1},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*args)
+        v_pool = None
+    elif write_kv:
         out, k_pool, v_pool = pl.pallas_call(
             functools.partial(_decode_write_kernel, **consts),
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -500,6 +574,61 @@ def write_prefill_kv(
     )(pages, layer_arr, k_new.astype(k_pool.dtype), v_new.astype(v_pool.dtype),
       k_pool, v_pool)
     return k_pool, v_pool
+
+
+def _prefill_write_single_kernel(
+    pages_ref, layer_ref,
+    k_new_ref, k_pool_in,
+    k_pool_ref,
+    sems,
+):
+    j = pl.program_id(0)
+    layer = layer_ref[0]
+    page = pages_ref[j]
+    ck = pltpu.make_async_copy(k_new_ref, k_pool_ref.at[layer, page], sems.at[0])
+    ck.start()
+    ck.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def write_prefill_kv_single(
+    k_pool: jax.Array,  # [L, num_pages, num_kv_heads, page_tokens, head_dim]
+    k_new: jax.Array,  # [num_kv_heads, T, head_dim]; T multiple of page_tokens
+    pages: jax.Array,  # [T // page_tokens] int32 (0 = discard/zero page)
+    layer: jax.Array | int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-buffer prefill writer (MLA latent pool)."""
+    L, num_pages, num_kv_heads, page_tokens, head_dim = k_pool.shape
+    T = k_new.shape[1]
+    assert T % page_tokens == 0
+    n = T // page_tokens
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    (k_pool,) = pl.pallas_call(
+        _prefill_write_single_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(
+                    (num_kv_heads, page_tokens, head_dim),
+                    lambda j, *_: (0, j, 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((1,))],
+        ),
+        out_shape=(jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),),
+        # flat inputs: 0=pages, 1=layer, 2=k_new, 3=k_pool
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(pages, layer_arr, k_new.astype(k_pool.dtype), k_pool)
+    return k_pool
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,9 @@ def _prefill_kernel(
     group: int,
     q_tile: int,  # query TOKENS per tile
     sm_scale: float,
+    v_head_dim: int | None = None,
 ):
+    mla = v_head_dim is not None
     tile = pl.program_id(0)
     layer = layer_ref[0]
     q_start = meta_ref[0]
@@ -83,12 +85,14 @@ def _prefill_kernel(
     def start_chunk(chunk, slot):
         for j in range(C):
             page_dma(chunk, j, slot, 0).start()
-            page_dma(chunk, j, slot, 1).start()
+            if not mla:
+                page_dma(chunk, j, slot, 1).start()
 
     def wait_chunk(chunk, slot):
         for j in range(C):
             page_dma(chunk, j, slot, 0).wait()
-            page_dma(chunk, j, slot, 1).wait()
+            if not mla:
+                page_dma(chunk, j, slot, 1).wait()
 
     m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -118,11 +122,14 @@ def _prefill_kernel(
                     .reshape(chunk_tokens, q.shape[1])
                     .astype(jnp.float32)
                 )
-                v = (
-                    v_buf[slot, h]
-                    .reshape(chunk_tokens, q.shape[1])
-                    .astype(jnp.float32)
-                )
+                if mla:
+                    v = None  # sliced from k below
+                else:
+                    v = (
+                        v_buf[slot, h]
+                        .reshape(chunk_tokens, q.shape[1])
+                        .astype(jnp.float32)
+                    )
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -146,10 +153,17 @@ def _prefill_kernel(
                 alpha = jnp.exp(m_prev - m_new)
                 p = jnp.exp(s - m_new)
                 l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                acc_scr[h] = acc_scr[h] * alpha + jax.lax.dot_general(
-                    p, v, (((1,), (0,)), ((), ())),
+                vv = k[:, :v_head_dim] if mla else v
+                pv = jax.lax.dot_general(
+                    p, vv, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                if mla:
+                    acc_scr[h, :, :v_head_dim] = (
+                        acc_scr[h, :, :v_head_dim] * alpha + pv
+                    )
+                else:
+                    acc_scr[h] = acc_scr[h] * alpha + pv
                 m_scr[h, :, :1] = m_new
                 l_scr[h, :, :1] = l_new
             return 0
@@ -170,7 +184,8 @@ def _pick_chunk(num_kv_heads, page_tokens, head_dim, itemsize, max_pages):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "q_tile"),
+    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "q_tile",
+                     "mla_v_dim"),
 )
 def paged_prefill_attention(
     q: jax.Array,  # [T, num_q_heads, head_dim] (chunk of new tokens)
@@ -185,6 +200,7 @@ def paged_prefill_attention(
     interpret: bool = False,
     pages_per_chunk: int | None = None,
     q_tile: int = 128,
+    mla_v_dim: int | None = None,
 ) -> jax.Array:
     """Causal attention of a prefill chunk against its sequence's pages.
     Returns [T, num_q_heads, head_dim].  KV for the chunk must already be
@@ -226,6 +242,7 @@ def paged_prefill_attention(
             group=group,
             q_tile=q_tile,
             sm_scale=sm_scale,
+            v_head_dim=mla_v_dim,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
