@@ -1,0 +1,120 @@
+"""Launcher: YAML config → colocated multi-model serving runtime.
+
+Reference ``controller/launch.py`` spawns one engine process per model in
+tmux; on TPU a chip belongs to one process, so colocated models live in one
+runtime sharing a :class:`DevicePagePool` — this launcher builds them and
+starts the frontend.  (Multi-chip hosts run one launcher per chip.)
+
+Config shape (see examples/two_models.yaml):
+
+    port: 8080
+    pool:
+      num_pages: 2048          # or hbm_utilization: 0.8
+      page_tokens: 64
+    sleep:
+      idle_threshold_s: 300
+      check_interval_s: 60
+    models:
+      - name: llama-a
+        family: llama          # llama | mla
+        config: {hidden_size: 2048, num_layers: 16, ...}
+        engine: {max_batch: 8, max_model_len: 2048}
+        kvcached_ipc: kvcached_llama_a    # shm segment for kvctl
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import KVConfig
+from ..device.pool import DevicePagePool, PoolSpec, hbm_free_bytes
+from ..engine import EngineConfig, LLMEngine
+from ..logging_utils import get_kvcached_logger
+from ..server import AsyncEngineRunner
+from .frontend import MultiLLMFrontend
+from .sleep_manager import SleepConfig
+
+logger = get_kvcached_logger(__name__)
+
+
+def _model_cfg(family: str, cfg: dict):
+    if family == "llama":
+        from ..models.llama import LlamaConfig
+
+        return LlamaConfig(**cfg)
+    if family == "mla":
+        from ..models.mla import MLAConfig
+
+        return MLAConfig(**cfg)
+    raise ValueError(f"unknown model family {family!r}")
+
+
+def build_runtime(config: dict) -> AsyncEngineRunner:
+    """Build engines from config.  All models whose kv geometry matches the
+    first model share one physical pool (the colocation story); mismatched
+    geometries get their own pool but still share HBM headroom accounting."""
+    runner = AsyncEngineRunner()
+    pool_cfg = config.get("pool", {})
+    page_tokens = int(pool_cfg.get("page_tokens", 64))
+
+    shared: dict[tuple, tuple[DevicePagePool, tuple]] = {}
+    for m in config["models"]:
+        family = m.get("family", "llama")
+        mcfg = _model_cfg(family, m.get("config", {}))
+        ec_kw = dict(m.get("engine", {}))
+        ec_kw.setdefault("page_tokens", page_tokens)
+        ec_kw.setdefault("ipc_name", m.get("kvcached_ipc", f"kvcached_tpu_{m['name']}"))
+
+        from ..models.adapter import as_adapter
+
+        adapter = as_adapter(mcfg)
+        geom = (
+            adapter.num_layers,
+            adapter.num_kv_heads,
+            adapter.head_dim,
+            adapter.num_kv_buffers,
+            page_tokens,
+        )
+        if geom in shared:
+            pool, arrays = shared[geom]
+            eng = LLMEngine(
+                mcfg, EngineConfig(**ec_kw), shared_pool=pool, pool_arrays=arrays
+            )
+        else:
+            if "num_pages" in pool_cfg:
+                ec_kw["num_pages"] = int(pool_cfg["num_pages"])
+            elif "hbm_utilization" in pool_cfg:
+                ec_kw["hbm_utilization"] = float(pool_cfg["hbm_utilization"])
+            eng = LLMEngine(mcfg, EngineConfig(**ec_kw))
+            shared[geom] = (eng.pool, eng.arrays)
+        runner.add_model(m["name"], eng)
+        logger.info("model %s (%s) ready", m["name"], family)
+    return runner
+
+
+def main(argv=None) -> int:
+    import yaml
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", help="YAML config path")
+    p.add_argument("--port", type=int, default=None)
+    args = p.parse_args(argv)
+
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+
+    runner = build_runtime(config)
+    sleep_cfg = SleepConfig(**config.get("sleep", {}))
+    frontend = MultiLLMFrontend(runner, sleep_cfg)
+    app = frontend.build_app()
+
+    from aiohttp import web
+
+    port = args.port or int(config.get("port", 8080))
+    logger.info("serving %d models on :%d", len(runner.models), port)
+    web.run_app(app, port=port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

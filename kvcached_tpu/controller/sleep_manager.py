@@ -1,0 +1,128 @@
+"""Sleep manager: reclaim HBM from idle models (reference: controller/sleep_manager.py).
+
+Idle models (per the traffic monitor) are put to sleep — weights offloaded
+to host RAM, KV pages released to the shared pool — and woken on demand when
+a request arrives.  Works against in-process :class:`ModelHandle`s (the TPU
+colocation model) or any object with ``sleep()/wake_up()/sleeping``.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from dataclasses import dataclass, field
+
+from ..logging_utils import get_kvcached_logger
+from .traffic_monitor import TrafficMonitor
+
+logger = get_kvcached_logger(__name__)
+
+
+@dataclass
+class SleepConfig:
+    """Reference defaults: idle 300 s, check every 60 s, min sleep 60 s
+    (controller/sleep_manager.py:17-37)."""
+
+    enabled: bool = True
+    idle_threshold_s: float = 300.0
+    check_interval_s: float = 60.0
+    min_sleep_duration_s: float = 60.0
+    auto_sleep_models: set = field(default_factory=set)  # empty = all
+    never_sleep_models: set = field(default_factory=set)
+
+
+class SleepManager:
+    def __init__(
+        self,
+        handles: dict[str, object],
+        monitor: TrafficMonitor,
+        config: SleepConfig | None = None,
+    ):
+        self.handles = handles
+        self.monitor = monitor
+        self.config = config or SleepConfig()
+        self.manual_sleep: set[str] = set()
+        self._sleep_since: dict[str, float] = {}
+        self._task: asyncio.Task | None = None
+
+    # -- queries -------------------------------------------------------------
+
+    def is_sleeping(self, model: str) -> bool:
+        h = self.handles.get(model)
+        return bool(h and getattr(h, "sleeping", False))
+
+    def status(self) -> dict:
+        return {
+            m: {
+                "sleeping": self.is_sleeping(m),
+                "manual": m in self.manual_sleep,
+                "sleep_since": self._sleep_since.get(m),
+            }
+            for m in self.handles
+        }
+
+    def sleep_candidates(self) -> list[str]:
+        cfg = self.config
+        idle = set(self.monitor.idle_models())
+        out = []
+        for m in self.handles:
+            if self.is_sleeping(m) or m in cfg.never_sleep_models:
+                continue
+            if cfg.auto_sleep_models and m not in cfg.auto_sleep_models:
+                continue
+            if m in idle:
+                out.append(m)
+        return out
+
+    # -- actions -------------------------------------------------------------
+
+    def sleep_model(self, model: str, manual: bool = False) -> bool:
+        h = self.handles.get(model)
+        if h is None or getattr(h, "sleeping", False):
+            return False
+        h.sleep()
+        self._sleep_since[model] = time.time()
+        if manual:
+            self.manual_sleep.add(model)
+        return True
+
+    def wake_model(self, model: str) -> bool:
+        h = self.handles.get(model)
+        if h is None or not getattr(h, "sleeping", False):
+            return False
+        h.wake_up()
+        self.manual_sleep.discard(model)
+        self._sleep_since.pop(model, None)
+        return True
+
+    def handle_model_wakeup_on_request(self, model: str) -> bool:
+        """Router calls this before dispatch (reference :275-294)."""
+        if self.is_sleeping(model):
+            logger.info("waking %s on incoming request", model)
+            return self.wake_model(model)
+        return False
+
+    # -- background idle loop ------------------------------------------------
+
+    async def start(self) -> None:
+        if self.config.enabled and self._task is None:
+            self._task = asyncio.create_task(self._idle_loop())
+
+    async def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    async def _idle_loop(self) -> None:
+        while True:
+            await asyncio.sleep(self.config.check_interval_s)
+            try:
+                for model in self.sleep_candidates():
+                    logger.info("auto-sleeping idle model %s", model)
+                    self.sleep_model(model)
+            except Exception as e:  # keep the loop alive
+                logger.error("sleep loop error: %s", e)

@@ -65,6 +65,22 @@ def hbm_free_bytes(device=None) -> int | None:
     return int(limit) - int(in_use)
 
 
+class PoolArrays:
+    """Shared holder for the pool device buffers.
+
+    Colocated engines donate the pool to their jitted steps; because they
+    all mutate THE SAME arena, the live array reference must be owned in one
+    place — an engine holding a stale (donated-away) jax.Array would crash.
+    All engines step on one runner thread, so plain attributes suffice.
+    """
+
+    __slots__ = ("k_pools", "v_pools")
+
+    def __init__(self, k_pools, v_pools=None):
+        self.k_pools = k_pools
+        self.v_pools = v_pools
+
+
 @dataclass(frozen=True)
 class PoolSpec:
     """Concrete device-pool geometry derived from a model's KVConfig."""

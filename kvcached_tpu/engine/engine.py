@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import KVConfig
-from ..device.pool import DevicePagePool, PoolSpec, hbm_free_bytes
+from ..device.pool import DevicePagePool, PoolArrays, PoolSpec, hbm_free_bytes
 from ..kv_cache_manager import KVCacheManager
 from ..kv_cache_manager_native import create_kv_cache_manager
 from ..logging_utils import get_kvcached_logger
@@ -142,7 +142,11 @@ class LLMEngine:
         if shared_pool is not None:
             self.pool = shared_pool
             assert pool_arrays is not None, "shared pool requires shared arrays"
-            self.k_pools, self.v_pools = pool_arrays
+            self.arrays = (
+                pool_arrays
+                if isinstance(pool_arrays, PoolArrays)
+                else PoolArrays(*pool_arrays)
+            )
         else:
             if ec.num_pages is not None:
                 spec = PoolSpec.from_config(self.kv_cfg, num_pages=ec.num_pages)
@@ -155,7 +159,7 @@ class LLMEngine:
                     hbm_budget_bytes=int(budget * ec.hbm_utilization),
                 )
             self.pool = DevicePagePool(spec)
-            self.k_pools, self.v_pools = self.pool.allocate_arrays()
+            self.arrays = PoolArrays(*self.pool.allocate_arrays())
 
         self.manager = create_kv_cache_manager(
             self.kv_cfg,
@@ -184,6 +188,23 @@ class LLMEngine:
 
         self._decode_fn = self._build_decode_fn()
         self._prefill_fn = self._build_prefill_fn()
+
+    # pool buffers live in a shared holder (see PoolArrays)
+    @property
+    def k_pools(self):
+        return self.arrays.k_pools
+
+    @k_pools.setter
+    def k_pools(self, v):
+        self.arrays.k_pools = v
+
+    @property
+    def v_pools(self):
+        return self.arrays.v_pools
+
+    @v_pools.setter
+    def v_pools(self, v):
+        self.arrays.v_pools = v
 
     # ------------------------------------------------------------- jit build
 

@@ -1,0 +1,338 @@
+"""Async multi-model serving runtime + HTTP API.
+
+TPU chips are held by a single process, so the reference's "N engine
+processes colocated on one GPU" becomes **N engines colocated in one
+runtime process**, all drawing physical pages from one shared
+:class:`DevicePagePool` — the same elastic arbitration, without the
+cross-process VMM machinery.  The /dev/shm control plane is kept per engine
+so `kvctl`/`kvtop` (and any external scheduler) work unchanged from other
+processes.
+
+- :class:`AsyncEngineRunner` — one background thread steps all colocated
+  engines (the chip is serial anyway); asyncio callers await per-request
+  futures.
+- :class:`ByteTokenizer` — self-contained byte-level tokenizer so the HTTP
+  text API works without downloaded vocabularies; ``prompt_token_ids``
+  bypasses it for callers with real tokenizers.
+- ``build_app`` — aiohttp app: /v1/completions (+streaming), /health,
+  /models, /metrics, and the sleep/wake endpoints the controller's sleep
+  manager drives (reference: vLLM /sleep /wake_up /is_sleeping,
+  controller/sleep_manager.py:305-397).
+
+Sleep level 1 offloads weights to host RAM and frees all KV pages back to
+the shared pool (the serverless cold-start story, reference examples/06).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from .engine import EngineConfig, LLMEngine, SamplingParams
+from .logging_utils import get_kvcached_logger
+
+logger = get_kvcached_logger(__name__)
+
+
+class ByteTokenizer:
+    """Byte-level tokenizer: token = byte + 3 (0=pad, 1=bos, 2=eos)."""
+
+    PAD, BOS, EOS = 0, 1, 2
+    VOCAB = 259
+
+    def encode(self, text: str) -> list[int]:
+        return [self.BOS] + [b + 3 for b in text.encode("utf-8")]
+
+    def decode(self, tokens: list[int]) -> str:
+        # clamp into byte range: models with vocab > 259 (e.g. toy configs)
+        # may emit ids past the byte span; decode stays total
+        data = bytes((t - 3) % 256 for t in tokens if t >= 3)
+        return data.decode("utf-8", errors="replace")
+
+
+@dataclass
+class _Pending:
+    prompt: list[int]
+    sampling: SamplingParams
+    future: asyncio.Future
+    loop: asyncio.AbstractEventLoop
+    stream_queue: asyncio.Queue | None = None
+    emitted: int = 0
+
+
+class ModelHandle:
+    """One served model: engine + sleep state + request plumbing."""
+
+    def __init__(self, name: str, engine: LLMEngine):
+        self.name = name
+        self.engine = engine
+        self.sleeping = False
+        self._host_params = None
+        self.pending: dict[int, _Pending] = {}
+
+    # -- sleep / wake (in-process analogue of vLLM sleep level 1) -----------
+
+    def sleep(self) -> None:
+        if self.sleeping:
+            return
+        # offload weights to host RAM; KV pages go back to the shared pool
+        self._host_params = jax.tree.map(np.asarray, self.engine.params)
+        self.engine.params = None
+        evicted = self.engine.prefix_cache.reset()
+        if evicted:
+            self.engine.manager.free(evicted)
+        self.engine.manager.trim()
+        self.sleeping = True
+        logger.info("model %s sleeping (weights offloaded to host)", self.name)
+
+    def wake_up(self) -> None:
+        if not self.sleeping:
+            return
+        self.engine.params = jax.tree.map(jax.numpy.asarray, self._host_params)
+        self._host_params = None
+        self.sleeping = False
+        logger.info("model %s awake", self.name)
+
+
+class AsyncEngineRunner:
+    """Steps all colocated engines on one background thread; bridges to
+    asyncio via futures + thread-safe queues."""
+
+    def __init__(self):
+        self.models: dict[str, ModelHandle] = {}
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+        self._submissions: list[tuple[ModelHandle, _Pending]] = []
+
+    def add_model(self, name: str, engine: LLMEngine) -> ModelHandle:
+        handle = ModelHandle(name, engine)
+        self.models[name] = handle
+        return handle
+
+    def start(self) -> None:
+        if self._thread is None:
+            self._stop.clear()  # allow restart after a previous stop()
+            self._thread = threading.Thread(
+                target=self._run, name="engine-runner", daemon=True
+            )
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    async def submit(
+        self,
+        model: str,
+        prompt: list[int],
+        sampling: SamplingParams,
+        stream: bool = False,
+    ):
+        """Submit a request; returns (future, stream_queue|None)."""
+        handle = self.models[model]
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        q: asyncio.Queue | None = asyncio.Queue() if stream else None
+        pending = _Pending(prompt, sampling, fut, loop, q)
+        with self._lock:
+            self._submissions.append((handle, pending))
+        self._wake.set()
+        return fut, q
+
+    # -- engine thread -------------------------------------------------------
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            with self._lock:
+                subs, self._submissions = self._submissions, []
+            for handle, pending in subs:
+                req_id = handle.engine.add_request(pending.prompt, pending.sampling)
+                handle.pending[req_id] = pending
+            busy = False
+            for handle in self.models.values():
+                if handle.sleeping or not handle.pending:
+                    continue
+                if handle.engine.has_unfinished():
+                    handle.engine.step()
+                    busy = True
+                self._drain_finished(handle)
+            if not busy:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+    def _drain_finished(self, handle: ModelHandle) -> None:
+        # stream partial tokens for running sequences
+        for seq in handle.engine.running:
+            p = handle.pending.get(seq.req.req_id)
+            if p and p.stream_queue is not None:
+                new = seq.tokens[seq.prompt_len + p.emitted :]
+                if new:
+                    p.emitted += len(new)
+                    p.loop.call_soon_threadsafe(p.stream_queue.put_nowait, list(new))
+        done = handle.engine.finished_outputs
+        if not done:
+            return
+        handle.engine.finished_outputs = []
+        for out in done:
+            p = handle.pending.pop(out.req_id, None)
+            if p is None:
+                continue
+            if p.stream_queue is not None:
+                tail = out.output_tokens[p.emitted :]
+                if tail:
+                    p.loop.call_soon_threadsafe(p.stream_queue.put_nowait, list(tail))
+                p.loop.call_soon_threadsafe(p.stream_queue.put_nowait, None)
+            if not p.future.done():
+                p.loop.call_soon_threadsafe(p.future.set_result, out)
+
+
+def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None):
+    """aiohttp application exposing the OpenAI-ish + operator API."""
+    from aiohttp import web
+
+    tok = tokenizer or ByteTokenizer()
+
+    def _get_handle(name: str) -> ModelHandle | None:
+        return runner.models.get(name)
+
+    async def completions(request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        model = body.get("model") or next(iter(runner.models), None)
+        handle = _get_handle(model)
+        if handle is None:
+            return web.json_response({"error": f"unknown model {model!r}"}, status=404)
+        if "prompt_token_ids" in body:
+            prompt = [int(t) for t in body["prompt_token_ids"]]
+        else:
+            prompt = tok.encode(str(body.get("prompt", "")))
+        sampling = SamplingParams(
+            max_new_tokens=int(body.get("max_tokens", 32)),
+            temperature=float(body.get("temperature", 0.0)),
+        )
+        if handle.sleeping:
+            handle.wake_up()  # wake-on-request (router usually does this)
+        stream = bool(body.get("stream", False))
+        fut, q = await runner.submit(model, prompt, sampling, stream=stream)
+
+        if stream:
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"}
+            )
+            await resp.prepare(request)
+            while True:
+                chunk = await q.get()
+                if chunk is None:
+                    break
+                payload = {
+                    "choices": [{"text": tok.decode(chunk),
+                                 "token_ids": chunk}],
+                    "model": model,
+                }
+                await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        out = await fut
+        return web.json_response({
+            "id": f"cmpl-{uuid.uuid4().hex[:12]}",
+            "model": model,
+            "choices": [{
+                "text": tok.decode(out.output_tokens),
+                "token_ids": out.output_tokens,
+                "finish_reason": "stop",
+            }],
+            "usage": {
+                "prompt_tokens": len(prompt),
+                "completion_tokens": len(out.output_tokens),
+            },
+        })
+
+    async def chat_completions(request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        msgs = body.get("messages", [])
+        text = "\n".join(f"{m.get('role', 'user')}: {m.get('content', '')}"
+                         for m in msgs)
+        body["prompt"] = text + "\nassistant:"
+        request["_rewritten"] = body
+
+        class _Req:
+            def __init__(self, inner, data):
+                self._data = data
+
+            async def json(self):
+                return self._data
+
+        return await completions(_Req(request, body))  # type: ignore[arg-type]
+
+    async def health(request: web.Request) -> web.Response:
+        model = request.match_info.get("model")
+        if model:
+            h = _get_handle(model)
+            if h is None:
+                return web.json_response({"status": "unknown"}, status=404)
+            return web.json_response(
+                {"status": "sleeping" if h.sleeping else "ok"}
+            )
+        return web.json_response({"status": "ok", "models": list(runner.models)})
+
+    async def models_list(_request: web.Request) -> web.Response:
+        return web.json_response({
+            "data": [
+                {"id": name, "object": "model",
+                 "status": "sleeping" if h.sleeping else "active"}
+                for name, h in runner.models.items()
+            ]
+        })
+
+    async def metrics(_request: web.Request) -> web.Response:
+        return web.json_response({
+            name: h.engine.kv_metrics() for name, h in runner.models.items()
+        })
+
+    async def sleep_ep(request: web.Request) -> web.Response:
+        model = request.match_info["model"]
+        h = _get_handle(model)
+        if h is None:
+            return web.json_response({"error": "unknown model"}, status=404)
+        h.sleep()
+        return web.json_response({"status": "sleeping"})
+
+    async def wake_ep(request: web.Request) -> web.Response:
+        model = request.match_info["model"]
+        h = _get_handle(model)
+        if h is None:
+            return web.json_response({"error": "unknown model"}, status=404)
+        h.wake_up()
+        return web.json_response({"status": "awake"})
+
+    async def is_sleeping(request: web.Request) -> web.Response:
+        model = request.match_info["model"]
+        h = _get_handle(model)
+        if h is None:
+            return web.json_response({"error": "unknown model"}, status=404)
+        return web.json_response({"is_sleeping": h.sleeping})
+
+    app = web.Application()
+    app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_get("/health", health)
+    app.router.add_get("/health/{model}", health)
+    app.router.add_get("/models", models_list)
+    app.router.add_get("/metrics", metrics)
+    app.router.add_post("/sleep/{model}", sleep_ep)
+    app.router.add_post("/wake_up/{model}", wake_ep)
+    app.router.add_get("/is_sleeping/{model}", is_sleeping)
+    return app

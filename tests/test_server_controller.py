@@ -1,0 +1,205 @@
+"""Server + controller tests: colocated models, routing, sleep/wake, traffic.
+
+The headline scenario (reference README: multiple LLMs share one device's
+memory elastically): two models in one runtime share a physical pool; one
+goes to sleep and the other can use the freed pages; requests wake sleeping
+models on demand.
+"""
+
+import asyncio
+import time
+
+import jax
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from kvcached_tpu.controller.frontend import MultiLLMFrontend
+from kvcached_tpu.controller.sleep_manager import SleepConfig
+from kvcached_tpu.controller.traffic_monitor import ModelActivityStats, TrafficMonitor
+from kvcached_tpu.engine import EngineConfig, LLMEngine
+from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+from kvcached_tpu.server import AsyncEngineRunner, ByteTokenizer
+
+
+def small_engine_cfg(**kw):
+    d = dict(
+        max_batch=2, max_model_len=128, page_tokens=16, decode_horizon=4,
+        prefill_buckets=(32, 64), num_pages=48, interpret=True,
+    )
+    d.update(kw)
+    return EngineConfig(**d)
+
+
+@pytest.fixture(scope="module")
+def anyio_backend():
+    return "asyncio"
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    cfg = LlamaConfig.toy(vocab_size=300)  # >= ByteTokenizer.VOCAB
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    runner = AsyncEngineRunner()
+    eng_a = LLMEngine(cfg, small_engine_cfg(), params=params)
+    # model B colocated: same pool + arrays + allocator arbitration
+    eng_b = LLMEngine(
+        cfg, small_engine_cfg(), params=params,
+        shared_pool=eng_a.pool, pool_arrays=eng_a.arrays,
+    )
+    runner.add_model("model-a", eng_a)
+    runner.add_model("model-b", eng_b)
+    yield runner
+    eng_a.shutdown()
+    eng_b.shutdown()
+
+
+@pytest.fixture
+def frontend(runtime):
+    return MultiLLMFrontend(
+        runtime,
+        SleepConfig(enabled=False),  # manual sleep control in tests
+    )
+
+
+async def _client(frontend):
+    app = frontend.build_app()
+    server = TestServer(app)
+    client = TestClient(server)
+    await client.start_server()
+    return client
+
+
+class TestTokenizer:
+    def test_roundtrip(self):
+        tok = ByteTokenizer()
+        ids = tok.encode("hello, TPU!")
+        assert ids[0] == tok.BOS
+        assert tok.decode(ids) == "hello, TPU!"
+
+
+class TestTrafficMonitor:
+    def test_rates_and_idle(self):
+        s = ModelActivityStats("m")
+        now = 1000.0
+        for i in range(6):
+            s.record_start(now + i)
+        for _ in range(6):
+            s.record_end()
+        assert s.total_requests == 6
+        assert s.request_rate(60.0, now=now + 6) == pytest.approx(0.1)
+        assert s.idle_time(now=now + 10) == pytest.approx(5.0)
+
+    def test_idle_classification(self):
+        m = TrafficMonitor(idle_threshold_s=5.0)
+        m.record_request_start("busy")
+        m.record_request_end("busy")
+        m._stats["busy"].last_request_time = time.time()
+        m.record_request_start("idle")
+        m.record_request_end("idle")
+        m._stats["idle"].last_request_time = time.time() - 100
+        assert "idle" in m.idle_models()
+        assert "busy" in m.active_models()
+
+
+class TestHTTPAPI:
+    @pytest.mark.anyio
+    async def test_completion_roundtrip(self, frontend):
+        client = await _client(frontend)
+        try:
+            resp = await client.post("/v1/completions", json={
+                "model": "model-a",
+                "prompt_token_ids": [1, 5, 9, 13],
+                "max_tokens": 6,
+            })
+            assert resp.status == 200
+            data = await resp.json()
+            assert len(data["choices"][0]["token_ids"]) == 6
+            assert data["usage"]["completion_tokens"] == 6
+        finally:
+            await client.close()
+
+    @pytest.mark.anyio
+    async def test_routing_and_unknown_model(self, frontend):
+        client = await _client(frontend)
+        try:
+            resp = await client.post("/v1/completions", json={
+                "model": "nope", "prompt": "x"})
+            assert resp.status == 404
+            resp = await client.get("/models")
+            data = await resp.json()
+            assert {m["id"] for m in data["data"]} == {"model-a", "model-b"}
+        finally:
+            await client.close()
+
+    @pytest.mark.anyio
+    async def test_streaming(self, frontend):
+        client = await _client(frontend)
+        try:
+            resp = await client.post("/v1/completions", json={
+                "model": "model-a",
+                "prompt_token_ids": [2, 4, 6],
+                "max_tokens": 5,
+                "stream": True,
+            })
+            assert resp.status == 200
+            body = await resp.text()
+            assert "data:" in body and "[DONE]" in body
+        finally:
+            await client.close()
+
+    @pytest.mark.anyio
+    async def test_sleep_frees_pages_wake_on_request(self, frontend, runtime):
+        client = await _client(frontend)
+        try:
+            # generate on model-b so it holds pages (prefix cache retains them)
+            await client.post("/v1/completions", json={
+                "model": "model-b", "prompt_token_ids": list(range(1, 40)),
+                "max_tokens": 4})
+            eng_b = runtime.models["model-b"].engine
+            # sleep model-b: its weights offload and pages free
+            resp = await client.post("/action/sleep/model-b")
+            assert (await resp.json())["sleeping"]
+            assert eng_b.manager.page_allocator.num_in_use <= 1  # null page only
+            assert runtime.models["model-b"].engine.params is None
+            # a request to the sleeping model wakes it and completes
+            resp = await client.post("/v1/completions", json={
+                "model": "model-b", "prompt_token_ids": [3, 2, 1],
+                "max_tokens": 3})
+            assert resp.status == 200
+            assert not runtime.models["model-b"].sleeping
+        finally:
+            await client.close()
+
+    @pytest.mark.anyio
+    async def test_traffic_stats_and_metrics(self, frontend):
+        client = await _client(frontend)
+        try:
+            await client.post("/v1/completions", json={
+                "model": "model-a", "prompt_token_ids": [1, 2], "max_tokens": 2})
+            stats = await (await client.get("/traffic/stats")).json()
+            assert stats["model-a"]["total_requests"] >= 1
+            metrics = await (await client.get("/metrics")).json()
+            assert "mapped_bytes" in metrics["model-a"]
+        finally:
+            await client.close()
+
+
+class TestColocationElasticity:
+    @pytest.mark.anyio
+    async def test_sleeping_model_frees_pages_for_the_other(self, runtime, frontend):
+        """The kvcached value proposition: model-b's sleep returns pages to
+        the SHARED pool, raising model-a's available capacity."""
+        client = await _client(frontend)
+        try:
+            eng_a = runtime.models["model-a"].engine
+            # occupy pages on model-b
+            await client.post("/v1/completions", json={
+                "model": "model-b", "prompt_token_ids": list(range(1, 60)),
+                "max_tokens": 4})
+            avail_before = eng_a.available_physical = eng_a.pool.avail_physical_pages()
+            await client.post("/action/sleep/model-b")
+            avail_after = eng_a.pool.avail_physical_pages()
+            assert avail_after > avail_before
+            await client.post("/action/wakeup/model-b")
+        finally:
+            await client.close()
