@@ -1,0 +1,172 @@
+"""Parallelism tests: sharded decode on a virtual mesh + cross-process
+page-table broadcast.
+
+The mesh tests run on the 8-device CPU mesh from conftest; the IPC tests
+mirror the reference's multi-process-without-a-cluster strategy
+(benchmarks/bench_tp_ipc: real sockets, fake workers).
+"""
+
+import threading
+import uuid
+
+import numpy as np
+import pytest
+
+from kvcached_tpu.parallel.ipc import (
+    PageTableBroadcaster,
+    WorkerListener,
+    socket_path,
+)
+
+
+class TestMeshDecode:
+    def test_sharded_decode_matches_single_device(self):
+        """TP+DP sharded decode step must produce the same logits as the
+        unsharded path."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        import __graft_entry__ as g
+        from kvcached_tpu.models.llama import LlamaConfig, llama_decode_step
+        from kvcached_tpu.parallel.mesh import (
+            build_sharded_decode_step,
+            make_mesh,
+            pool_spec_partition,
+            shard_params,
+        )
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=256, num_layers=2,
+            num_heads=8, num_kv_heads=4, head_dim=128, intermediate_size=512,
+        )
+        params, (k_pools, v_pools, tokens, positions, page_tables,
+                 slot_pages, slot_offsets, seq_lens) = g._make_case(cfg, batch=4)
+
+        # single-device reference
+        ref, k_ref, _ = llama_decode_step(
+            params, cfg, tokens, positions, k_pools, v_pools,
+            page_tables, slot_pages, slot_offsets, seq_lens, interpret=True,
+        )
+
+        mesh = make_mesh(tp=4, dp=2)
+        sp = shard_params(params, mesh)
+        pool_sh = NamedSharding(mesh, pool_spec_partition())
+        kp = jax.device_put(k_pools, pool_sh)
+        vp = jax.device_put(v_pools, pool_sh)
+        bd = NamedSharding(mesh, P("dp"))
+        b2 = NamedSharding(mesh, P("dp", None))
+        args = [jax.device_put(x, bd) for x in
+                (tokens, positions, slot_pages, slot_offsets, seq_lens)]
+        pt = jax.device_put(page_tables, b2)
+
+        step = build_sharded_decode_step(cfg, mesh, interpret=True)
+        got, k_got, _ = step(sp, kp, vp, args[0], args[1], pt,
+                             args[2], args[3], args[4])
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+
+class TestPageTableIPC:
+    def test_broadcast_map_unmap_mirrors(self):
+        ipc = f"t{uuid.uuid4().hex[:6]}"
+        world = 4
+        tables = [np.zeros(64, np.int32) for _ in range(world)]
+        workers = [
+            WorkerListener(ipc, r, tables[r]) for r in range(world)
+        ]
+        try:
+            bc = PageTableBroadcaster(ipc, world)
+            try:
+                bc.broadcast_map([3, 5, 9], [11, 12, 13])
+                for t in tables:
+                    assert t[3] == 11 and t[5] == 12 and t[9] == 13
+                bc.broadcast_unmap([5], [12])
+                for t in tables:
+                    assert t[5] == 0 and t[3] == 11
+            finally:
+                bc.close()
+        finally:
+            for w in workers:
+                w.close()
+
+    def test_readiness_protocol(self):
+        ipc = f"t{uuid.uuid4().hex[:6]}"
+        world = 2
+        tables = [np.zeros(8, np.int32) for _ in range(world)]
+        workers = [WorkerListener(ipc, r, tables[r]) for r in range(world)]
+        try:
+            bc = PageTableBroadcaster(ipc, world)
+            try:
+                assert not bc.wait_all_ready(timeout=0.5)
+                workers[0].set_ready()
+                assert not bc.wait_all_ready(timeout=0.5)
+                workers[1].set_ready()
+                assert bc.wait_all_ready(timeout=2.0)
+            finally:
+                bc.close()
+        finally:
+            for w in workers:
+                w.close()
+
+    def test_failed_rank_aggregates_error(self):
+        ipc = f"t{uuid.uuid4().hex[:6]}"
+        tables = [np.zeros(8, np.int32)]
+        workers = [WorkerListener(ipc, 0, tables[0])]
+        try:
+            bc = PageTableBroadcaster(ipc, world_size=2)  # rank 1 missing
+            try:
+                with pytest.raises(RuntimeError, match="ranks"):
+                    bc.broadcast_map([1], [2])
+            finally:
+                bc.close()
+        finally:
+            for w in workers:
+                w.close()
+
+    def test_hooked_into_allocator(self):
+        """Allocator map/unmap hooks drive the broadcast: worker mirrors
+        track the scheduler's page table (the reference's multi-proc mode,
+        csrc/page_allocator.cpp:633-643)."""
+        from kvcached_tpu import KVCacheManager, KVConfig
+        from kvcached_tpu.core import HostPagePool
+
+        ipc = f"t{uuid.uuid4().hex[:6]}"
+        world = 2
+        mirrors = [np.zeros(64, np.int32) for _ in range(world)]
+        workers = [WorkerListener(ipc, r, mirrors[r]) for r in range(world)]
+        bc = PageTableBroadcaster(ipc, world)
+        try:
+            cfg = KVConfig(num_layers=2, num_kv_heads=2, head_dim=64,
+                           block_tokens=16, page_tokens=64)
+            mgr = KVCacheManager(
+                cfg, HostPagePool(17), enable_prealloc=False,
+                map_hook=bc.broadcast_map, unmap_hook=bc.broadcast_unmap,
+            )
+            blocks = mgr.alloc(cfg.blocks_per_page * 3)
+            pt = mgr.page_allocator.page_table
+            for m in mirrors:
+                np.testing.assert_array_equal(m[: len(pt)], pt)
+            mgr.free(blocks)
+            mgr.trim()
+            pt = mgr.page_allocator.page_table
+            for m in mirrors:
+                np.testing.assert_array_equal(m[: len(pt)], pt)
+            mgr.shutdown()
+        finally:
+            bc.close()
+            for w in workers:
+                w.close()
+
+    def test_socket_path_stays_under_sun_path_limit(self):
+        # long names are hashed+truncated so sun_path never overflows
+        p = socket_path("x" * 200, 3, pp_rank=7)
+        assert len(p) < 108
+        # distinct long names must not collide after truncation
+        q = socket_path("x" * 199 + "y", 3, pp_rank=7)
+        assert p != q
