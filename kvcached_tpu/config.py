@@ -161,6 +161,12 @@ class KVConfig:
             raise KVCachedConfigError("num_layers/num_kv_heads/head_dim must be > 0")
         if self.num_kv_buffers not in (1, 2):
             raise KVCachedConfigError("num_kv_buffers must be 1 (MLA) or 2 (K+V)")
+        if self.dtype_itemsize == 1 and self.page_tokens % 32 != 0:
+            raise KVCachedConfigError(
+                f"byte-width KV dtypes ({self.kv_dtype}) need page_tokens to "
+                f"be a multiple of 32 (TPU packed-tile granule), got "
+                f"{self.page_tokens}"
+            )
 
     @property
     def blocks_per_page(self) -> int:

@@ -472,13 +472,26 @@ class LLMEngine:
             )
         )
 
+    def _can_admit(self, seq: Sequence) -> bool:
+        """Admission watermark: require room for the prompt plus one decode
+        horizon plus a page of margin.  Prevents admit→grow→preempt churn
+        near capacity (each preemption recomputes the whole sequence), the
+        engine-side analogue of vLLM's scheduler watermark."""
+        need = self._blocks_needed(
+            seq.prompt_len + self.cfg.decode_horizon
+        ) - len(seq.blocks) + 1
+        return (
+            self.manager.available_size() + self.prefix_cache.num_evictable
+            >= need
+        )
+
     def step(self) -> None:
         """One scheduler iteration: admit+prefill one waiting request if
         possible, else run a decode horizon."""
         self._step_count += 1
         if self.waiting and len(self.running) < self.cfg.max_batch:
             seq = self.waiting[0]
-            if self._do_prefill(seq):
+            if self._can_admit(seq) and self._do_prefill(seq):
                 self.waiting.pop(0)
                 return
             # cannot admit: fall through to decode if anything is running

@@ -35,7 +35,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-_SUBLANE = 8  # HBM tiling granule on the page_tokens dim
+
+
+def _sublane_for(dtype) -> int:
+    """HBM tiling granule on the page_tokens dim: slices must align to the
+    packed-tile sublane count (fp32/bf16: 8 — verified on v5e; byte dtypes
+    pack 4 values/sublane → 32)."""
+    return 32 if jnp.dtype(dtype).itemsize == 1 else 8
 
 
 def _decode_write_kernel(
@@ -116,6 +122,7 @@ def _attn_body(
     sm_scale: float,
     write_kv: bool,
     v_head_dim: int | None = None,
+    sublane: int = 8,
 ):
     # MLA mode (v_head_dim set): a single latent buffer serves as both K and
     # V — scores use the full head_dim (c_kv ++ k_rope), values are the
@@ -133,12 +140,12 @@ def _attn_body(
     if write_kv:
         page = slot_pages_ref[b]
         off = slot_offsets_ref[b]
-        win = (off // _SUBLANE) * _SUBLANE
+        win = (off // sublane) * sublane
         row = off - win
 
         def win_copy(dst_vmem, pool, sem):
             return pltpu.make_async_copy(
-                pool.at[layer, page, :, pl.ds(win, _SUBLANE)], dst_vmem, sem
+                pool.at[layer, page, :, pl.ds(win, sublane)], dst_vmem, sem
             )
 
         win_copy(win_k, k_pool_ref, win_sems.at[0]).start()
@@ -148,20 +155,25 @@ def _attn_body(
         if not mla:
             win_copy(win_v, v_pool_ref, win_sems.at[1]).wait()
         row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (num_kv_heads, _SUBLANE, win_k.shape[-1]), 1
+            jnp.int32, (num_kv_heads, sublane, win_k.shape[-1]), 1
         )
+        # select in fp32: select_n on sub-byte float dtypes (fp8) does not
+        # lower on every backend; the converts are free on the VPU
         win_k[...] = jnp.where(
-            row_ids == row, k_new_ref[0][:, None, :].astype(win_k.dtype), win_k[...]
-        )
+            row_ids == row,
+            k_new_ref[0][:, None, :].astype(jnp.float32),
+            win_k[...].astype(jnp.float32),
+        ).astype(win_k.dtype)
         if not mla:
             win_v[...] = jnp.where(
-                row_ids == row, v_new_ref[0][:, None, :].astype(win_v.dtype),
-                win_v[...],
-            )
+                row_ids == row,
+                v_new_ref[0][:, None, :].astype(jnp.float32),
+                win_v[...].astype(jnp.float32),
+            ).astype(win_v.dtype)
 
         def win_write(src_vmem, pool, sem):
             return pltpu.make_async_copy(
-                src_vmem, pool.at[layer, page, :, pl.ds(win, _SUBLANE)], sem
+                src_vmem, pool.at[layer, page, :, pl.ds(win, sublane)], sem
             )
 
         win_write(win_k, k_pool_ref, win_sems.at[0]).start()
@@ -216,49 +228,50 @@ def _attn_body(
             wait_chunk(c, slot)
 
             base = c * chunk_tokens
-            for h in range(num_kv_heads):  # unrolled; data already in VMEM
-                q = q_ref[0, h].astype(jnp.float32) * sm_scale  # [q_pad, D]
-                k = (
-                    k_buf[slot, h]
-                    .reshape(chunk_tokens, q.shape[1])
+            head_dim = q_ref.shape[3]
+            # all heads in one batched matmul: [KH, q_pad, D] x [KH, T, D]
+            q = q_ref[0].astype(jnp.float32) * sm_scale
+            k = (
+                k_buf[slot]
+                .reshape(num_kv_heads, chunk_tokens, head_dim)
+                .astype(jnp.float32)
+            )
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [KH, q_pad, chunk_tokens]
+            token_idx = base + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=2
+            )
+            s = jnp.where(token_idx < seq_len, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scr[:, :, :1]
+            l_prev = l_scr[:, :, :1]
+            m_cur = jnp.max(s, axis=2, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+            if mla:
+                v = k[:, :, :v_head_dim]
+            else:
+                v = (
+                    v_buf[slot]
+                    .reshape(num_kv_heads, chunk_tokens, head_dim)
                     .astype(jnp.float32)
                 )
-                if mla:
-                    v = k[:, :v_head_dim]
-                else:
-                    v = (
-                        v_buf[slot, h]
-                        .reshape(chunk_tokens, q.shape[1])
-                        .astype(jnp.float32)
-                    )
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [q_pad, chunk_tokens]
-                token_idx = base + jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, dimension=1
+            pv = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [KH, q_pad, v_dim]
+            if mla:
+                acc_scr[:, :, :v_head_dim] = (
+                    acc_scr[:, :, :v_head_dim] * alpha + pv
                 )
-                s = jnp.where(token_idx < seq_len, s, DEFAULT_MASK_VALUE)
-
-                m_prev = m_scr[h, :, :1]
-                l_prev = l_scr[h, :, :1]
-                m_cur = jnp.max(s, axis=1, keepdims=True)
-                m_new = jnp.maximum(m_prev, m_cur)
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.exp(s - m_new)
-                l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                pv = jax.lax.dot_general(
-                    p, v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if mla:
-                    acc_scr[h, :, :v_head_dim] = (
-                        acc_scr[h, :, :v_head_dim] * alpha + pv
-                    )
-                else:
-                    acc_scr[h] = acc_scr[h] * alpha + pv
-                m_scr[h, :, :1] = m_new
-                l_scr[h, :, :1] = l_new
+            else:
+                acc_scr[...] = acc_scr[...] * alpha + pv
+            m_scr[:, :, :1] = m_new
+            l_scr[:, :, :1] = l_new
             return 0
 
         jax.lax.fori_loop(0, num_chunks, body, 0, unroll=False)
@@ -381,12 +394,15 @@ def _paged_attention_impl(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, q_pad - q_per_kv), (0, 0)))
 
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    mla = mla_v_dim is not None
+    sublane = _sublane_for(k_pool.dtype)
     consts = dict(
         page_tokens=page_tokens,
         pages_per_chunk=C,
         num_kv_heads=num_kv_heads,
         sm_scale=sm_scale,
         v_head_dim=mla_v_dim,
+        sublane=sublane,
     )
     o_spec = pl.BlockSpec(
         (1, num_kv_heads, q_pad, head_dim), lambda b, *_: (b, 0, 0, 0)
@@ -398,15 +414,14 @@ def _paged_attention_impl(
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    mla = mla_v_dim is not None
     # in MLA mode the V-side buffers are never touched — allocate minimal
     v_buf_shape = (1, 1, 1, 1, 128) if mla else (2, num_kv_heads, C, page_tokens, head_dim)
-    win_v_shape = (1, 1, 128) if mla else (num_kv_heads, _SUBLANE, head_dim)
+    win_v_shape = (1, 1, 128) if mla else (num_kv_heads, sublane, head_dim)
     scratch_shapes = [
         pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), k_pool.dtype),
         pltpu.VMEM(v_buf_shape, v_pool.dtype),
         pltpu.SemaphoreType.DMA((2, C, 2)),
-        pltpu.VMEM((num_kv_heads, _SUBLANE, head_dim), k_pool.dtype),
+        pltpu.VMEM((num_kv_heads, sublane, head_dim), k_pool.dtype),
         pltpu.VMEM(win_v_shape, v_pool.dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.VMEM((num_kv_heads, q_pad, 128), jnp.float32),

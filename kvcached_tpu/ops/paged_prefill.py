@@ -115,57 +115,56 @@ def _prefill_kernel(
             wait_chunk(c, slot)
 
             base = c * chunk_tokens
-            for h in range(num_kv_heads):
-                q = q_ref[0, h].astype(jnp.float32) * sm_scale  # [rows, D]
-                k = (
-                    k_buf[slot, h]
-                    .reshape(chunk_tokens, q.shape[1])
+            head_dim = q_ref.shape[3]
+            q = q_ref[0].astype(jnp.float32) * sm_scale  # [KH, rows, D]
+            k = (
+                k_buf[slot]
+                .reshape(num_kv_heads, chunk_tokens, head_dim)
+                .astype(jnp.float32)
+            )
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [KH, rows, chunk_tokens]
+            kv_idx = base + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=2
+            )
+            # row r belongs to query token t = tile*q_tile + r//group
+            q_pos = (
+                q_start
+                + tile * q_tile
+                + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // group
+            )
+            mask = (kv_idx <= q_pos) & (kv_idx < kv_len)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scr[:, :, :1]
+            l_prev = l_scr[:, :, :1]
+            m_cur = jnp.max(s, axis=2, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+            if mla:
+                v = k[:, :, :v_head_dim]
+            else:
+                v = (
+                    v_buf[slot]
+                    .reshape(num_kv_heads, chunk_tokens, head_dim)
                     .astype(jnp.float32)
                 )
-                if mla:
-                    v = None  # sliced from k below
-                else:
-                    v = (
-                        v_buf[slot, h]
-                        .reshape(chunk_tokens, q.shape[1])
-                        .astype(jnp.float32)
-                    )
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [rows, chunk_tokens]
-                kv_idx = base + jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, dimension=1
+            pv = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if mla:
+                acc_scr[:, :, :v_head_dim] = (
+                    acc_scr[:, :, :v_head_dim] * alpha + pv
                 )
-                # row r belongs to query token t = tile*q_tile + r//group
-                q_pos = (
-                    q_start
-                    + tile * q_tile
-                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group
-                )
-                mask = (kv_idx <= q_pos) & (kv_idx < kv_len)
-                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
-                m_prev = m_scr[h, :, :1]
-                l_prev = l_scr[h, :, :1]
-                m_cur = jnp.max(s, axis=1, keepdims=True)
-                m_new = jnp.maximum(m_prev, m_cur)
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.exp(s - m_new)
-                l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                vv = k[:, :v_head_dim] if mla else v
-                pv = jax.lax.dot_general(
-                    p, vv, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if mla:
-                    acc_scr[h, :, :v_head_dim] = (
-                        acc_scr[h, :, :v_head_dim] * alpha + pv
-                    )
-                else:
-                    acc_scr[h] = acc_scr[h] * alpha + pv
-                m_scr[h, :, :1] = m_new
-                l_scr[h, :, :1] = l_new
+            else:
+                acc_scr[...] = acc_scr[...] * alpha + pv
+            m_scr[:, :, :1] = m_new
+            l_scr[:, :, :1] = l_new
             return 0
 
         jax.lax.fori_loop(0, num_chunks, body, 0, unroll=False)
