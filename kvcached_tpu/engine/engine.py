@@ -175,9 +175,14 @@ class LLMEngine:
         )
 
         self.max_pages_per_seq = ec.max_model_len // ec.page_tokens
+        # sliding-window models reclaim pages mid-sequence; cached pages
+        # would dangle, so the prefix cache is forced off
+        enable_cache = ec.enable_prefix_caching and not getattr(
+            self.adapter, "window", None
+        )
         self.prefix_cache = PrefixCache(
             ec.page_tokens,
-            (ec.max_cached_tokens if ec.enable_prefix_caching else 0),
+            (ec.max_cached_tokens if enable_cache else 0),
         )
         self.cache_namespace = f"model{id(self)}"
         self.waiting: list[Sequence] = []
@@ -311,7 +316,28 @@ class LLMEngine:
         seq.blocks.extend(blocks)
         return True
 
+    def _reclaim_slid_pages(self, seq: Sequence) -> None:
+        """Sliding-window models: free pages every token of which is below
+        the window of every *future* position (reference gpt-oss hybrid
+        groups reclaim the same way via per-group pools)."""
+        window = getattr(self.adapter, "window", None)
+        if not window:
+            return
+        # earliest kv position any future step can read
+        win_start = len(seq.tokens) - window
+        if win_start <= 0:
+            return
+        last_dead_page = win_start // self.cfg.page_tokens  # exclusive
+        dead = [
+            b for b in seq.blocks[:last_dead_page] if b is not None
+        ]
+        if dead:
+            self.manager.free(dead)
+            for j in range(last_dead_page):
+                seq.blocks[j] = None
+
     def _free_seq(self, seq: Sequence, cache_kv: bool = True) -> None:
+        seq.blocks = [b for b in seq.blocks if b is not None]
         if not seq.blocks:
             return
         if cache_kv and self.prefix_cache.enabled:
@@ -351,8 +377,11 @@ class LLMEngine:
     def _phys_row(self, seq: Sequence) -> np.ndarray:
         pt = self.manager.page_allocator.page_table
         row = np.zeros(self.max_pages_per_seq, np.int32)
-        if seq.blocks:
-            row[: len(seq.blocks)] = pt[np.asarray(seq.blocks, np.int64)]
+        for j, b in enumerate(seq.blocks):
+            # None = page slid out of the attention window and was reclaimed;
+            # its row entry points at the zero page (never read: the kernels
+            # skip pages before the window start)
+            row[j] = pt[b] if b is not None else 0
         return row
 
     def _bucket_len(self, n: int) -> int:
@@ -454,6 +483,7 @@ class LLMEngine:
                 seq.tokens.append(int(toks[j, i]))
                 if seq.finished():
                     break
+            self._reclaim_slid_pages(seq)
             if seq.finished():
                 # trim over-generated tokens beyond the stop point
                 sp = seq.req.sampling

@@ -49,6 +49,7 @@ class LlamaAdapter:
         self.num_kv_heads = c.num_kv_heads
         self.head_dim = c.head_dim
         self.num_kv_buffers = 2
+        self.window = getattr(c, "sliding_window", None)
 
     def init_params(self, key):
         from .llama import init_llama_params
@@ -88,6 +89,7 @@ class MLAAdapter:
         self.num_kv_heads = 1
         self.head_dim = c.cache_head_dim
         self.num_kv_buffers = 1
+        self.window = None
 
     def init_params(self, key):
         from .mla import init_mla_params

@@ -46,6 +46,9 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     rms_eps: float = 1e-5
     dtype: str = "bfloat16"
+    #: Mistral-style sliding-window attention (tokens); None = full attention.
+    #: The engine reclaims pages that slide fully out of every window.
+    sliding_window: int | None = None
 
     @property
     def jdtype(self):
@@ -189,6 +192,7 @@ def llama_decode_step(
             slot_pages,
             slot_offsets,
             interpret=interpret,
+            window=cfg.sliding_window,
         )  # [B, H, D]
         attn_out = attn.reshape(B, H * D) @ lp["wo"]
         x = x + _maybe_psum(attn_out, tp_axis)
@@ -263,7 +267,7 @@ def llama_prefill_step(
 
         attn = paged_prefill_attention(
             q, k_pools, v_pools, page_table, q_start, kv_len, l_idx,
-            interpret=interpret,
+            interpret=interpret, window=cfg.sliding_window,
         )  # [T, H, D]
         attn_out = attn.reshape(T, H * D) @ lp["wo"]
         x = x + _maybe_psum(attn_out, tp_axis)

@@ -123,6 +123,7 @@ def _attn_body(
     write_kv: bool,
     v_head_dim: int | None = None,
     sublane: int = 8,
+    window: int | None = None,
 ):
     # MLA mode (v_head_dim set): a single latent buffer serves as both K and
     # V — scores use the full head_dim (c_kv ++ k_rope), values are the
@@ -132,8 +133,15 @@ def _attn_body(
     layer = layer_ref[0]
     seq_len = seq_lens_ref[b]
     num_pages = pl.cdiv(seq_len, page_tokens)
+    # sliding window: skip whole pages before the window start
+    if window is not None:
+        win_start = jnp.maximum(seq_len - window, 0)
+        first_page = win_start // page_tokens
+    else:
+        win_start = 0
+        first_page = 0
     C = pages_per_chunk
-    num_chunks = pl.cdiv(num_pages, C)
+    num_chunks = pl.cdiv(num_pages - first_page, C)
     chunk_tokens = C * page_tokens
 
     # ---- 1) write this token's K/V via an aligned RMW window --------------
@@ -186,7 +194,7 @@ def _attn_body(
 
     # ---- 2) paged attention over the sequence's pages ---------------------
     def page_dma(chunk, j, slot, kv):
-        page_idx = chunk * C + j
+        page_idx = first_page + chunk * C + j
         # clamp so tail columns read a valid (masked-out) page: scratch VMEM
         # is uninitialized and a masked score still multiplies V (0×NaN=NaN)
         page_idx = jnp.minimum(page_idx, num_pages - 1)
@@ -227,7 +235,7 @@ def _attn_body(
 
             wait_chunk(c, slot)
 
-            base = c * chunk_tokens
+            base = first_page * page_tokens + c * chunk_tokens
             head_dim = q_ref.shape[3]
             # all heads in one batched matmul: [KH, q_pad, D] x [KH, T, D]
             q = q_ref[0].astype(jnp.float32) * sm_scale
@@ -243,7 +251,8 @@ def _attn_body(
             token_idx = base + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, dimension=2
             )
-            s = jnp.where(token_idx < seq_len, s, DEFAULT_MASK_VALUE)
+            in_range = (token_idx < seq_len) & (token_idx >= win_start)
+            s = jnp.where(in_range, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_scr[:, :, :1]
             l_prev = l_scr[:, :, :1]
@@ -299,7 +308,8 @@ def _pick_pages_per_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "mla_v_dim"),
+    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "mla_v_dim",
+                     "window"),
     donate_argnums=(1, 2),
 )
 def paged_attention_decode(
@@ -318,6 +328,7 @@ def paged_attention_decode(
     interpret: bool = False,
     pages_per_chunk: int | None = None,
     mla_v_dim: int | None = None,
+    window: int | None = None,
 ):
     """Fused decode step: write the current token's KV into its page, then
     attend over the sequence.  Returns (out, k_pool, v_pool) with the pools
@@ -331,11 +342,14 @@ def paged_attention_decode(
         k_new, v_new, slot_pages, slot_offsets,
         sm_scale=sm_scale, interpret=interpret,
         pages_per_chunk=pages_per_chunk, write_kv=True, mla_v_dim=mla_v_dim,
+        window=window,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret", "pages_per_chunk", "mla_v_dim")
+    jax.jit,
+    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "mla_v_dim",
+                     "window"),
 )
 def paged_attention(
     q: jax.Array,
@@ -349,6 +363,7 @@ def paged_attention(
     interpret: bool = False,
     pages_per_chunk: int | None = None,
     mla_v_dim: int | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Read-only paged attention (no KV write). Returns [B, num_q_heads, D]."""
     if k_pool.ndim == 4:
@@ -363,6 +378,7 @@ def paged_attention(
         dummy, dummy, zeros, zeros,
         sm_scale=sm_scale, interpret=interpret,
         pages_per_chunk=pages_per_chunk, write_kv=False, mla_v_dim=mla_v_dim,
+        window=window,
     )
     return out
 
@@ -371,6 +387,7 @@ def _paged_attention_impl(
     q, k_pool, v_pool, page_tables, seq_lens, layer,
     k_new, v_new, slot_pages, slot_offsets,
     *, sm_scale, interpret, pages_per_chunk, write_kv, mla_v_dim=None,
+    window=None,
 ):
     batch, num_q_heads, head_dim = q.shape
     _, _, num_kv_heads, page_tokens, head_dim_k = k_pool.shape
@@ -403,6 +420,7 @@ def _paged_attention_impl(
         sm_scale=sm_scale,
         v_head_dim=mla_v_dim,
         sublane=sublane,
+        window=window,
     )
     o_spec = pl.BlockSpec(
         (1, num_kv_heads, q_pad, head_dim), lambda b, *_: (b, 0, 0, 0)

@@ -58,6 +58,7 @@ def _prefill_kernel(
     q_tile: int,  # query TOKENS per tile
     sm_scale: float,
     v_head_dim: int | None = None,
+    window: int | None = None,
 ):
     mla = v_head_dim is not None
     tile = pl.program_id(0)
@@ -71,10 +72,16 @@ def _prefill_kernel(
     tile_q_end = q_start + (tile + 1) * q_tile  # exclusive
     kv_hi = jnp.minimum(kv_len, tile_q_end)
     num_pages = pl.cdiv(kv_hi, page_tokens)
-    num_chunks = pl.cdiv(num_pages, C)
+    # sliding window: the earliest kv any query in this tile may see
+    if window is not None:
+        tile_q_start = q_start + tile * q_tile
+        first_page = jnp.maximum(tile_q_start - window + 1, 0) // page_tokens
+    else:
+        first_page = 0
+    num_chunks = pl.cdiv(num_pages - first_page, C)
 
     def page_dma(chunk, j, slot, kv):
-        page_idx = jnp.minimum(chunk * C + j, num_pages - 1)
+        page_idx = jnp.minimum(first_page + chunk * C + j, num_pages - 1)
         page_id = page_table_ref[page_idx]
         pool = k_pool_ref if kv == 0 else v_pool_ref
         buf = k_buf if kv == 0 else v_buf
@@ -114,7 +121,7 @@ def _prefill_kernel(
 
             wait_chunk(c, slot)
 
-            base = c * chunk_tokens
+            base = first_page * page_tokens + c * chunk_tokens
             head_dim = q_ref.shape[3]
             q = q_ref[0].astype(jnp.float32) * sm_scale  # [KH, rows, D]
             k = (
@@ -136,6 +143,8 @@ def _prefill_kernel(
                 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // group
             )
             mask = (kv_idx <= q_pos) & (kv_idx < kv_len)
+            if window is not None:
+                mask = mask & (kv_idx > q_pos - window)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_scr[:, :, :1]
@@ -184,7 +193,7 @@ def _pick_chunk(num_kv_heads, page_tokens, head_dim, itemsize, max_pages):
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "interpret", "pages_per_chunk", "q_tile",
-                     "mla_v_dim"),
+                     "mla_v_dim", "window"),
 )
 def paged_prefill_attention(
     q: jax.Array,  # [T, num_q_heads, head_dim] (chunk of new tokens)
@@ -200,6 +209,7 @@ def paged_prefill_attention(
     pages_per_chunk: int | None = None,
     q_tile: int = 128,
     mla_v_dim: int | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Causal attention of a prefill chunk against its sequence's pages.
     Returns [T, num_q_heads, head_dim].  KV for the chunk must already be
@@ -242,6 +252,7 @@ def paged_prefill_attention(
             q_tile=q_tile,
             sm_scale=sm_scale,
             v_head_dim=mla_v_dim,
+            window=window,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
