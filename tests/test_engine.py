@@ -169,3 +169,47 @@ class TestElasticServing:
                 assert w.output_tokens == g.output_tokens
         finally:
             eng.shutdown()
+
+
+class TestOperatorLimitDuringServing:
+    def test_kvctl_limit_cut_mid_serving(self, toy):
+        """The reference's full acceptance flow (test_elastic_serving.py):
+        serve load → operator cuts the limit via shm (kvctl) → engine
+        shrinks (deferred until frees allow) → keeps serving correctly
+        under the reduced limit."""
+        import time
+        import uuid
+
+        from kvcached_tpu import shm
+
+        cfg, params = toy
+        name = f"kvcached_eng_{uuid.uuid4().hex[:6]}"
+        eng = make_engine(cfg, params, num_pages=64, ipc_name=name)
+        try:
+            # phase 1: serve under the full pool
+            prompts = [[i + 1, i + 2, i + 3, i + 4] for i in range(4)]
+            sp = SamplingParams(max_new_tokens=16)
+            out1 = eng.generate(prompts, sp)
+            peak = eng.manager.get_mapped_memory_size()
+            assert peak > 0
+
+            # phase 2: operator cuts the limit to 8 pages
+            limit = 8 * eng.kv_cfg.page_bytes
+            shm.update_kv_cache_limit(eng.manager._tracker.ipc_name
+                                      if hasattr(eng.manager, "_tracker")
+                                      else name, limit)
+            deadline = time.time() + 5
+            while time.time() < deadline:
+                eng.manager.alloc(0)  # pick up the resize target
+                if eng.manager.available_size() <= 8 * eng.kv_cfg.blocks_per_page:
+                    break
+                time.sleep(0.05)
+
+            # phase 3: keep serving under the reduced limit; outputs must
+            # be identical to an unconstrained engine's
+            out2 = eng.generate(prompts, sp)
+            eng.manager.trim()
+            assert eng.manager.get_mapped_memory_size() <= limit
+            assert [o.output_tokens for o in out1] == [o.output_tokens for o in out2]
+        finally:
+            eng.shutdown()
