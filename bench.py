@@ -111,72 +111,73 @@ def _main():
     seq0 = jnp.full((B,), CTX // 2, jnp.int32)
     tokens0 = jnp.ones((B,), jnp.int32)
 
-    def make_paged_runner(K):
-        @jax.jit
-        def run(params, k_pools, v_pools, tokens0, seq0, page_tables):
-            def one(carry, j):
-                tokens, k_pools, v_pools = carry
-                seq_lens = seq0 + j + 1
-                positions = seq_lens - 1
-                b_idx = jnp.arange(B)
-                slot_pages = page_tables[b_idx, positions // P]
-                slot_offsets = positions % P
-                logits, k_pools, v_pools = llama_decode_step(
-                    params, cfg, tokens, positions, k_pools, v_pools,
-                    page_tables, slot_pages, slot_offsets, seq_lens,
-                    interpret=interpret,
-                )
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (nxt, k_pools, v_pools), nxt
-            (_, k_pools, v_pools), toks = jax.lax.scan(
-                one, (tokens0, k_pools, v_pools), jnp.arange(K))
-            return toks
-        def call(K_iters=None):
-            t0 = time.time()
-            toks = run(params, k_pools, v_pools, tokens0, seq0, page_tables)
-            float(jnp.sum(toks))  # host sync
-            return time.time() - t0
-        # warm
-        call()
-        return call
+    # K is a runtime arg (fori_loop, not scan) so ONE compile serves every
+    # chain length — remote compiles through the tunnel cost minutes each.
+    @jax.jit
+    def run_paged(params, k_pools, v_pools, tokens0, seq0, page_tables, K):
+        def one(j, carry):
+            tokens, k_pools, v_pools = carry
+            seq_lens = seq0 + j + 1
+            positions = seq_lens - 1
+            b_idx = jnp.arange(B)
+            slot_pages = page_tables[b_idx, positions // P]
+            slot_offsets = positions % P
+            logits, k_pools, v_pools = llama_decode_step(
+                params, cfg, tokens, positions, k_pools, v_pools,
+                page_tables, slot_pages, slot_offsets, seq_lens,
+                interpret=interpret,
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, k_pools, v_pools)
+        tokens, k_pools, v_pools = jax.lax.fori_loop(
+            0, K, one, (tokens0, k_pools, v_pools))
+        return tokens
+
+    def paged_call(K):
+        t0 = time.time()
+        toks = run_paged(params, k_pools, v_pools, tokens0, seq0,
+                         page_tables, jnp.asarray(K, jnp.int32))
+        float(jnp.sum(toks))  # host sync
+        return time.time() - t0
 
     # dense baseline state
     k_cache = jax.random.normal(jax.random.PRNGKey(3), (L, B, KH, CTX, D), jnp.bfloat16)
     v_cache = jax.random.normal(jax.random.PRNGKey(4), (L, B, KH, CTX, D), jnp.bfloat16)
 
-    def make_dense_runner(K):
-        @jax.jit
-        def run(params, k_cache, v_cache, tokens0, seq0):
-            def one(carry, j):
-                tokens, k_cache, v_cache = carry
-                seq_lens = seq0 + j + 1
-                positions = seq_lens - 1
-                logits, k_cache, v_cache = dense_decode_step(
-                    params, cfg, tokens, positions, k_cache, v_cache, seq_lens)
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (nxt, k_cache, v_cache), nxt
-            (_, k_cache, v_cache), toks = jax.lax.scan(
-                one, (tokens0, k_cache, v_cache), jnp.arange(K))
-            return toks
-        def call(K_iters=None):
-            t0 = time.time()
-            toks = run(params, k_cache, v_cache, tokens0, seq0)
-            float(jnp.sum(toks))
-            return time.time() - t0
-        call()
-        return call
+    @jax.jit
+    def run_dense(params, k_cache, v_cache, tokens0, seq0, K):
+        def one(j, carry):
+            tokens, k_cache, v_cache = carry
+            seq_lens = seq0 + j + 1
+            positions = seq_lens - 1
+            logits, k_cache, v_cache = dense_decode_step(
+                params, cfg, tokens, positions, k_cache, v_cache, seq_lens)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, k_cache, v_cache)
+        tokens, k_cache, v_cache = jax.lax.fori_loop(
+            0, K, one, (tokens0, k_cache, v_cache))
+        return tokens
+
+    def dense_call(K):
+        t0 = time.time()
+        toks = run_dense(params, k_cache, v_cache, tokens0, seq0,
+                         jnp.asarray(K, jnp.int32))
+        float(jnp.sum(toks))
+        return time.time() - t0
 
     # long chains so per-dispatch tunnel noise (~30 ms, high variance) is
     # small relative to the measured work; median of 5 slopes
     K_LO, K_HI = (8, 128) if ON_TPU else (2, 4)
-    paged_lo, paged_hi = make_paged_runner(K_LO), make_paged_runner(K_HI)
-    dense_lo, dense_hi = make_dense_runner(K_LO), make_dense_runner(K_HI)
+    paged_call(K_LO)  # warm (single compile serves both K)
+    dense_call(K_LO)
     n_rep = 5 if ON_TPU else 1
     paged_slopes = sorted(
-        (paged_hi() - paged_lo()) / (K_HI - K_LO) for _ in range(n_rep)
+        (paged_call(K_HI) - paged_call(K_LO)) / (K_HI - K_LO)
+        for _ in range(n_rep)
     )
     dense_slopes = sorted(
-        (dense_hi() - dense_lo()) / (K_HI - K_LO) for _ in range(n_rep)
+        (dense_call(K_HI) - dense_call(K_LO)) / (K_HI - K_LO)
+        for _ in range(n_rep)
     )
     t_paged = paged_slopes[n_rep // 2]
     t_dense = dense_slopes[n_rep // 2]

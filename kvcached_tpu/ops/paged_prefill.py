@@ -271,7 +271,12 @@ def paged_prefill_attention(
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), k_pool.dtype),
-                pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), v_pool.dtype),
+                # MLA never touches the V-side buffer — allocate minimal
+                pltpu.VMEM(
+                    (1, 1, 1, 1, 128) if mla_v_dim is not None
+                    else (2, num_kv_heads, C, page_tokens, head_dim),
+                    v_pool.dtype,
+                ),
                 pltpu.SemaphoreType.DMA((2, C, 2)),
                 pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
                 pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
