@@ -111,11 +111,14 @@ def _main():
     seq0 = jnp.full((B,), CTX // 2, jnp.int32)
     tokens0 = jnp.ones((B,), jnp.int32)
 
-    # K is a runtime arg (fori_loop, not scan) so ONE compile serves every
-    # chain length — remote compiles through the tunnel cost minutes each.
-    @jax.jit
+    # Paged path: static scan, exactly like the engine's decode horizon
+    # (a dynamic-trip fori_loop costs the pallas pipeline ~25% — measured).
+    # Two compiles (K_LO, K_HI); these are the cheap programs.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("K",))
     def run_paged(params, k_pools, v_pools, tokens0, seq0, page_tables, K):
-        def one(j, carry):
+        def one(carry, j):
             tokens, k_pools, v_pools = carry
             seq_lens = seq0 + j + 1
             positions = seq_lens - 1
@@ -128,15 +131,15 @@ def _main():
                 interpret=interpret,
             )
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (nxt, k_pools, v_pools)
-        tokens, k_pools, v_pools = jax.lax.fori_loop(
-            0, K, one, (tokens0, k_pools, v_pools))
+            return (nxt, k_pools, v_pools), None
+        (tokens, k_pools, v_pools), _ = jax.lax.scan(
+            one, (tokens0, k_pools, v_pools), jnp.arange(K))
         return tokens
 
     def paged_call(K):
         t0 = time.time()
         toks = run_paged(params, k_pools, v_pools, tokens0, seq0,
-                         page_tables, jnp.asarray(K, jnp.int32))
+                         page_tables, K=K)
         float(jnp.sum(toks))  # host sync
         return time.time() - t0
 
