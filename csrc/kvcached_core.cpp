@@ -36,7 +36,49 @@
 #include <sys/file.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <sys/syscall.h>
 #include <unistd.h>
+
+#include <cstdio>
+#include <cstdlib>
+
+// ---------------------------------------------------------------------------
+// Leveled logging (reference: csrc/inc/gpu_utils.hpp LOGGER + the µs timing
+// the reference applies to every alloc/free/map path,
+// csrc/page_allocator.cpp:162-185).  Gated by KVCACHED_LOG_LEVEL
+// (DEBUG|INFO|WARN|ERROR, default WARN); zero cost when below level.
+// ---------------------------------------------------------------------------
+
+static int kvc_log_level() {
+  static int lvl = [] {
+    const char* e = getenv("KVCACHED_LOG_LEVEL");
+    if (!e) return 2;
+    std::string s(e);
+    for (auto& c : s) c = (char)tolower(c);
+    if (s == "debug" || s == "0") return 0;
+    if (s == "info" || s == "1") return 1;
+    if (s == "warn" || s == "warning" || s == "2") return 2;
+    return 3;
+  }();
+  return lvl;
+}
+
+static int64_t kvc_now_us() {
+  return std::chrono::duration_cast<std::chrono::microseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
+#define KVC_LOG(lvl, fmt, ...)                                               \
+  do {                                                                       \
+    if ((lvl) >= kvc_log_level())                                            \
+      fprintf(stderr, "[kvcached-core %s pid=%d tid=%ld] " fmt "\n",         \
+              (lvl) == 0   ? "DEBUG"                                         \
+              : (lvl) == 1 ? "INFO"                                          \
+              : (lvl) == 2 ? "WARN"                                          \
+                           : "ERROR",                                        \
+              getpid(), (long)syscall(SYS_gettid), ##__VA_ARGS__);           \
+  } while (0)
 
 extern "C" {
 
@@ -390,13 +432,21 @@ int kvc_resize(void* alloc, int64_t new_bytes) {
   std::vector<int32_t> cb_v, cb_p, rel;
   int ok;
   kvc_map_cb ucb; void* user;
+  int64_t t0 = kvc_log_level() <= 1 ? kvc_now_us() : 0;
+  int64_t new_limit;
   {
     std::lock_guard<std::mutex> g(a->m);
     ok = resize_locked(a, new_bytes, &cb_v, &cb_p, &rel);
+    new_limit = a->limit_pages;
     ucb = a->unmap_cb; user = a->user;
   }
   if (!rel.empty()) kvc_pool_release(a->pool, rel.data(), (int64_t)rel.size());
   notify_cb(ucb, user, cb_v, cb_p);
+  if (t0)
+    KVC_LOG(1, "resize -> %lld bytes (limit=%lld pages) %s unmapped=%zu %lldus",
+            (long long)new_bytes, (long long)new_limit,
+            ok ? "done" : "deferred", cb_v.size(),
+            (long long)(kvc_now_us() - t0));
   return ok;
 }
 
@@ -447,6 +497,7 @@ int64_t kvc_alloc_blocks(void* alloc, int64_t n, int64_t* out) {
   std::vector<int32_t> cb_v, cb_p;
   kvc_map_cb mcb; void* user;
   int64_t written = 0;
+  int64_t t0 = kvc_log_level() <= 0 ? kvc_now_us() : 0;
   {
     std::unique_lock<std::mutex> g(a->m);
     // apply operator resize target first (watcher thread publishes it)
@@ -467,7 +518,11 @@ int64_t kvc_alloc_blocks(void* alloc, int64_t n, int64_t* out) {
     for (auto& kv : a->avail_pages) partial += (int64_t)kv.second.free_slots.size();
     int64_t avail = partial + (int64_t)a->reserved_blocks.size() +
                     avail_page_slots_locked(a) * a->bpp;
-    if (avail < n) return -1;
+    if (avail < n) {
+      KVC_LOG(0, "alloc_blocks n=%lld REFUSED avail=%lld", (long long)n,
+              (long long)avail);
+      return -1;
+    }
 
     // 1) reserved blocks
     int64_t take = std::min<int64_t>(n, (int64_t)a->reserved_blocks.size());
@@ -495,15 +550,28 @@ int64_t kvc_alloc_blocks(void* alloc, int64_t n, int64_t* out) {
           std::vector<int32_t> one{vp};
           if (!map_pages_locked(a, one, &cb_v, &cb_p)) {
             a->free_v.push_front(vp);
-            // roll back: free what we allocated so far
-            // (rare physical race; callers retry)
+            // roll back: park blocks allocated so far as reserved
+            // (rare physical race; callers retry).  Pages mapped earlier in
+            // THIS call stay mapped (their page-table entries were written
+            // and their blocks parked), so the map hook MUST still fire or
+            // TP/multi-host page-table mirrors silently miss the mapping.
             for (int64_t i = 0; i < written; ++i)
               a->reserved_blocks.push_back(out[i]);
+            mcb = a->map_cb; user = a->user;
+            g.unlock();
+            notify_cb(mcb, user, cb_v, cb_p);
+            KVC_LOG(2, "alloc_blocks n=%lld FAILED (pool race), %zu pages "
+                       "mapped+parked", (long long)n, cb_v.size());
             return -1;
           }
         } else {
           for (int64_t i = 0; i < written; ++i)
             a->reserved_blocks.push_back(out[i]);
+          mcb = a->map_cb; user = a->user;
+          g.unlock();
+          notify_cb(mcb, user, cb_v, cb_p);
+          KVC_LOG(0, "alloc_blocks n=%lld FAILED (limit), %zu pages "
+                     "mapped+parked", (long long)n, cb_v.size());
           return -1;
         }
         a->in_use += 1;
@@ -527,6 +595,9 @@ int64_t kvc_alloc_blocks(void* alloc, int64_t n, int64_t* out) {
     mcb = a->map_cb; user = a->user;
   }
   notify_cb(mcb, user, cb_v, cb_p);
+  if (t0)
+    KVC_LOG(0, "alloc_blocks n=%lld ok mapped=%zu %lldus", (long long)n,
+            cb_v.size(), (long long)(kvc_now_us() - t0));
   return written;
 }
 
@@ -534,6 +605,7 @@ void kvc_free_blocks(void* alloc, const int64_t* ids, int64_t n) {
   auto* a = (KvcAlloc*)alloc;
   std::vector<int32_t> cb_v, cb_p, rel;
   kvc_map_cb ucb; void* user;
+  int64_t t0 = kvc_log_level() <= 0 ? kvc_now_us() : 0;
   {
     std::lock_guard<std::mutex> g(a->m);
     // group by page (native group_indices_by_page)
@@ -586,6 +658,9 @@ void kvc_free_blocks(void* alloc, const int64_t* ids, int64_t n) {
   }
   if (!rel.empty()) kvc_pool_release(a->pool, rel.data(), (int64_t)rel.size());
   notify_cb(ucb, user, cb_v, cb_p);
+  if (t0)
+    KVC_LOG(0, "free_blocks n=%lld unmapped=%zu %lldus", (long long)n,
+            cb_v.size(), (long long)(kvc_now_us() - t0));
 }
 
 int kvc_try_to_reserve(void* alloc, int64_t n) {
@@ -654,9 +729,13 @@ static void prealloc_loop(KvcAlloc* a) {
       }
       if (map_pages_locked(a, vps, &cb_v, &cb_p)) {
         for (int32_t vp : vps) a->reserved.push_back(vp);
+        KVC_LOG(0, "prealloc mapped %zu pages (reserved=%zu)", vps.size(),
+                a->reserved.size());
       } else {
         for (auto it = vps.rbegin(); it != vps.rend(); ++it)
           a->free_v.push_front(*it);
+        KVC_LOG(0, "prealloc map of %zu pages failed (pool exhausted)",
+                vps.size());
       }
       update_shm_locked(a);
       mcb = a->map_cb; user = a->user;
@@ -674,6 +753,8 @@ static void watcher_loop(KvcAlloc* a) {
     if (v[0] > 0 && v[0] != a->last_total) {
       a->last_total = v[0];
       a->resize_target.store(v[0]);
+      KVC_LOG(1, "shm limit changed -> %lld bytes (resize target published)",
+              (long long)v[0]);
     }
   }
 }

@@ -41,14 +41,31 @@ def _try_build() -> bool:
         return False
 
 
+def _stale(path: str) -> bool:
+    """True if the .so predates its sources (rebuild before loading)."""
+    csrc = os.path.dirname(path)
+    try:
+        so_mtime = os.path.getmtime(path)
+        return any(
+            os.path.getmtime(os.path.join(csrc, src)) > so_mtime
+            for src in ("kvcached_core.cpp", "Makefile")
+            if os.path.exists(os.path.join(csrc, src))
+        )
+    except OSError:
+        return True
+
+
 def _load():
     global _lib
     with _lib_lock:
         if _lib is not None:
             return _lib
         path = os.path.abspath(_SO_PATH)
-        if not os.path.exists(path) and not _try_build():
-            raise OSError("libkvcached_core.so not built")
+        if (not os.path.exists(path) or _stale(path)) and not _try_build():
+            if not os.path.exists(path):
+                raise OSError("libkvcached_core.so not built")
+            logger.warning("using possibly-stale libkvcached_core.so "
+                           "(rebuild failed)")
         lib = C.CDLL(path)
         # signatures
         lib.kvc_pool_create.restype = C.c_void_p

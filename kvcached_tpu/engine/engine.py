@@ -219,18 +219,29 @@ class LLMEngine:
         K = ec.decode_horizon
 
         @partial(jax.jit, donate_argnums=(1, 2))
-        def decode_multi(params, k_pools, v_pools, tokens0, seq_lens0, page_tables, temps, rng_key):
+        def decode_multi(params, k_pools, v_pools, tokens0, seq_lens0, page_tables, temps, max_lens, rng_key):
             """K decode steps on device.  seq_lens0 counts tokens whose KV is
             already written; the j-th step consumes input token j at position
-            seq_lens0 + j.  Returns sampled tokens [K, B]."""
+            seq_lens0 + j.  Returns sampled tokens [K, B].
+
+            ``max_lens`` caps each row's token count (prompt + max_new_tokens,
+            ≤ max_model_len).  Steps past the cap would index past the
+            page-table width (the gather clamps, so the overflow token's KV
+            would clobber a slot of the sequence's last real page) and OOB-
+            read page_tables in-kernel — so seq_lens is clamped and overflow
+            writes are routed to the zero page, where the kernel discards
+            them.  Padded batch rows use max_lens=0 (all steps discarded)."""
 
             def one_step(carry, j):
                 tokens, k_pools, v_pools, key = carry
-                seq_lens = seq_lens0 + j + 1  # including current token
+                raw_lens = seq_lens0 + j + 1  # including current token
+                seq_lens = jnp.minimum(raw_lens, max_lens)
                 positions = jnp.maximum(seq_lens - 1, 0)
                 page_idx = positions // P
                 b_idx = jnp.arange(tokens.shape[0])
-                slot_pages = page_tables[b_idx, page_idx]
+                slot_pages = jnp.where(
+                    raw_lens > max_lens, 0, page_tables[b_idx, page_idx]
+                )
                 slot_offsets = positions % P
                 logits, k_pools, v_pools = adapter.decode_step(
                     params, tokens, positions, k_pools, v_pools,
@@ -342,8 +353,14 @@ class LLMEngine:
             return
         if cache_kv and self.prefix_cache.enabled:
             # register this sequence's full pages (prompt AND generated —
-            # their tokens are now immutable) before releasing references
-            n_full = min(len(seq.tokens) // self.cfg.page_tokens, len(seq.blocks))
+            # their tokens are now immutable) before releasing references.
+            # KV is only guaranteed written for positions 0..len-2: a token's
+            # KV lands when the *next* step consumes it, and the final
+            # generated token is never consumed — so only pages whose every
+            # slot is below len-1 are cacheable.
+            n_full = min(
+                (len(seq.tokens) - 1) // self.cfg.page_tokens, len(seq.blocks)
+            )
             if n_full:
                 keys = page_keys(
                     seq.tokens[: n_full * self.cfg.page_tokens],
@@ -404,14 +421,19 @@ class LLMEngine:
             if hits and len(hits) * P >= plen:
                 # must compute at least the last token for its logits
                 dropped = hits.pop()
-                self.prefix_cache.release([dropped])
+                _, to_free = self.prefix_cache.release([dropped])
+                if to_free:
+                    self.manager.free(to_free)
         n_hit = len(hits)
         seq.blocks = list(hits)
         seq.num_cached_pages = n_hit
 
         if not self._ensure_blocks(seq, plen + 1):
-            # roll back the lookup references
-            self.prefix_cache.release(hits)
+            # roll back the lookup references; release() may return LRU-cap
+            # overflow victims that must be truly freed or they leak
+            _, to_free = self.prefix_cache.release(hits)
+            if to_free:
+                self.manager.free(to_free)
             seq.blocks = []
             return False
 
@@ -464,17 +486,23 @@ class LLMEngine:
         seq_lens0 = np.zeros(B, np.int32)
         page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
         temps = np.zeros(B, np.float32)
+        max_lens = np.zeros(B, np.int32)  # 0 for padded rows: all writes discarded
         for i, seq in enumerate(batch):
             tokens0[i] = seq.tokens[-1]
             seq_lens0[i] = len(seq.tokens) - 1  # KV written so far
             page_tables[i] = self._phys_row(seq)
             temps[i] = seq.req.sampling.temperature
+            max_lens[i] = min(
+                self.cfg.max_model_len,
+                seq.prompt_len + seq.req.sampling.max_new_tokens,
+            )
 
         key = jax.random.PRNGKey(self._step_count)
         toks, self.k_pools, self.v_pools = self._decode_fn(
             self.params, self.k_pools, self.v_pools,
             jnp.asarray(tokens0), jnp.asarray(seq_lens0),
-            jnp.asarray(page_tables), jnp.asarray(temps), key,
+            jnp.asarray(page_tables), jnp.asarray(temps),
+            jnp.asarray(max_lens), key,
         )
         toks = np.asarray(toks)  # [K, B]
 

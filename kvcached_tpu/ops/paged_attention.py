@@ -148,49 +148,56 @@ def _attn_body(
     if write_kv:
         page = slot_pages_ref[b]
         off = slot_offsets_ref[b]
-        win = (off // sublane) * sublane
-        row = off - win
 
-        def win_copy(dst_vmem, pool, sem):
-            return pltpu.make_async_copy(
-                pool.at[layer, page, :, pl.ds(win, sublane)], dst_vmem, sem
+        # Zero-page write-discard: page 0 is the shared zero page (defined
+        # reads for unmapped entries, csrc/ftensor.cpp:160-176 in the
+        # reference).  Callers route overflow/padded-row writes here — the
+        # write is skipped so the zero page stays zero.
+        @pl.when(page != 0)
+        def _write_token():
+            win = (off // sublane) * sublane
+            row = off - win
+
+            def win_copy(dst_vmem, pool, sem):
+                return pltpu.make_async_copy(
+                    pool.at[layer, page, :, pl.ds(win, sublane)], dst_vmem, sem
+                )
+
+            win_copy(win_k, k_pool_ref, win_sems.at[0]).start()
+            if not mla:
+                win_copy(win_v, v_pool_ref, win_sems.at[1]).start()
+            win_copy(win_k, k_pool_ref, win_sems.at[0]).wait()
+            if not mla:
+                win_copy(win_v, v_pool_ref, win_sems.at[1]).wait()
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (num_kv_heads, sublane, win_k.shape[-1]), 1
             )
-
-        win_copy(win_k, k_pool_ref, win_sems.at[0]).start()
-        if not mla:
-            win_copy(win_v, v_pool_ref, win_sems.at[1]).start()
-        win_copy(win_k, k_pool_ref, win_sems.at[0]).wait()
-        if not mla:
-            win_copy(win_v, v_pool_ref, win_sems.at[1]).wait()
-        row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (num_kv_heads, sublane, win_k.shape[-1]), 1
-        )
-        # select in fp32: select_n on sub-byte float dtypes (fp8) does not
-        # lower on every backend; the converts are free on the VPU
-        win_k[...] = jnp.where(
-            row_ids == row,
-            k_new_ref[0][:, None, :].astype(jnp.float32),
-            win_k[...].astype(jnp.float32),
-        ).astype(win_k.dtype)
-        if not mla:
-            win_v[...] = jnp.where(
+            # select in fp32: select_n on sub-byte float dtypes (fp8) does not
+            # lower on every backend; the converts are free on the VPU
+            win_k[...] = jnp.where(
                 row_ids == row,
-                v_new_ref[0][:, None, :].astype(jnp.float32),
-                win_v[...].astype(jnp.float32),
-            ).astype(win_v.dtype)
+                k_new_ref[0][:, None, :].astype(jnp.float32),
+                win_k[...].astype(jnp.float32),
+            ).astype(win_k.dtype)
+            if not mla:
+                win_v[...] = jnp.where(
+                    row_ids == row,
+                    v_new_ref[0][:, None, :].astype(jnp.float32),
+                    win_v[...].astype(jnp.float32),
+                ).astype(win_v.dtype)
 
-        def win_write(src_vmem, pool, sem):
-            return pltpu.make_async_copy(
-                src_vmem, pool.at[layer, page, :, pl.ds(win, sublane)], sem
-            )
+            def win_write(src_vmem, pool, sem):
+                return pltpu.make_async_copy(
+                    src_vmem, pool.at[layer, page, :, pl.ds(win, sublane)], sem
+                )
 
-        win_write(win_k, k_pool_ref, win_sems.at[0]).start()
-        if not mla:
-            win_write(win_v, v_pool_ref, win_sems.at[1]).start()
-        # must land before the attention pipeline reads this page
-        win_write(win_k, k_pool_ref, win_sems.at[0]).wait()
-        if not mla:
-            win_write(win_v, v_pool_ref, win_sems.at[1]).wait()
+            win_write(win_k, k_pool_ref, win_sems.at[0]).start()
+            if not mla:
+                win_write(win_v, v_pool_ref, win_sems.at[1]).start()
+            # must land before the attention pipeline reads this page
+            win_write(win_k, k_pool_ref, win_sems.at[0]).wait()
+            if not mla:
+                win_write(win_v, v_pool_ref, win_sems.at[1]).wait()
 
     # ---- 2) paged attention over the sequence's pages ---------------------
     def page_dma(chunk, j, slot, kv):
@@ -541,12 +548,16 @@ def _prefill_write_kernel(
     j = pl.program_id(0)
     layer = layer_ref[0]
     page = pages_ref[j]
-    ck = pltpu.make_async_copy(k_new_ref, k_pool_ref.at[layer, page], sems.at[0])
-    cv = pltpu.make_async_copy(v_new_ref, v_pool_ref.at[layer, page], sems.at[1])
-    ck.start()
-    cv.start()
-    ck.wait()
-    cv.wait()
+
+    # page 0 = zero page: discard (padding chunks must not dirty it)
+    @pl.when(page != 0)
+    def _():
+        ck = pltpu.make_async_copy(k_new_ref, k_pool_ref.at[layer, page], sems.at[0])
+        cv = pltpu.make_async_copy(v_new_ref, v_pool_ref.at[layer, page], sems.at[1])
+        ck.start()
+        cv.start()
+        ck.wait()
+        cv.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0, 1))
@@ -618,9 +629,12 @@ def _prefill_write_single_kernel(
     j = pl.program_id(0)
     layer = layer_ref[0]
     page = pages_ref[j]
-    ck = pltpu.make_async_copy(k_new_ref, k_pool_ref.at[layer, page], sems.at[0])
-    ck.start()
-    ck.wait()
+
+    @pl.when(page != 0)
+    def _():
+        ck = pltpu.make_async_copy(k_new_ref, k_pool_ref.at[layer, page], sems.at[0])
+        ck.start()
+        ck.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
