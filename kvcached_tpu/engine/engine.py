@@ -191,7 +191,10 @@ class LLMEngine:
         self._preempt_count = 0
         self._step_count = 0
 
-        self._decode_fn = self._build_decode_fn()
+        # decode fns are compiled lazily per horizon K (adaptive horizon:
+        # dispatches near a sequence's cap use a shorter scan, avoiding
+        # wasted post-cap steps)
+        self._decode_fns: dict[int, object] = {}
         self._prefill_fn = self._build_prefill_fn()
 
     # pool buffers live in a shared holder (see PoolArrays)
@@ -213,10 +216,15 @@ class LLMEngine:
 
     # ------------------------------------------------------------- jit build
 
-    def _build_decode_fn(self):
+    def _decode_fn_for(self, K: int):
+        fn = self._decode_fns.get(K)
+        if fn is None:
+            fn = self._decode_fns[K] = self._build_decode_fn(K)
+        return fn
+
+    def _build_decode_fn(self, K: int):
         adapter, ec = self.adapter, self.cfg
         P = ec.page_tokens
-        K = ec.decode_horizon
 
         @partial(jax.jit, donate_argnums=(1, 2))
         def decode_multi(params, k_pools, v_pools, tokens0, seq_lens0, page_tables, temps, max_lens, rng_key):
@@ -287,11 +295,8 @@ class LLMEngine:
             raise ValueError(
                 f"prompt+max_new_tokens exceeds max_model_len={self.cfg.max_model_len}"
             )
-        if len(req.prompt) > max(self.cfg.prefill_buckets):
-            raise ValueError(
-                f"prompt length {len(req.prompt)} exceeds largest prefill "
-                f"bucket {max(self.cfg.prefill_buckets)}"
-            )
+        # prompts longer than the largest bucket are served by chunked
+        # prefill (_do_prefill loops bucket-sized chunks, advancing q_start)
         self.waiting.append(Sequence(req))
         return req.req_id
 
@@ -437,35 +442,56 @@ class LLMEngine:
             seq.blocks = []
             return False
 
+        # Chunked prefill (the reference's host engines chunk long prefills
+        # routinely): loop bucket-sized page-aligned chunks, advancing
+        # q_start; the kernel attends each chunk against all pages written
+        # so far, so the result is token-exact vs a single-shot prefill.
         q_start = n_hit * P
-        tail = plen - q_start  # >= 1
-        T = self._bucket_len(tail)
-        assert T % P == 0, "prefill buckets must be multiples of page_tokens"
-        tokens = np.zeros(T, np.int32)
-        tokens[:tail] = seq.req.prompt[q_start:]
-        positions = q_start + np.arange(T, dtype=np.int32)
+        max_bucket = max(self.cfg.prefill_buckets)
         phys = self._phys_row(seq)
-        n_chunks = T // P
-        n_real = -(-tail // P)
-        chunk_pages = np.zeros(n_chunks, np.int32)
-        chunk_pages[:n_real] = phys[n_hit : n_hit + n_real]
-        next_token, self.k_pools, self.v_pools = self._prefill_fn(
-            self.params, self.k_pools, self.v_pools,
-            jnp.asarray(tokens), jnp.asarray(positions),
-            jnp.asarray(chunk_pages), jnp.asarray(phys),
-            jnp.asarray(q_start, jnp.int32), jnp.asarray(tail, jnp.int32),
-        )
+        next_token = None
+        while q_start < plen:
+            this_len = min(plen - q_start, max_bucket)
+            T = self._bucket_len(this_len)
+            assert T % P == 0, "prefill buckets must be multiples of page_tokens"
+            tokens = np.zeros(T, np.int32)
+            tokens[:this_len] = seq.req.prompt[q_start : q_start + this_len]
+            positions = q_start + np.arange(T, dtype=np.int32)
+            start_page = q_start // P
+            n_real = -(-this_len // P)
+            chunk_pages = np.zeros(T // P, np.int32)
+            chunk_pages[:n_real] = phys[start_page : start_page + n_real]
+            next_token, self.k_pools, self.v_pools = self._prefill_fn(
+                self.params, self.k_pools, self.v_pools,
+                jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray(chunk_pages), jnp.asarray(phys),
+                jnp.asarray(q_start, jnp.int32), jnp.asarray(this_len, jnp.int32),
+            )
+            q_start += this_len
         seq.tokens.append(int(next_token))
         seq.num_prefilled = plen
         self.running.append(seq)
         return True
 
+    def _row_cap(self, seq: Sequence) -> int:
+        return min(
+            self.cfg.max_model_len,
+            seq.prompt_len + seq.req.sampling.max_new_tokens,
+        )
+
     def _do_decode(self) -> None:
         ec = self.cfg
         P = ec.page_tokens
-        K = ec.decode_horizon
         B = ec.max_batch
         batch = self.running[:B]
+
+        # adaptive horizon: no on-device step past the batch's nearest cap
+        # produces a kept token, so shrink K (to a power of two, bounding the
+        # number of compiled variants) when every row is close to finishing
+        needed = min(
+            max(1, self._row_cap(s) - len(s.tokens)) for s in batch
+        )
+        K = min(ec.decode_horizon, 1 << (needed.bit_length() - 1))
 
         # ensure every sequence has blocks for +K tokens; preempt on pressure
         i = 0
@@ -492,13 +518,10 @@ class LLMEngine:
             seq_lens0[i] = len(seq.tokens) - 1  # KV written so far
             page_tables[i] = self._phys_row(seq)
             temps[i] = seq.req.sampling.temperature
-            max_lens[i] = min(
-                self.cfg.max_model_len,
-                seq.prompt_len + seq.req.sampling.max_new_tokens,
-            )
+            max_lens[i] = self._row_cap(seq)
 
         key = jax.random.PRNGKey(self._step_count)
-        toks, self.k_pools, self.v_pools = self._decode_fn(
+        toks, self.k_pools, self.v_pools = self._decode_fn_for(K)(
             self.params, self.k_pools, self.v_pools,
             jnp.asarray(tokens0), jnp.asarray(seq_lens0),
             jnp.asarray(page_tables), jnp.asarray(temps),

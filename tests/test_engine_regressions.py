@@ -178,3 +178,47 @@ def test_prefill_rollback_frees_overflow_victims(toy):
         )
     finally:
         eng.shutdown()
+
+
+def test_chunked_prefill_long_prompt(toy):
+    """VERDICT item 4: prompts several times the largest prefill bucket must
+    be served via chunked prefill, token-exact vs a single-shot engine whose
+    bucket covers the whole prompt."""
+    cfg, params = toy
+    prompt = [((i * 37) % 500) + 1 for i in range(100)]  # 100 > bucket 32
+
+    chunked = make_engine(
+        cfg, params, max_model_len=256, prefill_buckets=(16, 32),
+        decode_horizon=2,
+    )
+    try:
+        got = chunked.generate([prompt], SamplingParams(max_new_tokens=12))
+    finally:
+        chunked.shutdown()
+
+    single = make_engine(
+        cfg, params, max_model_len=256, prefill_buckets=(128,),
+        decode_horizon=2,
+    )
+    try:
+        want = single.generate([prompt], SamplingParams(max_new_tokens=12))
+    finally:
+        single.shutdown()
+
+    assert got[0].output_tokens == want[0].output_tokens
+
+
+def test_adaptive_horizon_matches_fixed(toy):
+    """Adaptive K near the cap must not change outputs."""
+    cfg, params = toy
+    prompt = [9, 8, 7, 6, 5]
+    sp = SamplingParams(max_new_tokens=11)  # not a multiple of the horizon
+    outs = []
+    for K in (1, 8):
+        eng = make_engine(cfg, params, max_model_len=64, decode_horizon=K)
+        try:
+            outs.append(eng.generate([prompt], sp)[0].output_tokens)
+        finally:
+            eng.shutdown()
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 11
