@@ -184,7 +184,7 @@ class LLMEngine:
             ec.page_tokens,
             (ec.max_cached_tokens if enable_cache else 0),
         )
-        self.cache_namespace = f"model{id(self)}"
+        self.cache_namespace = self._stable_namespace()
         self.waiting: list[Sequence] = []
         self.running: list[Sequence] = []
         self.finished_outputs: list[RequestOutput] = []
@@ -196,6 +196,25 @@ class LLMEngine:
         # wasted post-cap steps)
         self._decode_fns: dict[int, object] = {}
         self._prefill_fn = self._build_prefill_fn()
+
+    def _stable_namespace(self) -> str:
+        """Prefix-cache namespace isolating models that share one physical
+        pool.  Derived from the model config + a weights fingerprint — not
+        ``id(self)``, which collides after GC and defeats reuse across
+        engine restarts (the reference's composite-key lesson,
+        vllm/patches.py:260-274)."""
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=8)
+        h.update(repr(self.model_cfg).encode())
+        h.update(repr(self.kv_cfg).encode())
+        try:
+            leaf = jax.tree_util.tree_leaves(self.params)[0]
+            sample = np.asarray(jax.device_get(leaf)).ravel()[:64]
+            h.update(sample.tobytes())
+        except Exception:
+            h.update(str(id(self)).encode())  # last resort: per-instance
+        return h.hexdigest()
 
     # pool buffers live in a shared holder (see PoolArrays)
     @property

