@@ -65,12 +65,23 @@ class RequestOutput:
 
 
 class Sequence:
-    def __init__(self, req: Request):
+    def __init__(self, req: Request, num_groups: int = 1):
         self.req = req
         self.tokens: list[int] = list(req.prompt)
-        self.blocks: list[int] = []  # virtual page ids from KVCacheManager
+        # virtual page ids from each group's KVCacheManager (hybrid models
+        # keep one block list per layer group; plain models have one group)
+        self.blocks_g: list[list[int]] = [[] for _ in range(num_groups)]
         self.num_prefilled = 0
         self.num_cached_pages = 0  # prefix-cache hit pages at admission
+        self.state_block: int | None = None  # mamba state slot (stateful models)
+
+    @property
+    def blocks(self) -> list[int]:
+        return self.blocks_g[0]
+
+    @blocks.setter
+    def blocks(self, v) -> None:
+        self.blocks_g[0] = list(v)
 
     @property
     def prompt_len(self) -> int:
@@ -105,6 +116,9 @@ class EngineConfig:
     interpret: bool = False  # pallas interpret (CPU testing)
     enable_prefix_caching: bool = True
     max_cached_tokens: int | None = None  # None = KVCACHED_MAX_CACHED_TOKENS
+    #: stateful (mamba) models: physical state slots in the state pool;
+    #: None = 4 × max_batch
+    state_slots: int | None = None
 
 
 class LLMEngine:
@@ -123,14 +137,53 @@ class LLMEngine:
         shared_pool: DevicePagePool | None = None,
         pool_arrays: tuple[jax.Array, jax.Array | None] | None = None,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with a ``tp`` axis (and
+        optionally ``dp``).  The engine then serves SHARDED: params
+        Megatron-style over tp, KV pools over the kv-head axis, the decode
+        batch over dp — with the page table staying host metadata shared by
+        every shard (the reference's all-ranks-identical-mapping invariant
+        holds by construction, kv_cache_manager.py:144-169)."""
         self.adapter = as_adapter(model_cfg)
         self.model_cfg = model_cfg
         self.cfg = engine_cfg or EngineConfig()
         ec = self.cfg
 
+        self.mesh = mesh
+        self._tp_axis = self._dp_axis = None
+        pool_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert "tp" in mesh.axis_names, "mesh needs a 'tp' axis"
+            self._tp_axis = "tp"
+            self._dp_axis = "dp" if "dp" in mesh.axis_names else None
+            tp = mesh.shape["tp"]
+            dp = mesh.shape["dp"] if self._dp_axis else 1
+            if self.adapter.num_kv_heads % tp:
+                raise ValueError(
+                    f"num_kv_heads={self.adapter.num_kv_heads} not divisible "
+                    f"by tp={tp}"
+                )
+            if ec.max_batch % dp:
+                raise ValueError(f"max_batch={ec.max_batch} not divisible by dp={dp}")
+            pool_sharding = NamedSharding(mesh, P(None, None, "tp"))
+
+        # layer groups (hybrid attention): group g's pages live in a shared
+        # arena of layers_per_group layers; plain models have one group
+        self.group_windows: tuple = getattr(
+            self.adapter, "group_windows", None
+        ) or (getattr(self.adapter, "window", None),)
+        self.num_groups = len(self.group_windows)
+        arena_layers = (
+            self.adapter.layers_per_group
+            if self.num_groups > 1
+            else self.adapter.num_layers
+        )
+
         self.kv_cfg = KVConfig(
-            num_layers=self.adapter.num_layers,
+            num_layers=arena_layers,
             num_kv_heads=self.adapter.num_kv_heads,
             head_dim=self.adapter.head_dim,
             block_tokens=ec.page_tokens,  # block == page on TPU
@@ -158,27 +211,94 @@ class LLMEngine:
                     self.kv_cfg,
                     hbm_budget_bytes=int(budget * ec.hbm_utilization),
                 )
-            self.pool = DevicePagePool(spec)
+            self.pool = DevicePagePool(spec, sharding=pool_sharding)
             self.arrays = PoolArrays(*self.pool.allocate_arrays())
 
-        self.manager = create_kv_cache_manager(
-            self.kv_cfg,
-            self.pool,
-            ipc_name=ec.ipc_name,
-            reserve_null_block=True,
-        )
+        # one manager per layer group over the SAME physical pool: pages are
+        # fungible across groups (shared arena), accounting/limits per group
+        # (reference per-group FTensorAllocator multiton + shm _g suffix)
+        self.managers = [
+            create_kv_cache_manager(
+                self.kv_cfg if g == 0 else
+                KVConfig(**{**self.kv_cfg.__dict__, "group_id": g}),
+                self.pool,
+                ipc_name=ec.ipc_name,
+                reserve_null_block=True,
+            )
+            for g in range(self.num_groups)
+        ]
+        self.manager = self.managers[0]
+
+        # Elastic mamba state pool (reference ElasticMambaPool): slots are
+        # blocks of a dedicated manager (block_tokens=1), over a separate
+        # arena — state cells and KV pages have different byte geometry so
+        # they are not fungible, but limits/accounting/prealloc are shared
+        # machinery.  Slot 0 (physical page 0) is the null slot.
+        self.has_state = bool(getattr(self.adapter, "has_state", False))
+        self.state_manager = None
+        self.states = None
+        if self.has_state:
+            spec = self.adapter.state_spec
+            self._state_spp = spec.slots_per_page
+            n_slots = ec.state_slots or 4 * ec.max_batch
+            state_pages = 1 + -(-n_slots // spec.slots_per_page)  # + null page
+            state_kv_cfg = KVConfig(
+                num_layers=spec.num_layers,
+                num_kv_heads=1,
+                head_dim=spec.cell_elems,
+                block_tokens=1,  # one block = one state slot
+                page_tokens=spec.slots_per_page,
+                kv_dtype="float32",
+                num_kv_buffers=1,
+                group_id=self.num_groups,  # after the attention groups
+            )
+            state_pool_spec = PoolSpec(
+                num_layers=spec.num_layers,
+                num_pages=state_pages,
+                num_kv_heads=1,
+                page_tokens=spec.slots_per_page,
+                head_dim=spec.cell_elems,
+                dtype=jnp.float32,
+                num_kv_buffers=1,
+            )
+            self.state_pool = DevicePagePool(state_pool_spec)
+            self.state_manager = create_kv_cache_manager(
+                state_kv_cfg,
+                self.state_pool,
+                ipc_name=ec.ipc_name,
+                reserve_null_block=True,
+                virtual_blocks=n_slots + 1,  # +1: the null slot
+            )
+            # [L_mamba, phys_slots, cell] — physical slot = page*spp + offset
+            self.states = jnp.zeros(
+                (spec.num_layers, state_pages * spec.slots_per_page,
+                 spec.cell_elems),
+                jnp.float32,
+            )
 
         self.params = (
             params
             if params is not None
             else self.adapter.init_params(jax.random.PRNGKey(seed))
         )
+        if mesh is not None:
+            from ..parallel.mesh import shard_tree
+
+            self.params = shard_tree(
+                self.params, mesh, self.adapter.param_specs("tp")
+            )
 
         self.max_pages_per_seq = ec.max_model_len // ec.page_tokens
         # sliding-window models reclaim pages mid-sequence; cached pages
-        # would dangle, so the prefix cache is forced off
-        enable_cache = ec.enable_prefix_caching and not getattr(
-            self.adapter, "window", None
+        # would dangle, so the prefix cache is forced off (hybrid models
+        # always have a windowed group)
+        enable_cache = (
+            ec.enable_prefix_caching
+            and not getattr(self.adapter, "window", None)
+            and self.num_groups == 1
+            # mamba state is not content-addressable at page granularity —
+            # a cached KV page without its matching state is unusable
+            and not self.has_state
         )
         self.prefix_cache = PrefixCache(
             ec.page_tokens,
@@ -194,6 +314,7 @@ class LLMEngine:
         # decode fns are compiled lazily per horizon K (adaptive horizon:
         # dispatches near a sequence's cap use a shorter scan, avoiding
         # wasted post-cap steps)
+        self._build_step_impls()
         self._decode_fns: dict[int, object] = {}
         self._prefill_fn = self._build_prefill_fn()
 
@@ -235,6 +356,59 @@ class LLMEngine:
 
     # ------------------------------------------------------------- jit build
 
+    def _build_step_impls(self) -> None:
+        """Single-device or shard-mapped model step callables.  Under a
+        mesh, decode shards the batch over dp and heads/pools over tp;
+        prefill (one sequence) replicates over dp and shards over tp."""
+        adapter, ec = self.adapter, self.cfg
+        if self.mesh is None:
+            self._decode_step_impl = partial(
+                adapter.decode_step, interpret=ec.interpret
+            )
+            self._prefill_step_impl = partial(
+                adapter.prefill_step, interpret=ec.interpret
+            )
+            return
+
+        from jax.sharding import PartitionSpec as P
+
+        pspecs = adapter.param_specs("tp")
+        pool_p = P(None, None, "tp")
+        dp = self._dp_axis
+        bd = P(dp) if dp else P()
+        b2 = P(dp, None) if dp else P()
+        rep = P()
+
+        def dstep(params, tokens, positions, k_pools, v_pools,
+                  page_tables, slot_pages, slot_offsets, seq_lens):
+            return adapter.decode_step(
+                params, tokens, positions, k_pools, v_pools,
+                page_tables, slot_pages, slot_offsets, seq_lens,
+                tp_axis="tp", interpret=ec.interpret,
+            )
+
+        self._decode_step_impl = jax.shard_map(
+            dstep, mesh=self.mesh,
+            in_specs=(pspecs, bd, bd, pool_p, pool_p, b2, bd, bd, bd),
+            out_specs=(bd, pool_p, pool_p),
+            check_vma=False,
+        )
+
+        def pstep(params, tokens, positions, k_pools, v_pools,
+                  chunk_pages, page_table, q_start, true_len):
+            return adapter.prefill_step(
+                params, tokens, positions, k_pools, v_pools,
+                chunk_pages, page_table, q_start, true_len,
+                tp_axis="tp", interpret=ec.interpret,
+            )
+
+        self._prefill_step_impl = jax.shard_map(
+            pstep, mesh=self.mesh,
+            in_specs=(pspecs, rep, rep, pool_p, pool_p, rep, rep, rep, rep),
+            out_specs=(rep, pool_p, pool_p),
+            check_vma=False,
+        )
+
     def _decode_fn_for(self, K: int):
         fn = self._decode_fns.get(K)
         if fn is None:
@@ -242,7 +416,10 @@ class LLMEngine:
         return fn
 
     def _build_decode_fn(self, K: int):
-        adapter, ec = self.adapter, self.cfg
+        if self.has_state:
+            return self._build_decode_fn_stateful(K)
+        ec = self.cfg
+        decode_step = self._decode_step_impl
         P = ec.page_tokens
 
         @partial(jax.jit, donate_argnums=(1, 2))
@@ -266,14 +443,19 @@ class LLMEngine:
                 positions = jnp.maximum(seq_lens - 1, 0)
                 page_idx = positions // P
                 b_idx = jnp.arange(tokens.shape[0])
-                slot_pages = jnp.where(
-                    raw_lens > max_lens, 0, page_tables[b_idx, page_idx]
-                )
+                overflow = raw_lens > max_lens
+                if page_tables.ndim == 3:  # [G, B, max_pages] hybrid groups
+                    slot_pages = jnp.where(
+                        overflow[None, :], 0, page_tables[:, b_idx, page_idx]
+                    )
+                else:
+                    slot_pages = jnp.where(
+                        overflow, 0, page_tables[b_idx, page_idx]
+                    )
                 slot_offsets = positions % P
-                logits, k_pools, v_pools = adapter.decode_step(
+                logits, k_pools, v_pools = decode_step(
                     params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    interpret=ec.interpret,
                 )
                 key, sub = jax.random.split(key)
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -290,19 +472,82 @@ class LLMEngine:
 
         return decode_multi
 
+    def _build_decode_fn_stateful(self, K: int):
+        """Decode horizon for stateful (mamba) models: the state pool rides
+        the scan carry, donated alongside the KV pools."""
+        ec = self.cfg
+        adapter = self.adapter
+        P = ec.page_tokens
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3))
+        def decode_multi(params, k_pools, v_pools, states, tokens0,
+                         seq_lens0, page_tables, temps, max_lens,
+                         state_slots, rng_key):
+            def one_step(carry, j):
+                tokens, k_pools, v_pools, states, key = carry
+                raw_lens = seq_lens0 + j + 1
+                seq_lens = jnp.minimum(raw_lens, max_lens)
+                positions = jnp.maximum(seq_lens - 1, 0)
+                page_idx = positions // P
+                b_idx = jnp.arange(tokens.shape[0])
+                overflow = raw_lens > max_lens
+                slot_pages = jnp.where(
+                    overflow, 0, page_tables[b_idx, page_idx]
+                )
+                slot_offsets = positions % P
+                ss = jnp.where(overflow, -1, state_slots)  # -1 = drop write
+                logits, k_pools, v_pools, states = adapter.decode_step(
+                    params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    states=states, state_slots=ss, interpret=ec.interpret,
+                )
+                key, sub = jax.random.split(key)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                sampled = jax.random.categorical(
+                    sub, logits / jnp.maximum(temps, 1e-6)[:, None]
+                ).astype(jnp.int32)
+                next_tokens = jnp.where(temps > 0, sampled, greedy)
+                return (next_tokens, k_pools, v_pools, states, key), next_tokens
+
+            (_, k_pools, v_pools, states, _), toks = jax.lax.scan(
+                one_step, (tokens0, k_pools, v_pools, states, rng_key),
+                jnp.arange(K),
+            )
+            return toks, k_pools, v_pools, states
+
+        return decode_multi
+
     def _build_prefill_fn(self):
-        adapter, ec = self.adapter, self.cfg
+        if self.has_state:
+            return self._build_prefill_fn_stateful()
+        prefill_step = self._prefill_step_impl
 
         @partial(jax.jit, donate_argnums=(1, 2))
         def prefill(params, k_pools, v_pools, tokens, positions, chunk_pages,
                     page_table, q_start, true_len):
-            logits, k_pools, v_pools = adapter.prefill_step(
+            logits, k_pools, v_pools = prefill_step(
                 params, tokens, positions, k_pools, v_pools,
                 chunk_pages, page_table, q_start, true_len,
-                interpret=ec.interpret,
             )
             next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return next_token, k_pools, v_pools
+
+        return prefill
+
+    def _build_prefill_fn_stateful(self):
+        ec = self.cfg
+        adapter = self.adapter
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3))
+        def prefill(params, k_pools, v_pools, states, tokens, positions,
+                    chunk_pages, page_table, q_start, true_len, state_slot):
+            logits, k_pools, v_pools, states = adapter.prefill_step(
+                params, tokens, positions, k_pools, v_pools,
+                chunk_pages, page_table, q_start, true_len,
+                states=states, state_slot=state_slot, interpret=ec.interpret,
+            )
+            next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return next_token, k_pools, v_pools, states
 
         return prefill
 
@@ -316,7 +561,7 @@ class LLMEngine:
             )
         # prompts longer than the largest bucket are served by chunked
         # prefill (_do_prefill loops bucket-sized chunks, advancing q_start)
-        self.waiting.append(Sequence(req))
+        self.waiting.append(Sequence(req, self.num_groups))
         return req.req_id
 
     def has_unfinished(self) -> bool:
@@ -327,51 +572,75 @@ class LLMEngine:
     def _blocks_needed(self, num_tokens: int) -> int:
         return -(-num_tokens // self.cfg.page_tokens)
 
-    def _alloc_blocks(self, need: int) -> list[int] | None:
-        """Allocate through the manager, reclaiming prefix-cache pages under
-        pressure first (the reference evicts LRU evictable blocks before
-        failing, vllm/patches.py:492-495)."""
-        blocks = self.manager.alloc(need)
+    def _alloc_blocks(self, need: int, g: int = 0) -> list[int] | None:
+        """Allocate through group g's manager, reclaiming prefix-cache pages
+        under pressure first (the reference evicts LRU evictable blocks
+        before failing, vllm/patches.py:492-495)."""
+        mgr = self.managers[g]
+        blocks = mgr.alloc(need)
         if blocks is None and self.prefix_cache.num_evictable:
             evicted = self.prefix_cache.evict(need + 4)
             if evicted:
                 self.manager.free(evicted)
-                blocks = self.manager.alloc(need)
+                blocks = mgr.alloc(need)
         return blocks
 
     def _ensure_blocks(self, seq: Sequence, num_tokens: int) -> bool:
-        """Grow seq's block list to cover ``num_tokens`` tokens."""
+        """Grow seq's block lists (every group) to cover ``num_tokens``
+        tokens.  All-or-nothing: on any group's failure, pages just taken
+        for earlier groups are returned."""
         num_tokens = min(num_tokens, self.cfg.max_model_len)
-        need = self._blocks_needed(num_tokens) - len(seq.blocks)
-        if need <= 0:
-            return True
-        blocks = self._alloc_blocks(need)
-        if blocks is None:
-            return False
-        seq.blocks.extend(blocks)
+        target = self._blocks_needed(num_tokens)
+        taken: list[tuple[int, list[int]]] = []
+        for g in range(self.num_groups):
+            need = target - len(seq.blocks_g[g])
+            if need <= 0:
+                continue
+            blocks = self._alloc_blocks(need, g)
+            if blocks is None:
+                for gg, bs in taken:
+                    self.managers[gg].free(bs)
+                    del seq.blocks_g[gg][-len(bs):]
+                return False
+            seq.blocks_g[g].extend(blocks)
+            taken.append((g, blocks))
         return True
 
     def _reclaim_slid_pages(self, seq: Sequence) -> None:
-        """Sliding-window models: free pages every token of which is below
-        the window of every *future* position (reference gpt-oss hybrid
-        groups reclaim the same way via per-group pools)."""
-        window = getattr(self.adapter, "window", None)
-        if not window:
-            return
-        # earliest kv position any future step can read
-        win_start = len(seq.tokens) - window
-        if win_start <= 0:
-            return
-        last_dead_page = win_start // self.cfg.page_tokens  # exclusive
-        dead = [
-            b for b in seq.blocks[:last_dead_page] if b is not None
-        ]
-        if dead:
-            self.manager.free(dead)
-            for j in range(last_dead_page):
-                seq.blocks[j] = None
+        """Sliding-window groups free pages every token of which is below
+        the window of every *future* position — full-attention groups keep
+        theirs (the reference's per-group hybrid reclaim)."""
+        for g, window in enumerate(self.group_windows):
+            if not window:
+                continue
+            win_start = len(seq.tokens) - window
+            if win_start <= 0:
+                continue
+            last_dead_page = win_start // self.cfg.page_tokens  # exclusive
+            row = seq.blocks_g[g]
+            dead = [b for b in row[:last_dead_page] if b is not None]
+            if dead:
+                self.managers[g].free(dead)
+                for j in range(last_dead_page):
+                    row[j] = None
+
+    def _phys_state_slot(self, seq: Sequence) -> int:
+        """Physical state-slot id: page-table translate the slot's page."""
+        spp = self._state_spp
+        b = seq.state_block
+        pt = self.state_manager.page_allocator.page_table
+        return int(pt[b // spp]) * spp + (b % spp)
 
     def _free_seq(self, seq: Sequence, cache_kv: bool = True) -> None:
+        if self.has_state and seq.state_block is not None:
+            self.state_manager.free([seq.state_block])
+            seq.state_block = None
+        # non-primary groups never enter the prefix cache: free directly
+        for g in range(1, self.num_groups):
+            live = [b for b in seq.blocks_g[g] if b is not None]
+            if live:
+                self.managers[g].free(live)
+            seq.blocks_g[g] = []
         seq.blocks = [b for b in seq.blocks if b is not None]
         if not seq.blocks:
             return
@@ -415,15 +684,21 @@ class LLMEngine:
         logger.info("preempted request %d under memory pressure", seq.req.req_id)
         return True
 
-    def _phys_row(self, seq: Sequence) -> np.ndarray:
-        pt = self.manager.page_allocator.page_table
+    def _phys_row(self, seq: Sequence, g: int = 0) -> np.ndarray:
+        pt = self.managers[g].page_allocator.page_table
         row = np.zeros(self.max_pages_per_seq, np.int32)
-        for j, b in enumerate(seq.blocks):
+        for j, b in enumerate(seq.blocks_g[g]):
             # None = page slid out of the attention window and was reclaimed;
             # its row entry points at the zero page (never read: the kernels
             # skip pages before the window start)
             row[j] = pt[b] if b is not None else 0
         return row
+
+    def _phys_rows(self, seq: Sequence) -> np.ndarray:
+        """[G, max_pages] physical rows (hybrid multi-group dispatch)."""
+        return np.stack(
+            [self._phys_row(seq, g) for g in range(self.num_groups)]
+        )
 
     def _bucket_len(self, n: int) -> int:
         for b in self.cfg.prefill_buckets:
@@ -452,6 +727,14 @@ class LLMEngine:
         seq.blocks = list(hits)
         seq.num_cached_pages = n_hit
 
+        # stateful models: one state slot per sequence (reference mamba
+        # req-to-token slot), allocated before KV pages
+        if self.has_state and seq.state_block is None:
+            sb = self.state_manager.alloc(1)
+            if sb is None:
+                return False
+            seq.state_block = sb[0]
+
         if not self._ensure_blocks(seq, plen + 1):
             # roll back the lookup references; release() may return LRU-cap
             # overflow victims that must be truly freed or they leak
@@ -459,6 +742,9 @@ class LLMEngine:
             if to_free:
                 self.manager.free(to_free)
             seq.blocks = []
+            if self.has_state and seq.state_block is not None:
+                self.state_manager.free([seq.state_block])
+                seq.state_block = None
             return False
 
         # Chunked prefill (the reference's host engines chunk long prefills
@@ -467,7 +753,8 @@ class LLMEngine:
         # so far, so the result is token-exact vs a single-shot prefill.
         q_start = n_hit * P
         max_bucket = max(self.cfg.prefill_buckets)
-        phys = self._phys_row(seq)
+        multi = self.num_groups > 1
+        phys = self._phys_rows(seq) if multi else self._phys_row(seq)
         next_token = None
         while q_start < plen:
             this_len = min(plen - q_start, max_bucket)
@@ -478,14 +765,30 @@ class LLMEngine:
             positions = q_start + np.arange(T, dtype=np.int32)
             start_page = q_start // P
             n_real = -(-this_len // P)
-            chunk_pages = np.zeros(T // P, np.int32)
-            chunk_pages[:n_real] = phys[start_page : start_page + n_real]
-            next_token, self.k_pools, self.v_pools = self._prefill_fn(
-                self.params, self.k_pools, self.v_pools,
-                jnp.asarray(tokens), jnp.asarray(positions),
-                jnp.asarray(chunk_pages), jnp.asarray(phys),
-                jnp.asarray(q_start, jnp.int32), jnp.asarray(this_len, jnp.int32),
-            )
+            if multi:
+                chunk_pages = np.zeros((self.num_groups, T // P), np.int32)
+                chunk_pages[:, :n_real] = phys[:, start_page : start_page + n_real]
+            else:
+                chunk_pages = np.zeros(T // P, np.int32)
+                chunk_pages[:n_real] = phys[start_page : start_page + n_real]
+            if self.has_state:
+                slot = jnp.asarray(self._phys_state_slot(seq), jnp.int32)
+                next_token, self.k_pools, self.v_pools, self.states = (
+                    self._prefill_fn(
+                        self.params, self.k_pools, self.v_pools, self.states,
+                        jnp.asarray(tokens), jnp.asarray(positions),
+                        jnp.asarray(chunk_pages), jnp.asarray(phys),
+                        jnp.asarray(q_start, jnp.int32),
+                        jnp.asarray(this_len, jnp.int32), slot,
+                    )
+                )
+            else:
+                next_token, self.k_pools, self.v_pools = self._prefill_fn(
+                    self.params, self.k_pools, self.v_pools,
+                    jnp.asarray(tokens), jnp.asarray(positions),
+                    jnp.asarray(chunk_pages), jnp.asarray(phys),
+                    jnp.asarray(q_start, jnp.int32), jnp.asarray(this_len, jnp.int32),
+                )
             q_start += this_len
         seq.tokens.append(int(next_token))
         seq.num_prefilled = plen
@@ -529,23 +832,44 @@ class LLMEngine:
 
         tokens0 = np.zeros(B, np.int32)
         seq_lens0 = np.zeros(B, np.int32)
-        page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        if self.num_groups > 1:
+            page_tables = np.zeros(
+                (self.num_groups, B, self.max_pages_per_seq), np.int32
+            )
+        else:
+            page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
         temps = np.zeros(B, np.float32)
         max_lens = np.zeros(B, np.int32)  # 0 for padded rows: all writes discarded
         for i, seq in enumerate(batch):
             tokens0[i] = seq.tokens[-1]
             seq_lens0[i] = len(seq.tokens) - 1  # KV written so far
-            page_tables[i] = self._phys_row(seq)
+            if self.num_groups > 1:
+                page_tables[:, i] = self._phys_rows(seq)
+            else:
+                page_tables[i] = self._phys_row(seq)
             temps[i] = seq.req.sampling.temperature
             max_lens[i] = self._row_cap(seq)
 
         key = jax.random.PRNGKey(self._step_count)
-        toks, self.k_pools, self.v_pools = self._decode_fn_for(K)(
-            self.params, self.k_pools, self.v_pools,
-            jnp.asarray(tokens0), jnp.asarray(seq_lens0),
-            jnp.asarray(page_tables), jnp.asarray(temps),
-            jnp.asarray(max_lens), key,
-        )
+        if self.has_state:
+            state_slots = np.full(B, -1, np.int32)  # -1 = padded row (drop)
+            for i, seq in enumerate(batch):
+                state_slots[i] = self._phys_state_slot(seq)
+            toks, self.k_pools, self.v_pools, self.states = (
+                self._decode_fn_for(K)(
+                    self.params, self.k_pools, self.v_pools, self.states,
+                    jnp.asarray(tokens0), jnp.asarray(seq_lens0),
+                    jnp.asarray(page_tables), jnp.asarray(temps),
+                    jnp.asarray(max_lens), jnp.asarray(state_slots), key,
+                )
+            )
+        else:
+            toks, self.k_pools, self.v_pools = self._decode_fn_for(K)(
+                self.params, self.k_pools, self.v_pools,
+                jnp.asarray(tokens0), jnp.asarray(seq_lens0),
+                jnp.asarray(page_tables), jnp.asarray(temps),
+                jnp.asarray(max_lens), key,
+            )
         toks = np.asarray(toks)  # [K, B]
 
         for i, seq in enumerate(batch):
@@ -577,13 +901,23 @@ class LLMEngine:
         horizon plus a page of margin.  Prevents admit→grow→preempt churn
         near capacity (each preemption recomputes the whole sequence), the
         engine-side analogue of vLLM's scheduler watermark."""
-        need = self._blocks_needed(
+        target = self._blocks_needed(
             seq.prompt_len + self.cfg.decode_horizon
-        ) - len(seq.blocks) + 1
-        return (
-            self.manager.available_size() + self.prefix_cache.num_evictable
-            >= need
-        )
+        ) + 1
+        for g in range(self.num_groups):
+            need = target - len(seq.blocks_g[g])
+            avail = self.managers[g].available_size() + (
+                self.prefix_cache.num_evictable if g == 0 else 0
+            )
+            if avail < need:
+                return False
+        if (
+            self.has_state
+            and seq.state_block is None
+            and self.state_manager.available_size() < 1
+        ):
+            return False
+        return True
 
     def step(self) -> None:
         """One scheduler iteration: admit+prefill one waiting request if
@@ -622,16 +956,44 @@ class LLMEngine:
     # ------------------------------------------------------------- metrics
 
     def kv_metrics(self) -> dict:
-        return {
-            "mapped_bytes": self.manager.get_mapped_memory_size(),
-            "in_use_pages": self.manager.page_allocator.num_in_use,
-            "reserved_pages": self.manager.page_allocator.num_reserved,
-            "available_blocks": self.manager.available_size(),
+        out = {
+            "mapped_bytes": sum(
+                m.get_mapped_memory_size() for m in self.managers
+            ),
+            "in_use_pages": sum(
+                m.page_allocator.num_in_use for m in self.managers
+            ),
+            "reserved_pages": sum(
+                m.page_allocator.num_reserved for m in self.managers
+            ),
+            # the admission-relevant number: the scarcest group gates admits
+            "available_blocks": min(
+                m.available_size() for m in self.managers
+            ),
             "running": len(self.running),
             "waiting": len(self.waiting),
             "preemptions": self._preempt_count,
             "prefix_cache": self.prefix_cache.get_usage(),
         }
+        if self.num_groups > 1:
+            out["groups"] = [
+                {
+                    "window": self.group_windows[g],
+                    "in_use_pages": self.managers[g].page_allocator.num_in_use,
+                    "mapped_bytes": self.managers[g].get_mapped_memory_size(),
+                }
+                for g in range(self.num_groups)
+            ]
+        if self.has_state:
+            out["state_pool"] = {
+                "in_use_pages": self.state_manager.page_allocator.num_in_use,
+                "mapped_bytes": self.state_manager.get_mapped_memory_size(),
+                "available_slots": self.state_manager.available_size(),
+            }
+        return out
 
     def shutdown(self) -> None:
-        self.manager.shutdown()
+        for m in self.managers:
+            m.shutdown()
+        if self.state_manager is not None:
+            self.state_manager.shutdown()

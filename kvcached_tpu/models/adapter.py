@@ -31,11 +31,19 @@ class ModelAdapter(Protocol):
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, interpret: bool = False): ...
+                    *, tp_axis: str | None = None,
+                    interpret: bool = False): ...
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
                      chunk_pages, page_table, q_start, true_len,
-                     *, interpret: bool = False): ...
+                     *, tp_axis: str | None = None,
+                     interpret: bool = False): ...
+
+    def param_specs(self, tp_axis: str) -> dict:
+        """PartitionSpec tree for TP-sharding the params.  Adapters without
+        a TP story may raise NotImplementedError — the engine then refuses
+        a mesh for that model family."""
+        ...
 
 
 @dataclass
@@ -58,24 +66,30 @@ class LlamaAdapter:
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, interpret=False):
+                    *, tp_axis=None, interpret=False):
         from .llama import llama_decode_step
 
         return llama_decode_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
-            interpret=interpret,
+            tp_axis=tp_axis, interpret=interpret,
         )
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
                      chunk_pages, page_table, q_start, true_len,
-                     *, interpret=False):
+                     *, tp_axis=None, interpret=False):
         from .llama import llama_prefill_step
 
         return llama_prefill_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
-            chunk_pages, page_table, q_start, true_len, interpret=interpret,
+            chunk_pages, page_table, q_start, true_len,
+            tp_axis=tp_axis, interpret=interpret,
         )
+
+    def param_specs(self, tp_axis: str) -> dict:
+        from ..parallel.mesh import llama_param_specs
+
+        return llama_param_specs(tp_axis)
 
 
 @dataclass
@@ -98,33 +112,154 @@ class MLAAdapter:
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, interpret=False):
+                    *, tp_axis=None, interpret=False):
         from .mla import mla_decode_step
 
         return mla_decode_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
-            interpret=interpret,
+            tp_axis=tp_axis, interpret=interpret,
         )
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
                      chunk_pages, page_table, q_start, true_len,
-                     *, interpret=False):
+                     *, tp_axis=None, interpret=False):
         from .mla import mla_prefill_step
 
         return mla_prefill_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
-            chunk_pages, page_table, q_start, true_len, interpret=interpret,
+            chunk_pages, page_table, q_start, true_len,
+            tp_axis=tp_axis, interpret=interpret,
+        )
+
+    def param_specs(self, tp_axis: str) -> dict:
+        # MLA's latent cache has a single kv head — the pool cannot shard on
+        # the head axis, so engine-level TP is not offered for this family
+        raise NotImplementedError("MLA adapter has no TP param sharding")
+
+
+@dataclass
+class HybridAdapter:
+    """Full-attention + sliding-window layer groups over per-group elastic
+    pools (reference: gpt-oss hybrid groups, vllm/patches.py:674-789)."""
+
+    cfg: Any  # HybridConfig
+
+    def __post_init__(self):
+        c = self.cfg
+        self.vocab_size = c.vocab_size
+        self.num_layers = c.num_layers
+        self.num_kv_heads = c.num_kv_heads
+        self.head_dim = c.head_dim
+        self.num_kv_buffers = 2
+        self.window = None  # windows are per-group, not global
+        self.group_windows = c.group_windows  # engine: one manager per group
+        self.layers_per_group = c.layers_per_group  # shared-arena layer dim
+
+    def init_params(self, key):
+        from .hybrid import init_hybrid_params
+
+        return init_hybrid_params(self.cfg, key)
+
+    def decode_step(self, params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    *, tp_axis=None, interpret=False):
+        from .hybrid import hybrid_decode_step
+
+        return hybrid_decode_step(
+            params, self.cfg, tokens, positions, k_pools, v_pools,
+            page_tables, slot_pages, slot_offsets, seq_lens,
+            tp_axis=tp_axis, interpret=interpret,
+        )
+
+    def prefill_step(self, params, tokens, positions, k_pools, v_pools,
+                     chunk_pages, page_table, q_start, true_len,
+                     *, tp_axis=None, interpret=False):
+        from .hybrid import hybrid_prefill_step
+
+        return hybrid_prefill_step(
+            params, self.cfg, tokens, positions, k_pools, v_pools,
+            chunk_pages, page_table, q_start, true_len,
+            tp_axis=tp_axis, interpret=interpret,
+        )
+
+    def param_specs(self, tp_axis: str) -> dict:
+        from ..parallel.mesh import llama_param_specs
+
+        return llama_param_specs(tp_axis)  # same stacked param tree
+
+
+@dataclass
+class HybridLinearAdapter:
+    """Attention + mamba layers: KV pool for the attention group, an
+    elastic per-sequence STATE-slot pool for the mamba layers (reference
+    ElasticMambaPool/HybridLinearKVPool, sglang/patches.py:705-1208)."""
+
+    cfg: Any  # HybridLinearConfig
+
+    def __post_init__(self):
+        from .mamba import StateSpec
+
+        c = self.cfg
+        self.vocab_size = c.vocab_size
+        # the KV pool covers only the ATTENTION layers
+        self.num_layers = c.num_attn_layers
+        self.num_kv_heads = c.num_kv_heads
+        self.head_dim = c.head_dim
+        self.num_kv_buffers = 2
+        self.window = None
+        self.has_state = True
+        self.state_spec = StateSpec(
+            num_layers=c.num_mamba_layers,
+            cell_elems=c.cell_elems,
+        )
+
+    def init_params(self, key):
+        from .mamba import init_hybrid_linear_params
+
+        return init_hybrid_linear_params(self.cfg, key)
+
+    def decode_step(self, params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    *, states, state_slots, tp_axis=None, interpret=False):
+        from .mamba import hybrid_linear_decode_step
+
+        return hybrid_linear_decode_step(
+            params, self.cfg, tokens, positions, k_pools, v_pools, states,
+            page_tables, slot_pages, slot_offsets, seq_lens, state_slots,
+            tp_axis=tp_axis, interpret=interpret,
+        )
+
+    def prefill_step(self, params, tokens, positions, k_pools, v_pools,
+                     chunk_pages, page_table, q_start, true_len,
+                     *, states, state_slot, tp_axis=None, interpret=False):
+        from .mamba import hybrid_linear_prefill_step
+
+        return hybrid_linear_prefill_step(
+            params, self.cfg, tokens, positions, k_pools, v_pools, states,
+            chunk_pages, page_table, q_start, true_len, state_slot,
+            tp_axis=tp_axis, interpret=interpret,
+        )
+
+    def param_specs(self, tp_axis: str) -> dict:
+        raise NotImplementedError(
+            "hybrid-linear adapter has no TP param sharding yet"
         )
 
 
 def as_adapter(model) -> ModelAdapter:
-    """Accept a config (LlamaConfig/MLAConfig) or an adapter."""
+    """Accept a model config or an adapter."""
+    from .hybrid import HybridConfig
     from .llama import LlamaConfig
+    from .mamba import HybridLinearConfig
     from .mla import MLAConfig
 
     if isinstance(model, LlamaConfig):
         return LlamaAdapter(model)
     if isinstance(model, MLAConfig):
         return MLAAdapter(model)
+    if isinstance(model, HybridConfig):
+        return HybridAdapter(model)
+    if isinstance(model, HybridLinearConfig):
+        return HybridLinearAdapter(model)
     return model

@@ -1,0 +1,296 @@
+"""Hybrid-attention decoder: per-layer-group KV pools (full attention +
+sliding-window groups).
+
+The reference's hybrid story (gpt-oss-style models) runs one elastic KV pool
+*per layer group*, each with its own geometry and lifetime: sliding-window
+layers free pages that slid out of the window while full-attention layers
+keep theirs (reference group multiton `csrc/allocator.cpp:101-114`, group
+validation + attention-type inference
+`kvcached/integration/vllm/patches.py:674-789`).
+
+TPU-native form:
+
+- Groups with identical per-page geometry (same layers-per-group, kv heads,
+  page_tokens, head_dim) share ONE physical arena `[L_g, pages, KH, P, D]`
+  and ONE free-list — pages are fungible across groups, so elasticity
+  between groups is automatic.  Each group still has its own
+  :class:`KVCacheManager` (virtual block space, page table, shm segment
+  ``_g<id>``) — the reference's per-group accounting surface.
+- The layer scan carries per-layer ``(group_idx, layer_in_group)`` arrays;
+  attention dispatches through ``lax.switch`` over per-group branches, each
+  closing over its group's STATIC window (Pallas kernels need static
+  windows) and selecting its group's page table / write slot row.
+- Config: ``layer_windows[l]`` = None (full attention) or window size.
+  Groups are the distinct window values in order of first appearance.
+
+The residual stream passes through layers in their original interleaved
+order — only the KV bookkeeping is grouped.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
+from ..ops.paged_prefill import paged_prefill_attention
+from .llama import init_llama_params, rms_norm, rope
+
+
+@dataclass(frozen=True)
+class HybridConfig:
+    """Llama-shaped decoder with per-layer attention windows."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    num_layers: int = 16
+    num_heads: int = 16
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 5632
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    dtype: str = "bfloat16"
+    #: per-layer window: None = full attention, int = sliding window tokens.
+    layer_windows: tuple = ()
+
+    def __post_init__(self):
+        if len(self.layer_windows) != self.num_layers:
+            raise ValueError(
+                f"layer_windows must have {self.num_layers} entries, got "
+                f"{len(self.layer_windows)}"
+            )
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @classmethod
+    def toy(cls, num_layers: int = 4, window: int = 32, **kw):
+        """Alternating full / sliding-window layers (the gpt-oss pattern)."""
+        base = dict(
+            vocab_size=512,
+            hidden_size=256,
+            num_layers=num_layers,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=128,
+            intermediate_size=512,
+            layer_windows=tuple(
+                None if i % 2 == 0 else window for i in range(num_layers)
+            ),
+        )
+        base.update(kw)
+        return cls(**base)
+
+    # ---- group structure ---------------------------------------------------
+
+    @property
+    def group_windows(self) -> tuple:
+        """Distinct windows in order of first appearance (group g's window)."""
+        seen: list = []
+        for w in self.layer_windows:
+            if w not in seen:
+                seen.append(w)
+        return tuple(seen)
+
+    @property
+    def group_index(self) -> tuple:
+        """group id of each layer."""
+        gw = self.group_windows
+        return tuple(gw.index(w) for w in self.layer_windows)
+
+    @property
+    def layer_in_group(self) -> tuple:
+        """Arena layer index of each layer (position within its group)."""
+        counts = [0] * len(self.group_windows)
+        out = []
+        for g in self.group_index:
+            out.append(counts[g])
+            counts[g] += 1
+        return tuple(out)
+
+    @property
+    def layers_per_group(self) -> int:
+        gi = self.group_index
+        counts = [gi.count(g) for g in range(len(self.group_windows))]
+        if len(set(counts)) != 1:
+            raise ValueError(
+                f"groups must have equal layer counts to share one arena, "
+                f"got {counts}; pad layer_windows or use distinct pools"
+            )
+        return counts[0]
+
+
+def init_hybrid_params(cfg: HybridConfig, key: jax.Array) -> dict:
+    # identical parameter pytree to the Llama family (stacked layers)
+    return init_llama_params(cfg, key)
+
+
+def _maybe_psum(x, tp_axis):
+    return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+
+def hybrid_decode_step(
+    params: dict,
+    cfg: HybridConfig,
+    tokens: jax.Array,  # [B]
+    positions: jax.Array,  # [B]
+    k_pools: jax.Array,  # [L_g, pages, KH, P, D] shared arena
+    v_pools: jax.Array,
+    page_tables: jax.Array,  # [G, B, max_pages] PHYSICAL ids per group
+    slot_pages: jax.Array,  # [G, B] write page per group (0 = discard)
+    slot_offsets: jax.Array,  # [B]
+    seq_lens: jax.Array,  # [B] incl. current token
+    *,
+    tp_axis: str | None = None,
+    interpret: bool = False,
+):
+    B = tokens.shape[0]
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if tp_axis:
+        tp = jax.lax.axis_size(tp_axis)
+        H, KH = H // tp, KH // tp
+    windows = cfg.group_windows
+    G = len(windows)
+
+    x = params["embed"][tokens]
+
+    def layer_fn(carry, layer):
+        x, k_pools, v_pools = carry
+        lp = layer["p"]
+        l_in_g = layer["lg"]
+        g_idx = layer["g"]
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q = (h @ lp["wq"]).reshape(B, H, D)
+        k = (h @ lp["wk"]).reshape(B, KH, D)
+        v = (h @ lp["wv"]).reshape(B, KH, D)
+        q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+        k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+
+        def make_branch(g: int):
+            w = windows[g]  # STATIC per branch
+
+            def branch(ops):
+                q, k, v, k_pools, v_pools = ops
+                return paged_attention_decode(
+                    q, k_pools, v_pools,
+                    page_tables[g], seq_lens, l_in_g,
+                    k.astype(k_pools.dtype), v.astype(v_pools.dtype),
+                    slot_pages[g], slot_offsets,
+                    interpret=interpret, window=w,
+                )
+
+            return branch
+
+        attn, k_pools, v_pools = jax.lax.switch(
+            g_idx, [make_branch(g) for g in range(G)],
+            (q, k, v, k_pools, v_pools),
+        )
+        attn_out = attn.reshape(B, H * D) @ lp["wo"]
+        x = x + _maybe_psum(attn_out, tp_axis)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        x = x + _maybe_psum(mlp, tp_axis)
+        return (x, k_pools, v_pools), None
+
+    layers = {
+        "p": params["layers"],
+        "g": jnp.asarray(cfg.group_index, jnp.int32),
+        "lg": jnp.asarray(cfg.layer_in_group, jnp.int32),
+    }
+    (x, k_pools, v_pools), _ = jax.lax.scan(
+        layer_fn, (x, k_pools, v_pools), layers
+    )
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, k_pools, v_pools
+
+
+def hybrid_prefill_step(
+    params: dict,
+    cfg: HybridConfig,
+    tokens: jax.Array,  # [T]
+    positions: jax.Array,  # [T]
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    chunk_pages: jax.Array,  # [G, T // page_tokens] per-group write pages
+    page_table: jax.Array,  # [G, max_pages]
+    q_start: jax.Array,
+    true_len: jax.Array,
+    *,
+    tp_axis: str | None = None,
+    interpret: bool = False,
+):
+    T = tokens.shape[0]
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if tp_axis:
+        tp = jax.lax.axis_size(tp_axis)
+        H, KH = H // tp, KH // tp
+    windows = cfg.group_windows
+    G = len(windows)
+    kv_len = q_start + true_len
+
+    x = params["embed"][tokens]
+
+    def layer_fn(carry, layer):
+        x, k_pools, v_pools = carry
+        lp = layer["p"]
+        l_in_g = layer["lg"]
+        g_idx = layer["g"]
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q = (h @ lp["wq"]).reshape(T, H, D)
+        k = (h @ lp["wk"]).reshape(T, KH, D)
+        v = (h @ lp["wv"]).reshape(T, KH, D)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+
+        def make_branch(g: int):
+            w = windows[g]
+
+            def branch(ops):
+                q, k, v, k_pools, v_pools = ops
+                k_pools, v_pools = write_prefill_kv(
+                    k_pools, v_pools,
+                    k.transpose(1, 0, 2), v.transpose(1, 0, 2),
+                    chunk_pages[g], l_in_g, interpret=interpret,
+                )
+                attn = paged_prefill_attention(
+                    q, k_pools, v_pools, page_table[g], q_start, kv_len,
+                    l_in_g, interpret=interpret, window=w,
+                )
+                return attn, k_pools, v_pools
+
+            return branch
+
+        attn, k_pools, v_pools = jax.lax.switch(
+            g_idx, [make_branch(g) for g in range(G)],
+            (q, k, v, k_pools, v_pools),
+        )
+        attn_out = attn.reshape(T, H * D) @ lp["wo"]
+        x = x + _maybe_psum(attn_out, tp_axis)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        x = x + _maybe_psum(mlp, tp_axis)
+        return (x, k_pools, v_pools), None
+
+    layers = {
+        "p": params["layers"],
+        "g": jnp.asarray(cfg.group_index, jnp.int32),
+        "lg": jnp.asarray(cfg.layer_in_group, jnp.int32),
+    }
+    (x, k_pools, v_pools), _ = jax.lax.scan(layer_fn, (x, k_pools, v_pools), layers)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    last = x[jnp.maximum(true_len - 1, 0)]
+    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    return logits, k_pools, v_pools

@@ -63,12 +63,17 @@ def pool_spec_partition(tp_axis: str = "tp") -> P:
     return P(None, None, tp_axis)
 
 
-def shard_params(params: dict, mesh: Mesh, tp_axis: str = "tp") -> dict:
-    specs = llama_param_specs(tp_axis)
+def shard_tree(tree, mesh: Mesh, specs) -> dict:
+    """device_put every leaf of ``tree`` with its PartitionSpec from
+    ``specs`` (same structure, P leaves)."""
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def shard_params(params: dict, mesh: Mesh, tp_axis: str = "tp") -> dict:
+    return shard_tree(params, mesh, llama_param_specs(tp_axis))
 
 
 def build_sharded_decode_step(
