@@ -119,6 +119,9 @@ class EngineConfig:
     #: stateful (mamba) models: physical state slots in the state pool;
     #: None = 4 × max_batch
     state_slots: int | None = None
+    #: int8 KV: default per-head dequantization scale (amax/127 of expected
+    #: K/V magnitude); override per (layer, head) via set_kv_scales()
+    kv_scale: float = 0.04
 
 
 class LLMEngine:
@@ -356,17 +359,43 @@ class LLMEngine:
 
     # ------------------------------------------------------------- jit build
 
-    def _build_step_impls(self) -> None:
+    def set_kv_scales(self, k_scales, v_scales) -> None:
+        """int8 KV: install per-(layer, head) dequantization scales
+        ([L, KH] f32 each) and rebuild the compiled step fns."""
+        self.quant_scales = (
+            jnp.asarray(k_scales, jnp.float32),
+            jnp.asarray(v_scales, jnp.float32),
+        )
+        self._build_step_impls(reset_scales=False)
+        self._decode_fns.clear()
+        self._prefill_fn = self._build_prefill_fn()
+
+    def _build_step_impls(self, reset_scales: bool = True) -> None:
         """Single-device or shard-mapped model step callables.  Under a
         mesh, decode shards the batch over dp and heads/pools over tp;
         prefill (one sequence) replicates over dp and shards over tp."""
         adapter, ec = self.adapter, self.cfg
+        if reset_scales:
+            if ec.kv_dtype == "int8":
+                L, KH = self.kv_cfg.num_layers, self.adapter.num_kv_heads
+                self.quant_scales = (
+                    jnp.full((L, KH), ec.kv_scale, jnp.float32),
+                    jnp.full((L, KH), ec.kv_scale, jnp.float32),
+                )
+            else:
+                self.quant_scales = None
         if self.mesh is None:
-            self._decode_step_impl = partial(
-                adapter.decode_step, interpret=ec.interpret
+            # only pass quant_scales when set so adapters without an int8
+            # path keep their plain signature
+            extra = (
+                {"quant_scales": self.quant_scales}
+                if self.quant_scales is not None else {}
             )
-            self._prefill_step_impl = partial(
-                adapter.prefill_step, interpret=ec.interpret
+            self._decode_step_impl = lambda *a: adapter.decode_step(
+                *a, interpret=ec.interpret, **extra
+            )
+            self._prefill_step_impl = lambda *a: adapter.prefill_step(
+                *a, interpret=ec.interpret, **extra
             )
             return
 

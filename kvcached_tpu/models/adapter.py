@@ -66,24 +66,24 @@ class LlamaAdapter:
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, tp_axis=None, interpret=False):
+                    *, tp_axis=None, interpret=False, quant_scales=None):
         from .llama import llama_decode_step
 
         return llama_decode_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
-            tp_axis=tp_axis, interpret=interpret,
+            tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
         )
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
                      chunk_pages, page_table, q_start, true_len,
-                     *, tp_axis=None, interpret=False):
+                     *, tp_axis=None, interpret=False, quant_scales=None):
         from .llama import llama_prefill_step
 
         return llama_prefill_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             chunk_pages, page_table, q_start, true_len,
-            tp_axis=tp_axis, interpret=interpret,
+            tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
         )
 
     def param_specs(self, tp_axis: str) -> dict:

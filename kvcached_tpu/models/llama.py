@@ -151,18 +151,24 @@ def llama_decode_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    quant_scales: tuple | None = None,  # (k_scales, v_scales) [L, KH] f32
 ):
     """One decode token for each of B sequences.
 
     Returns (logits [B, vocab], k_pools, v_pools).  Page tables hold physical
     ids — the host translated virtual blocks through the allocator's page
     table before dispatch, so the device never sees the indirection cost.
+
+    int8 pools: pass ``quant_scales`` — K/V reach the kernel unquantized
+    and are quantized in-kernel with the per-head scales.
     """
     B = tokens.shape[0]
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     if tp_axis:
         tp = jax.lax.axis_size(tp_axis)
         H, KH = H // tp, KH // tp
+    int8_kv = jnp.dtype(k_pools.dtype) == jnp.int8
+    k_scales, v_scales = quant_scales if quant_scales else (None, None)
 
     x = params["embed"][tokens]  # [B, E]
 
@@ -179,7 +185,9 @@ def llama_decode_step(
         k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
 
         # fused kernel: write this token's K/V into its page (in-place via
-        # buffer aliasing), then attend over everything incl. itself
+        # buffer aliasing), then attend over everything incl. itself.
+        # int8 pools: K/V stay unquantized here — quantize-on-write happens
+        # in-kernel with the per-head scales
         attn, k_pools, v_pools = paged_attention_decode(
             q,
             k_pools,
@@ -187,12 +195,14 @@ def llama_decode_step(
             page_tables,
             seq_lens,
             l_idx,
-            k.astype(k_pools.dtype),
-            v.astype(v_pools.dtype),
+            k if int8_kv else k.astype(k_pools.dtype),
+            v if int8_kv else v.astype(v_pools.dtype),
             slot_pages,
             slot_offsets,
             interpret=interpret,
             window=cfg.sliding_window,
+            k_scales=k_scales,
+            v_scales=v_scales,
         )  # [B, H, D]
         attn_out = attn.reshape(B, H * D) @ lp["wo"]
         x = x + _maybe_psum(attn_out, tp_axis)
@@ -227,6 +237,7 @@ def llama_prefill_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    quant_scales: tuple | None = None,  # (k_scales, v_scales) [L, KH] f32
 ):
     """Prefill one chunk of one sequence through the unified paged path:
     write the chunk's K/V into its pages (in place), then run causal paged
@@ -257,17 +268,24 @@ def llama_prefill_step(
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
+        k_sc, v_sc = (
+            (quant_scales[0][l_idx], quant_scales[1][l_idx])
+            if quant_scales else (None, None)
+        )
         k_pools, v_pools = write_prefill_kv(
             k_pools, v_pools,
             k.transpose(1, 0, 2),  # [KH, T, D]
             v.transpose(1, 0, 2),
             chunk_pages, l_idx,
             interpret=interpret,
+            k_scale=k_sc, v_scale=v_sc,
         )
 
         attn = paged_prefill_attention(
             q, k_pools, v_pools, page_table, q_start, kv_len, l_idx,
             interpret=interpret, window=cfg.sliding_window,
+            k_scales=quant_scales[0] if quant_scales else None,
+            v_scales=quant_scales[1] if quant_scales else None,
         )  # [T, H, D]
         attn_out = attn.reshape(T, H * D) @ lp["wo"]
         x = x + _maybe_psum(attn_out, tp_axis)

@@ -46,6 +46,7 @@ def _sublane_for(dtype) -> int:
 
 def _decode_write_kernel(
     page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref, slot_offsets_ref,
+    k_scales_ref, v_scales_ref,
     q_ref, k_new_ref, v_new_ref, k_pool_in, v_pool_in,
     o_ref, k_pool_out, v_pool_out,
     k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
@@ -54,7 +55,8 @@ def _decode_write_kernel(
     """Fused write+attend variant: pools are aliased outputs."""
     _attn_body(
         page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref,
-        slot_offsets_ref, q_ref, k_new_ref, v_new_ref,
+        slot_offsets_ref, k_scales_ref, v_scales_ref,
+        q_ref, k_new_ref, v_new_ref,
         k_pool_out, v_pool_out, o_ref,
         k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
         write_kv=True, **consts,
@@ -63,6 +65,7 @@ def _decode_write_kernel(
 
 def _decode_write_kernel_mla(
     page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref, slot_offsets_ref,
+    k_scales_ref, v_scales_ref,
     q_ref, k_new_ref, v_new_ref, k_pool_in, v_pool_in,
     o_ref, k_pool_out,
     k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
@@ -71,7 +74,8 @@ def _decode_write_kernel_mla(
     """MLA fused variant: one latent pool, aliased once."""
     _attn_body(
         page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref,
-        slot_offsets_ref, q_ref, k_new_ref, v_new_ref,
+        slot_offsets_ref, k_scales_ref, v_scales_ref,
+        q_ref, k_new_ref, v_new_ref,
         k_pool_out, k_pool_out, o_ref,
         k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
         write_kv=True, **consts,
@@ -80,6 +84,7 @@ def _decode_write_kernel_mla(
 
 def _readonly_kernel(
     page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref, slot_offsets_ref,
+    k_scales_ref, v_scales_ref,
     q_ref, k_new_ref, v_new_ref, k_pool_in, v_pool_in,
     o_ref,
     k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
@@ -87,7 +92,8 @@ def _readonly_kernel(
 ):
     _attn_body(
         page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref,
-        slot_offsets_ref, q_ref, k_new_ref, v_new_ref,
+        slot_offsets_ref, k_scales_ref, v_scales_ref,
+        q_ref, k_new_ref, v_new_ref,
         k_pool_in, v_pool_in, o_ref,
         k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
         write_kv=False, **consts,
@@ -100,6 +106,8 @@ def _attn_body(
     layer_ref,  # [1] int32 (SMEM)
     slot_pages_ref,  # [B] int32: physical page receiving this token's KV
     slot_offsets_ref,  # [B] int32: slot within that page
+    k_scales_ref,  # [L, KH] f32 (SMEM): int8 per-head scales (ones if unused)
+    v_scales_ref,
     q_ref,  # [1, num_kv_heads, q_pad, head_dim] VMEM block
     k_new_ref,  # [1, num_kv_heads, head_dim] VMEM block (token to write)
     v_new_ref,  # same
@@ -124,6 +132,7 @@ def _attn_body(
     v_head_dim: int | None = None,
     sublane: int = 8,
     window: int | None = None,
+    quantized: bool = False,
 ):
     # MLA mode (v_head_dim set): a single latent buffer serves as both K and
     # V — scores use the full head_dim (c_kv ++ k_rope), values are the
@@ -131,6 +140,16 @@ def _attn_body(
     mla = v_head_dim is not None
     b = pl.program_id(0)
     layer = layer_ref[0]
+    if quantized:
+        # int8 KV: dequantization is per-kv-head, so it folds into the
+        # SCORES (k) and the weighted-value OUTPUT (v) — one [KH] multiply
+        # instead of rescaling whole K/V chunks
+        k_sc = jnp.stack(
+            [k_scales_ref[layer, h] for h in range(num_kv_heads)]
+        )[:, None, None]
+        v_sc = jnp.stack(
+            [v_scales_ref[layer, h] for h in range(num_kv_heads)]
+        )[:, None, None]
     seq_len = seq_lens_ref[b]
     num_pages = pl.cdiv(seq_len, page_tokens)
     # sliding window: skip whole pages before the window start
@@ -172,17 +191,24 @@ def _attn_body(
             row_ids = jax.lax.broadcasted_iota(
                 jnp.int32, (num_kv_heads, sublane, win_k.shape[-1]), 1
             )
+            k_val = k_new_ref[0][:, None, :].astype(jnp.float32)
+            v_val = None if mla else v_new_ref[0][:, None, :].astype(jnp.float32)
+            if quantized:
+                # quantize-on-write with per-head scales (int8 pool)
+                k_val = jnp.clip(jnp.round(k_val / k_sc), -127, 127)
+                if not mla:
+                    v_val = jnp.clip(jnp.round(v_val / v_sc), -127, 127)
             # select in fp32: select_n on sub-byte float dtypes (fp8) does not
             # lower on every backend; the converts are free on the VPU
             win_k[...] = jnp.where(
                 row_ids == row,
-                k_new_ref[0][:, None, :].astype(jnp.float32),
+                k_val,
                 win_k[...].astype(jnp.float32),
             ).astype(win_k.dtype)
             if not mla:
                 win_v[...] = jnp.where(
                     row_ids == row,
-                    v_new_ref[0][:, None, :].astype(jnp.float32),
+                    v_val,
                     win_v[...].astype(jnp.float32),
                 ).astype(win_v.dtype)
 
@@ -255,6 +281,8 @@ def _attn_body(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [KH, q_pad, chunk_tokens]
+            if quantized:
+                s = s * k_sc  # dequantize K via the scores
             token_idx = base + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, dimension=2
             )
@@ -280,6 +308,8 @@ def _attn_body(
                 p, v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [KH, q_pad, v_dim]
+            if quantized:
+                pv = pv * v_sc  # dequantize V via the output
             if mla:
                 acc_scr[:, :, :v_head_dim] = (
                     acc_scr[:, :, :v_head_dim] * alpha + pv
@@ -336,6 +366,8 @@ def paged_attention_decode(
     pages_per_chunk: int | None = None,
     mla_v_dim: int | None = None,
     window: int | None = None,
+    k_scales: jax.Array | None = None,  # [L, KH] f32 (int8 pools)
+    v_scales: jax.Array | None = None,
 ):
     """Fused decode step: write the current token's KV into its page, then
     attend over the sequence.  Returns (out, k_pool, v_pool) with the pools
@@ -343,13 +375,17 @@ def paged_attention_decode(
 
     ``mla_v_dim``: MLA mode — k_pool holds the single latent buffer
     (c_kv ++ k_rope); scores use the full head_dim, values its first
-    ``mla_v_dim`` lanes; v_pool is ignored (pass k_pool)."""
+    ``mla_v_dim`` lanes; v_pool is ignored (pass k_pool).
+
+    int8 pools: ``k_scales``/``v_scales`` hold per-(layer, kv-head)
+    dequantization scales; ``k_new``/``v_new`` arrive UNQUANTIZED and are
+    quantized in-kernel on write."""
     return _paged_attention_impl(
         q, k_pool, v_pool, page_tables, seq_lens, layer,
         k_new, v_new, slot_pages, slot_offsets,
         sm_scale=sm_scale, interpret=interpret,
         pages_per_chunk=pages_per_chunk, write_kv=True, mla_v_dim=mla_v_dim,
-        window=window,
+        window=window, k_scales=k_scales, v_scales=v_scales,
     )
 
 
@@ -371,6 +407,8 @@ def paged_attention(
     pages_per_chunk: int | None = None,
     mla_v_dim: int | None = None,
     window: int | None = None,
+    k_scales: jax.Array | None = None,
+    v_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Read-only paged attention (no KV write). Returns [B, num_q_heads, D]."""
     if k_pool.ndim == 4:
@@ -385,7 +423,7 @@ def paged_attention(
         dummy, dummy, zeros, zeros,
         sm_scale=sm_scale, interpret=interpret,
         pages_per_chunk=pages_per_chunk, write_kv=False, mla_v_dim=mla_v_dim,
-        window=window,
+        window=window, k_scales=k_scales, v_scales=v_scales,
     )
     return out
 
@@ -394,7 +432,7 @@ def _paged_attention_impl(
     q, k_pool, v_pool, page_tables, seq_lens, layer,
     k_new, v_new, slot_pages, slot_offsets,
     *, sm_scale, interpret, pages_per_chunk, write_kv, mla_v_dim=None,
-    window=None,
+    window=None, k_scales=None, v_scales=None,
 ):
     batch, num_q_heads, head_dim = q.shape
     _, _, num_kv_heads, page_tokens, head_dim_k = k_pool.shape
@@ -420,6 +458,12 @@ def _paged_attention_impl(
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     mla = mla_v_dim is not None
     sublane = _sublane_for(k_pool.dtype)
+    quantized = jnp.dtype(k_pool.dtype) == jnp.int8
+    L = k_pool.shape[0]
+    if k_scales is None:
+        k_scales = jnp.ones((L, num_kv_heads), jnp.float32)
+    if v_scales is None:
+        v_scales = jnp.ones((L, num_kv_heads), jnp.float32)
     consts = dict(
         page_tokens=page_tokens,
         pages_per_chunk=C,
@@ -428,6 +472,7 @@ def _paged_attention_impl(
         v_head_dim=mla_v_dim,
         sublane=sublane,
         window=window,
+        quantized=quantized,
     )
     o_spec = pl.BlockSpec(
         (1, num_kv_heads, q_pad, head_dim), lambda b, *_: (b, 0, 0, 0)
@@ -455,13 +500,14 @@ def _paged_attention_impl(
     ]
     o_shape = jax.ShapeDtypeStruct((batch, num_kv_heads, q_pad, head_dim), q.dtype)
     args = (page_tables, seq_lens, layer_arr, slot_pages, slot_offsets,
+            k_scales, v_scales,
             qg, k_new, v_new, k_pool, v_pool)
 
     if write_kv and mla:
         out, k_pool = pl.pallas_call(
             functools.partial(_decode_write_kernel_mla, **consts),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
+                num_scalar_prefetch=7,
                 grid=(batch,),
                 in_specs=in_specs,
                 out_specs=(
@@ -474,7 +520,7 @@ def _paged_attention_impl(
                 o_shape,
                 jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
             ),
-            input_output_aliases={8: 1},
+            input_output_aliases={10: 1},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
@@ -485,7 +531,7 @@ def _paged_attention_impl(
         out, k_pool, v_pool = pl.pallas_call(
             functools.partial(_decode_write_kernel, **consts),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
+                num_scalar_prefetch=7,
                 grid=(batch,),
                 in_specs=in_specs,
                 out_specs=(
@@ -500,9 +546,9 @@ def _paged_attention_impl(
                 jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
                 jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
             ),
-            # flat input indices incl. the 5 scalar-prefetch args:
-            # 5=q, 6=k_new, 7=v_new, 8=k_pool, 9=v_pool → outputs 1, 2
-            input_output_aliases={8: 1, 9: 2},
+            # flat input indices incl. the 7 scalar-prefetch args:
+            # 7=q, 8=k_new, 9=v_new, 10=k_pool, 11=v_pool → outputs 1, 2
+            input_output_aliases={10: 1, 11: 2},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
@@ -512,7 +558,7 @@ def _paged_attention_impl(
         out = pl.pallas_call(
             functools.partial(_readonly_kernel, **consts),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
+                num_scalar_prefetch=7,
                 grid=(batch,),
                 in_specs=in_specs,
                 out_specs=o_spec,
@@ -570,17 +616,32 @@ def write_prefill_kv(
     layer: jax.Array | int,
     *,
     interpret: bool = False,
+    k_scale: jax.Array | None = None,  # [KH] f32: int8 per-head scales
+    v_scale: jax.Array | None = None,
 ):
     """Write a prefilled sequence's KV into its pages (in-place via aliasing).
 
     Page 0 (the zero page) acts as a discard target for padding chunks —
     defined-write semantics exactly like the reference's zero page
-    (csrc/ftensor.cpp:160-176)."""
+    (csrc/ftensor.cpp:160-176).  int8 pools quantize on write with the
+    given per-head scales."""
     L, num_pages, num_kv_heads, page_tokens, head_dim = k_pool.shape
     T = k_new.shape[1]
     assert T % page_tokens == 0, "prefill length must be page-aligned"
     n = T // page_tokens
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    if jnp.dtype(k_pool.dtype) == jnp.int8:
+        assert k_scale is not None and v_scale is not None, (
+            "int8 pools need per-head scales"
+        )
+        k_new = jnp.clip(
+            jnp.round(k_new.astype(jnp.float32) / k_scale[:, None, None]),
+            -127, 127,
+        )
+        v_new = jnp.clip(
+            jnp.round(v_new.astype(jnp.float32) / v_scale[:, None, None]),
+            -127, 127,
+        )
 
     k_pool, v_pool = pl.pallas_call(
         _prefill_write_kernel,

@@ -37,6 +37,8 @@ def _prefill_kernel(
     page_table_ref,  # [max_pages] int32 physical ids for THIS sequence
     meta_ref,  # [2] int32: (q_start, kv_len)
     layer_ref,  # [1] int32
+    k_scales_ref,  # [L, KH] f32: int8 per-head scales (ones if unused)
+    v_scales_ref,
     # inputs
     q_ref,  # [1, num_kv_heads, rows_per_tile, head_dim] VMEM (tile of queries)
     k_pool_ref,  # [L, num_pages, num_kv_heads, page_tokens, head_dim] (HBM)
@@ -59,10 +61,18 @@ def _prefill_kernel(
     sm_scale: float,
     v_head_dim: int | None = None,
     window: int | None = None,
+    quantized: bool = False,
 ):
     mla = v_head_dim is not None
     tile = pl.program_id(0)
     layer = layer_ref[0]
+    if quantized:
+        k_sc = jnp.stack(
+            [k_scales_ref[layer, h] for h in range(num_kv_heads)]
+        )[:, None, None]
+        v_sc = jnp.stack(
+            [v_scales_ref[layer, h] for h in range(num_kv_heads)]
+        )[:, None, None]
     q_start = meta_ref[0]
     kv_len = meta_ref[1]
     C = pages_per_chunk
@@ -133,6 +143,8 @@ def _prefill_kernel(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [KH, rows, chunk_tokens]
+            if quantized:
+                s = s * k_sc
             kv_idx = base + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, dimension=2
             )
@@ -166,6 +178,8 @@ def _prefill_kernel(
                 p, v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
+            if quantized:
+                pv = pv * v_sc
             if mla:
                 acc_scr[:, :, :v_head_dim] = (
                     acc_scr[:, :, :v_head_dim] * alpha + pv
@@ -210,6 +224,8 @@ def paged_prefill_attention(
     q_tile: int = 128,
     mla_v_dim: int | None = None,
     window: int | None = None,
+    k_scales: jax.Array | None = None,  # [L, KH] f32 (int8 pools)
+    v_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Causal attention of a prefill chunk against its sequence's pages.
     Returns [T, num_q_heads, head_dim].  KV for the chunk must already be
@@ -241,6 +257,12 @@ def paged_prefill_attention(
         [jnp.asarray(q_start, jnp.int32), jnp.asarray(kv_len, jnp.int32)]
     )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    quantized = jnp.dtype(k_pool.dtype) == jnp.int8
+    L = k_pool.shape[0]
+    if k_scales is None:
+        k_scales = jnp.ones((L, num_kv_heads), jnp.float32)
+    if v_scales is None:
+        v_scales = jnp.ones((L, num_kv_heads), jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(
@@ -253,9 +275,10 @@ def paged_prefill_attention(
             sm_scale=sm_scale,
             v_head_dim=mla_v_dim,
             window=window,
+            quantized=quantized,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(
@@ -290,7 +313,7 @@ def paged_prefill_attention(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(page_table, meta, layer_arr, qg, k_pool, v_pool)
+    )(page_table, meta, layer_arr, k_scales, v_scales, qg, k_pool, v_pool)
 
     # [1, KH, T*group, D] -> [T, QH, D]
     out = (

@@ -1,0 +1,166 @@
+"""int8 KV cache with per-head dequantization scales.
+
+VERDICT r1 item 8: scale tensors ride alongside the pools, quantization
+happens in-kernel on write, dequantization folds into the scores (K) and
+the weighted-value output (V).  Acceptance: matches the bf16 reference
+within quantization tolerance; int8 pool halves page_bytes vs bf16.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+from kvcached_tpu.ops.paged_attention import (
+    paged_attention,
+    paged_attention_decode,
+    paged_attention_reference,
+)
+
+
+def quantize(x, scales):
+    """x: [pages, KH, P, D]; scales: [KH] → int8 values."""
+    return np.clip(
+        np.round(np.asarray(x) / np.asarray(scales)[None, :, None, None]),
+        -127, 127,
+    ).astype(np.int8)
+
+
+def make_case(seq_lens=(40, 7), num_pages=16, page_tokens=32,
+              kv_heads=2, q_heads=4, dim=128):
+    B = len(seq_lens)
+    max_pages = max(-(-s // page_tokens) for s in seq_lens)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, q_heads, dim), jnp.float32)
+    k = jax.random.normal(
+        jax.random.PRNGKey(1), (num_pages, kv_heads, page_tokens, dim),
+        jnp.float32,
+    )
+    v = jax.random.normal(
+        jax.random.PRNGKey(2), (num_pages, kv_heads, page_tokens, dim),
+        jnp.float32,
+    )
+    # per-head amax calibration (deliberately different per head)
+    k_sc = np.abs(np.asarray(k)).max(axis=(0, 2, 3)) / 127.0
+    v_sc = np.abs(np.asarray(v)).max(axis=(0, 2, 3)) / 127.0
+    pt = np.zeros((B, max_pages), np.int32)
+    nxt = 1
+    for b, s in enumerate(seq_lens):
+        n = -(-s // page_tokens)
+        pt[b, :n] = range(nxt, nxt + n)
+        nxt += n
+    return q, k, v, k_sc, v_sc, jnp.asarray(pt), jnp.asarray(seq_lens, jnp.int32)
+
+
+class TestInt8Kernel:
+    def test_readonly_matches_bf16_reference(self):
+        """int8 pool + per-head scales vs the fp32 values' dense reference:
+        error bounded by quantization noise."""
+        q, k, v, k_sc, v_sc, pt, sl = make_case()
+        k_pool8 = jnp.asarray(quantize(k, k_sc))
+        v_pool8 = jnp.asarray(quantize(v, v_sc))
+        L_k = jnp.asarray(np.tile(k_sc[None], (1, 1)), jnp.float32)  # [1, KH]
+        L_v = jnp.asarray(np.tile(v_sc[None], (1, 1)), jnp.float32)
+
+        out = paged_attention(
+            q, k_pool8, v_pool8, pt, sl, interpret=True,
+            k_scales=L_k, v_scales=L_v,
+        )
+        ref = paged_attention_reference(q, k, v, pt, sl)
+        # int8 quant noise: ~1% relative on attention outputs
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=0.05, rtol=0.05
+        )
+
+    def test_fused_write_quantizes_in_kernel(self):
+        """decode write path: unquantized K/V in, int8 lands in the pool
+        with the per-head scale applied."""
+        q, k, v, k_sc, v_sc, pt, sl = make_case(seq_lens=(33,))
+        k_pool8 = jnp.asarray(quantize(k, k_sc))
+        v_pool8 = jnp.asarray(quantize(v, v_sc))
+        L_k = jnp.asarray(k_sc[None], jnp.float32)
+        L_v = jnp.asarray(v_sc[None], jnp.float32)
+        B, KH, D = 1, k.shape[1], k.shape[3]
+        k_new = jax.random.normal(jax.random.PRNGKey(7), (B, KH, D), jnp.float32)
+        v_new = jax.random.normal(jax.random.PRNGKey(8), (B, KH, D), jnp.float32)
+        slot_pages = pt[:, 1]  # page holding position 33 (32..63)
+        slot_offsets = jnp.asarray([1], jnp.int32)  # 33 % 32
+
+        _, k_out, v_out = paged_attention_decode(
+            q, k_pool8[None], v_pool8[None], pt, sl, 0,
+            k_new, v_new, slot_pages, slot_offsets,
+            interpret=True, k_scales=L_k, v_scales=L_v,
+        )
+        got = np.asarray(k_out)[0, int(slot_pages[0]), :, 1, :]  # [KH, D]
+        want = np.clip(
+            np.round(np.asarray(k_new)[0] / k_sc[:, None]), -127, 127
+        ).astype(np.int8)
+        np.testing.assert_array_equal(got, want)
+        got_v = np.asarray(v_out)[0, int(slot_pages[0]), :, 1, :]
+        want_v = np.clip(
+            np.round(np.asarray(v_new)[0] / v_sc[:, None]), -127, 127
+        ).astype(np.int8)
+        np.testing.assert_array_equal(got_v, want_v)
+
+
+@pytest.fixture(scope="module")
+def toy():
+    cfg = LlamaConfig.toy()
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+class TestInt8Engine:
+    def make(self, cfg, params, **kw):
+        d = dict(max_batch=2, max_model_len=128, page_tokens=32,
+                 decode_horizon=4, prefill_buckets=(32, 64), num_pages=32,
+                 interpret=True, kv_dtype="int8")
+        d.update(kw)
+        return LLMEngine(cfg, EngineConfig(**d), params=params)
+
+    def test_deterministic_and_close_to_bf16(self, toy):
+        cfg, params = toy
+        prompt = [1, 2, 3, 4, 5, 6, 7]
+        a = self.make(cfg, params)
+        b = self.make(cfg, params)
+        ref = self.make(cfg, params, kv_dtype="bfloat16")
+        try:
+            out_a = a.generate([prompt], SamplingParams(max_new_tokens=8))
+            out_b = b.generate([prompt], SamplingParams(max_new_tokens=8))
+            out_r = ref.generate([prompt], SamplingParams(max_new_tokens=8))
+            assert out_a[0].output_tokens == out_b[0].output_tokens
+            # quantized generation is allowed to drift, but the FIRST token
+            # (prefill logits, least accumulated error) should agree
+            assert out_a[0].output_tokens[0] == out_r[0].output_tokens[0]
+        finally:
+            a.shutdown()
+            b.shutdown()
+            ref.shutdown()
+
+    def test_int8_pool_halves_memory(self, toy):
+        cfg, params = toy
+        e8 = self.make(cfg, params)
+        e16 = self.make(cfg, params, kv_dtype="bfloat16")
+        try:
+            assert e8.kv_cfg.page_bytes * 2 == e16.kv_cfg.page_bytes
+            assert e8.quant_scales is not None
+        finally:
+            e8.shutdown()
+            e16.shutdown()
+
+    def test_set_kv_scales_takes_effect(self, toy):
+        cfg, params = toy
+        eng = self.make(cfg, params)
+        try:
+            L, KH = eng.kv_cfg.num_layers, cfg.num_kv_heads
+            out1 = eng.generate([[1, 2, 3]], SamplingParams(max_new_tokens=4))
+            # absurd scales must change (wreck) the outputs — proves the
+            # scales actually flow into the kernels
+            eng.set_kv_scales(
+                np.full((L, KH), 100.0), np.full((L, KH), 100.0)
+            )
+            out2 = eng.generate([[1, 2, 3]], SamplingParams(max_new_tokens=4))
+            assert out1[0].output_tokens != out2[0].output_tokens
+        finally:
+            eng.shutdown()
