@@ -968,6 +968,89 @@ class LLMEngine:
         if self.running:
             self._do_decode()
 
+    # ----------------------------------------------- PD disaggregation
+
+    def export_sequence(self, req_id: int):
+        """Prefill side of PD disaggregation: extract a prefilled (or
+        partially decoded) sequence — tokens + its KV page payloads — and
+        free its local pages.  A decode engine adopts the result via
+        :meth:`import_sequence`, continuing bit-identically.
+
+        Reference analogue: NIXL connector shipping kvcached pages between
+        prefill and decode workers (vllm/nixl_compat.py:104-197)."""
+        if self.num_groups > 1 or self.has_state:
+            raise NotImplementedError(
+                "PD export currently covers single-group stateless models"
+            )
+        from ..parallel.pd import SeqHandoff
+
+        seq = next(s for s in self.running if s.req.req_id == req_id)
+        self.running.remove(seq)
+        n = len(seq.blocks)
+        phys = self._phys_row(seq)[:n]
+        # page gather (read-only; the pool is not donated here)
+        payload_k = np.asarray(self.k_pools[:, phys])
+        payload_v = (
+            np.asarray(self.v_pools[:, phys])
+            if self.v_pools is not None else None
+        )
+        sp = seq.req.sampling
+        handoff = SeqHandoff(
+            prompt=list(seq.req.prompt),
+            tokens=list(seq.tokens),
+            max_new_tokens=sp.max_new_tokens,
+            temperature=sp.temperature,
+            stop_token_ids=sp.stop_token_ids,
+            payload_k=payload_k,
+            payload_v=payload_v,
+        )
+        self._free_seq(seq, cache_kv=False)
+        return handoff
+
+    def import_sequence(self, handoff) -> int:
+        """Decode side of PD disaggregation: allocate local pages, land the
+        payload through the Pallas page writer, and resume decoding."""
+        if self.num_groups > 1 or self.has_state:
+            raise NotImplementedError(
+                "PD import currently covers single-group stateless models"
+            )
+        from ..ops.paged_attention import write_prefill_kv
+
+        req = Request(
+            next(self._ids), list(handoff.prompt),
+            SamplingParams(
+                max_new_tokens=handoff.max_new_tokens,
+                temperature=handoff.temperature,
+                stop_token_ids=tuple(handoff.stop_token_ids),
+            ),
+        )
+        seq = Sequence(req, self.num_groups)
+        seq.tokens = list(handoff.tokens)
+        L, n, KH, P, D = handoff.payload_k.shape
+        assert P == self.cfg.page_tokens, "page geometry mismatch"
+        blocks = self._alloc_blocks(n)
+        if blocks is None:
+            raise RuntimeError("decode engine out of pages for PD import")
+        seq.blocks = blocks
+        phys = jnp.asarray(self._phys_row(seq)[:n])
+        for layer in range(L):
+            # [n, KH, P, D] -> [KH, n*P, D] (the writer's chunk layout)
+            k_new = jnp.asarray(
+                np.transpose(handoff.payload_k[layer], (1, 0, 2, 3))
+                .reshape(KH, n * P, D)
+            )
+            v_new = jnp.asarray(
+                np.transpose(handoff.payload_v[layer], (1, 0, 2, 3))
+                .reshape(KH, n * P, D)
+            )
+            self.k_pools, self.v_pools = write_prefill_kv(
+                self.k_pools, self.v_pools, k_new, v_new, phys, layer,
+                interpret=self.cfg.interpret,
+            )
+        seq.num_prefilled = seq.prompt_len
+        self.running.append(seq)
+        return req.req_id
+
     # ------------------------------------------------------------- frontends
 
     def generate(

@@ -1,0 +1,170 @@
+"""Prefill/decode disaggregation: ship a prefilled sequence's KV pages to a
+decode engine.
+
+The reference's PD story is NIXL compatibility (vllm/nixl_compat.py:44-197:
+make kvcached tensors registrable so the connector can RDMA KV between
+prefill and decode workers).  Owning the engine, we implement the transfer
+itself, TPU-style:
+
+- **Metadata** (tokens, sampling, page count) frames over the same
+  unix-socket plane as the page-table broadcast (`parallel/ipc.py`).
+- **Payload**: the sequence's physical pages gathered from the prefill
+  pool.  Across processes/hosts the payload rides the socket (stand-in for
+  DCN/ICI RDMA); within one process, `LLMEngine.import_sequence` lands it
+  in the decode pool through the Pallas page writer (an XLA scatter feeding
+  a pallas operand cannot alias — writes must go through kernels).
+
+The handoff is page-granular and exact: the decode engine continues the
+sequence bit-identically to an engine that had prefilled locally
+(acceptance mirrors the reference's md5 determinism gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..logging_utils import get_kvcached_logger
+
+logger = get_kvcached_logger(__name__)
+
+
+@dataclass
+class SeqHandoff:
+    """Everything a decode engine needs to adopt a prefilled sequence."""
+
+    prompt: list[int]
+    tokens: list[int]  # prompt + tokens generated so far (≥ 1 from prefill)
+    max_new_tokens: int
+    temperature: float
+    stop_token_ids: tuple
+    payload_k: np.ndarray  # [L, n_pages, KH, page_tokens, D]
+    payload_v: np.ndarray | None  # None for MLA single-buffer pools
+
+    # ---- wire format: json header + raw ndarray buffers -------------------
+
+    def to_wire(self) -> bytes:
+        header = {
+            "prompt": self.prompt,
+            "tokens": self.tokens,
+            "max_new_tokens": self.max_new_tokens,
+            "temperature": self.temperature,
+            "stop_token_ids": list(self.stop_token_ids),
+            "k_shape": list(self.payload_k.shape),
+            "k_dtype": self.payload_k.dtype.name,  # name survives bf16/fp8
+            "has_v": self.payload_v is not None,
+        }
+        hj = json.dumps(header).encode()
+        parts = [struct.pack("<I", len(hj)), hj,
+                 np.ascontiguousarray(self.payload_k).tobytes()]
+        if self.payload_v is not None:
+            parts.append(np.ascontiguousarray(self.payload_v).tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_wire(cls, data: bytes) -> "SeqHandoff":
+        (hlen,) = struct.unpack_from("<I", data, 0)
+        header = json.loads(data[4 : 4 + hlen])
+        off = 4 + hlen
+        shape = tuple(header["k_shape"])
+        try:
+            dt = np.dtype(header["k_dtype"])
+        except TypeError:
+            import ml_dtypes
+
+            dt = np.dtype(getattr(ml_dtypes, header["k_dtype"]))
+        nbytes = int(np.prod(shape)) * dt.itemsize
+        payload_k = np.frombuffer(data[off : off + nbytes], dt).reshape(shape)
+        off += nbytes
+        payload_v = None
+        if header["has_v"]:
+            payload_v = np.frombuffer(data[off : off + nbytes], dt).reshape(shape)
+        return cls(
+            prompt=list(header["prompt"]),
+            tokens=list(header["tokens"]),
+            max_new_tokens=int(header["max_new_tokens"]),
+            temperature=float(header["temperature"]),
+            stop_token_ids=tuple(header["stop_token_ids"]),
+            payload_k=payload_k,
+            payload_v=payload_v,
+        )
+
+
+def _send_frame(sock: socket.socket, data: bytes) -> None:
+    sock.sendall(struct.pack("<Q", len(data)) + data)
+
+
+def _recv_frame(sock: socket.socket) -> bytes:
+    buf = b""
+    while len(buf) < 8:
+        chunk = sock.recv(8 - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    (n,) = struct.unpack("<Q", buf)
+    out = bytearray()
+    while len(out) < n:
+        chunk = sock.recv(min(1 << 20, n - len(out)))
+        if not chunk:
+            raise ConnectionError("peer closed mid-frame")
+        out += chunk
+    return bytes(out)
+
+
+class PDDecodeServer:
+    """Decode-side endpoint: adopts handoffs into its engine, decodes to
+    completion, returns the generated tokens."""
+
+    def __init__(self, engine, path: str):
+        self.engine = engine
+        self.path = path
+        if os.path.exists(path):
+            os.unlink(path)
+        self._srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._srv.bind(path)
+        self._srv.listen(4)
+
+    def serve_one(self, timeout: float = 60.0) -> list[int]:
+        """Accept one handoff, decode it to completion, reply with the
+        output tokens.  Returns them locally too."""
+        self._srv.settimeout(timeout)
+        conn, _ = self._srv.accept()
+        try:
+            handoff = SeqHandoff.from_wire(_recv_frame(conn))
+            req_id = self.engine.import_sequence(handoff)
+            while self.engine.has_unfinished():
+                self.engine.step()
+            out = next(
+                o for o in self.engine.finished_outputs if o.req_id == req_id
+            )
+            _send_frame(conn, json.dumps(out.output_tokens).encode())
+            return out.output_tokens
+        finally:
+            conn.close()
+
+    def close(self) -> None:
+        self._srv.close()
+        if os.path.exists(self.path):
+            os.unlink(self.path)
+
+
+class PDPrefillClient:
+    """Prefill-side endpoint: ships a handoff, waits for the result."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def ship(self, handoff: SeqHandoff, timeout: float = 60.0) -> list[int]:
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        s.settimeout(timeout)
+        try:
+            s.connect(self.path)
+            _send_frame(s, handoff.to_wire())
+            return list(json.loads(_recv_frame(s)))
+        finally:
+            s.close()

@@ -1,0 +1,192 @@
+"""Pipeline-parallel stage execution: per-stage elastic KV pools.
+
+The reference's PP surface (first-class since 2026-03, README:51): each PP
+stage manages its KV independently — per-stage FTensor groups, sockets
+namespaced ``pp{rank}/`` (tp_ipc_util.py:35-53), and the "stage size is
+tp_size, NOT tp×pp" invariant (vllm/patches.py:654-664).
+
+TPU-native form: a pipeline stage is a LAYER GROUP of the engine —
+
+- stage ``s`` owns layers ``[s·L/S, (s+1)·L/S)`` with its own
+  :class:`KVCacheManager`, page table, and shm control segment (so `kvctl`
+  can limit each stage independently, the per-stage elasticity of the
+  reference), all over ONE shared physical arena on a chip (pages are
+  fungible between stages — cross-stage elasticity is automatic);
+- the decode/prefill steps walk layers in order, selecting each layer's
+  stage page table dynamically (all stages share kernel geometry, so no
+  per-stage recompilation);
+- across HOSTS, stage metadata rides the existing pp-namespaced socket
+  plane (`parallel/ipc.py`: ``socket_path(..., pp_rank=r)``).
+
+``PPLlamaAdapter`` plugs straight into :class:`LLMEngine`; requests flow
+through the normal scheduler with per-stage block accounting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models.llama import rms_norm, rope
+from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
+from ..ops.paged_prefill import paged_prefill_attention
+
+
+def _maybe_psum(x, tp_axis):
+    return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+
+@dataclass
+class PPLlamaAdapter:
+    """Llama family with layers partitioned into ``num_stages`` pipeline
+    stages, one elastic pool per stage."""
+
+    cfg: Any  # LlamaConfig
+    num_stages: int = 2
+
+    def __post_init__(self):
+        c = self.cfg
+        if c.num_layers % self.num_stages:
+            raise ValueError(
+                f"num_layers={c.num_layers} not divisible by "
+                f"num_stages={self.num_stages}"
+            )
+        if getattr(c, "sliding_window", None):
+            raise ValueError("PP adapter covers full-attention models")
+        self.vocab_size = c.vocab_size
+        self.num_layers = c.num_layers
+        self.num_kv_heads = c.num_kv_heads
+        self.head_dim = c.head_dim
+        self.num_kv_buffers = 2
+        self.window = None
+        # stage = layer group: the engine builds one manager per stage over
+        # a shared arena of layers_per_group layers
+        self.group_windows = (None,) * self.num_stages
+        self.layers_per_group = c.num_layers // self.num_stages
+
+    def init_params(self, key):
+        from ..models.llama import init_llama_params
+
+        return init_llama_params(self.cfg, key)
+
+    # each layer's stage and its arena index within the stage
+    def _stage_maps(self):
+        Lp = self.layers_per_group
+        stage = [l // Lp for l in range(self.cfg.num_layers)]
+        in_stage = [l % Lp for l in range(self.cfg.num_layers)]
+        return stage, in_stage
+
+    def decode_step(self, params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    *, tp_axis=None, interpret=False):
+        """page_tables: [S, B, max_pages]; slot_pages: [S, B]."""
+        cfg = self.cfg
+        B = tokens.shape[0]
+        H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        if tp_axis:
+            tp = jax.lax.axis_size(tp_axis)
+            H, KH = H // tp, KH // tp
+        stage_of, in_stage = self._stage_maps()
+
+        x = params["embed"][tokens]
+
+        def layer_fn(carry, layer):
+            x, k_pools, v_pools = carry
+            lp = layer["p"]
+            s_idx, l_in_s = layer["s"], layer["ls"]
+
+            h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+            q = (h @ lp["wq"]).reshape(B, H, D)
+            k = (h @ lp["wk"]).reshape(B, KH, D)
+            v = (h @ lp["wv"]).reshape(B, KH, D)
+            q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+            k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+
+            # dynamic stage select: geometry is identical across stages, so
+            # the kernel compiles once and the table row is a cheap gather
+            attn, k_pools, v_pools = paged_attention_decode(
+                q, k_pools, v_pools,
+                page_tables[s_idx], seq_lens, l_in_s,
+                k.astype(k_pools.dtype), v.astype(v_pools.dtype),
+                slot_pages[s_idx], slot_offsets,
+                interpret=interpret,
+            )
+            x = x + _maybe_psum(attn.reshape(B, H * D) @ lp["wo"], tp_axis)
+            h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+            mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+            x = x + _maybe_psum(mlp, tp_axis)
+            return (x, k_pools, v_pools), None
+
+        layers = {
+            "p": params["layers"],
+            "s": jnp.asarray(stage_of, jnp.int32),
+            "ls": jnp.asarray(in_stage, jnp.int32),
+        }
+        (x, k_pools, v_pools), _ = jax.lax.scan(
+            layer_fn, (x, k_pools, v_pools), layers
+        )
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        logits = (x @ params["lm_head"]).astype(jnp.float32)
+        return logits, k_pools, v_pools
+
+    def prefill_step(self, params, tokens, positions, k_pools, v_pools,
+                     chunk_pages, page_table, q_start, true_len,
+                     *, tp_axis=None, interpret=False):
+        """chunk_pages: [S, n]; page_table: [S, max_pages]."""
+        cfg = self.cfg
+        T = tokens.shape[0]
+        H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        if tp_axis:
+            tp = jax.lax.axis_size(tp_axis)
+            H, KH = H // tp, KH // tp
+        stage_of, in_stage = self._stage_maps()
+        kv_len = q_start + true_len
+
+        x = params["embed"][tokens]
+
+        def layer_fn(carry, layer):
+            x, k_pools, v_pools = carry
+            lp = layer["p"]
+            s_idx, l_in_s = layer["s"], layer["ls"]
+
+            h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+            q = (h @ lp["wq"]).reshape(T, H, D)
+            k = (h @ lp["wk"]).reshape(T, KH, D)
+            v = (h @ lp["wv"]).reshape(T, KH, D)
+            q = rope(q, positions, cfg.rope_theta)
+            k = rope(k, positions, cfg.rope_theta)
+
+            k_pools, v_pools = write_prefill_kv(
+                k_pools, v_pools, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
+                chunk_pages[s_idx], l_in_s, interpret=interpret,
+            )
+            attn = paged_prefill_attention(
+                q, k_pools, v_pools, page_table[s_idx], q_start, kv_len,
+                l_in_s, interpret=interpret,
+            )
+            x = x + _maybe_psum(attn.reshape(T, H * D) @ lp["wo"], tp_axis)
+            h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+            mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+            x = x + _maybe_psum(mlp, tp_axis)
+            return (x, k_pools, v_pools), None
+
+        layers = {
+            "p": params["layers"],
+            "s": jnp.asarray(stage_of, jnp.int32),
+            "ls": jnp.asarray(in_stage, jnp.int32),
+        }
+        (x, k_pools, v_pools), _ = jax.lax.scan(
+            layer_fn, (x, k_pools, v_pools), layers
+        )
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        last = x[jnp.maximum(true_len - 1, 0)]
+        logits = (last @ params["lm_head"]).astype(jnp.float32)
+        return logits, k_pools, v_pools
+
+    def param_specs(self, tp_axis: str) -> dict:
+        from .mesh import llama_param_specs
+
+        return llama_param_specs(tp_axis)

@@ -59,3 +59,58 @@ class TestKvctl:
     def test_delete(self, seg, capsys):
         assert main(["delete", seg]) == 0
         assert shm.get_kv_cache_info(seg) is None
+
+
+class TestWatch:
+    def test_watch_renders_then_exits_on_interrupt(self, seg, capsys, monkeypatch):
+        """watch loops list+sleep; one frame then ^C must exit rc 0."""
+        import kvcached_tpu.cli.kvctl as kvctl
+
+        def fake_sleep(_):
+            raise KeyboardInterrupt
+
+        monkeypatch.setattr(kvctl.time, "sleep", fake_sleep)
+        assert main(["watch", "--interval", "0.01"]) == 0
+        out = capsys.readouterr().out
+        assert seg in out
+
+
+class TestLimitPercent:
+    def test_limit_percent_of_device_hbm(self, seg, capsys, monkeypatch):
+        import kvcached_tpu.cli.kvctl as kvctl
+
+        monkeypatch.setattr(kvctl, "device_hbm_total", lambda: 16 << 30)
+        assert main(["limit-percent", seg, "25"]) == 0
+        info = shm.get_kv_cache_info(seg)
+        assert info.total_size == 4 << 30
+        assert "25" in capsys.readouterr().out
+
+    def test_limit_percent_without_accelerator_fails(self, seg, monkeypatch):
+        import kvcached_tpu.cli.kvctl as kvctl
+
+        monkeypatch.setattr(kvctl, "device_hbm_total", lambda: None)
+        with pytest.raises(SystemExit, match="HBM"):
+            main(["limit-percent", seg, "50"])
+
+
+class TestShell:
+    def test_shell_executes_commands(self, seg, capsys, monkeypatch):
+        lines = iter(["list", f"limit {seg} 1G", "", "quit"])
+        monkeypatch.setattr("builtins.input", lambda *_: next(lines))
+        assert main(["shell"]) == 0
+        out = capsys.readouterr().out
+        assert seg in out
+        assert shm.get_kv_cache_info(seg).total_size == 1 << 30
+
+    def test_shell_survives_bad_command(self, seg, capsys, monkeypatch):
+        lines = iter(["limit nonexistent_xyz 1G", "quit"])
+        monkeypatch.setattr("builtins.input", lambda *_: next(lines))
+        assert main(["shell"]) == 0  # error printed, shell continues
+        assert "error" in capsys.readouterr().out
+
+    def test_shell_exits_on_eof(self, seg, monkeypatch):
+        def raise_eof(*_):
+            raise EOFError
+
+        monkeypatch.setattr("builtins.input", raise_eof)
+        assert main(["shell"]) == 0

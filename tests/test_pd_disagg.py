@@ -1,0 +1,158 @@
+"""Prefill/decode disaggregation tests.
+
+Reference: NIXL PD compatibility (vllm/nixl_compat.py:104-197).  Here the
+transfer itself is implemented: a prefilled sequence's KV pages move to a
+different engine (same process or another process over the socket plane),
+which continues decoding TOKEN-EXACTLY vs an engine that did everything
+locally.
+"""
+
+import os
+import subprocess
+import sys
+import uuid
+
+import jax
+import pytest
+
+from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+ECFG = dict(
+    max_batch=2, max_model_len=128, page_tokens=16, decode_horizon=2,
+    prefill_buckets=(16, 32), num_pages=48, interpret=True,
+    enable_prefix_caching=False,
+)
+PROMPT = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+MAX_NEW = 14
+
+
+@pytest.fixture(scope="module")
+def toy():
+    cfg = LlamaConfig.toy()
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def local_reference(cfg, params):
+    eng = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+    try:
+        return eng.generate(
+            [PROMPT], SamplingParams(max_new_tokens=MAX_NEW)
+        )[0].output_tokens
+    finally:
+        eng.shutdown()
+
+
+class TestInProcessHandoff:
+    def test_decode_continues_prefill_exactly(self, toy):
+        cfg, params = toy
+        want = local_reference(cfg, params)
+
+        prefiller = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        decoder = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        try:
+            rid = prefiller.add_request(
+                PROMPT, SamplingParams(max_new_tokens=MAX_NEW)
+            )
+            prefiller.step()  # prefill only
+            assert prefiller.running and prefiller.running[0].num_generated == 1
+
+            handoff = prefiller.export_sequence(rid)
+            assert handoff.payload_k.shape[1] == len(handoff.tokens) // 16 + (
+                1 if len(handoff.tokens) % 16 else 0
+            )
+            # prefiller's pages are back in its pool
+            assert prefiller.manager.page_allocator.num_in_use <= 1
+
+            new_id = decoder.import_sequence(handoff)
+            while decoder.has_unfinished():
+                decoder.step()
+            out = next(
+                o for o in decoder.finished_outputs if o.req_id == new_id
+            )
+            assert out.output_tokens == want, "PD handoff diverged"
+        finally:
+            prefiller.shutdown()
+            decoder.shutdown()
+
+    def test_wire_roundtrip(self, toy):
+        from kvcached_tpu.parallel.pd import SeqHandoff
+
+        cfg, params = toy
+        eng = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        try:
+            rid = eng.add_request(PROMPT, SamplingParams(max_new_tokens=4))
+            eng.step()
+            h = eng.export_sequence(rid)
+            h2 = SeqHandoff.from_wire(h.to_wire())
+            assert h2.tokens == h.tokens
+            assert h2.payload_k.dtype == h.payload_k.dtype
+            import numpy as np
+
+            np.testing.assert_array_equal(
+                np.asarray(h2.payload_k, np.float32),
+                np.asarray(h.payload_k, np.float32),
+            )
+        finally:
+            eng.shutdown()
+
+
+DECODE_SERVER_SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+from kvcached_tpu.engine import EngineConfig, LLMEngine
+from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+from kvcached_tpu.parallel.pd import PDDecodeServer
+
+cfg = LlamaConfig.toy()
+params = init_llama_params(cfg, jax.random.PRNGKey(0))
+eng = LLMEngine(cfg, EngineConfig(
+    max_batch=2, max_model_len=128, page_tokens=16, decode_horizon=2,
+    prefill_buckets=(16, 32), num_pages=48, interpret=True,
+    enable_prefix_caching=False,
+), params=params)
+srv = PDDecodeServer(eng, sys.argv[1])
+print("READY", flush=True)
+srv.serve_one(timeout=180)
+srv.close()
+eng.shutdown()
+"""
+
+
+class TestCrossProcessHandoff:
+    def test_two_process_pd(self, toy, tmp_path):
+        """The reference PD topology: prefill worker and decode worker are
+        SEPARATE processes; pages ride the socket plane."""
+        from kvcached_tpu.parallel.pd import PDPrefillClient
+
+        cfg, params = toy
+        want = local_reference(cfg, params)
+
+        sock = str(tmp_path / f"pd_{uuid.uuid4().hex[:6]}.sock")
+        env = dict(os.environ)
+        env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        proc = subprocess.Popen(
+            [sys.executable, "-c", DECODE_SERVER_SCRIPT, sock],
+            env=env, stdout=subprocess.PIPE, text=True,
+        )
+        try:
+            assert proc.stdout.readline().strip() == "READY"
+
+            prefiller = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+            try:
+                rid = prefiller.add_request(
+                    PROMPT, SamplingParams(max_new_tokens=MAX_NEW)
+                )
+                prefiller.step()
+                handoff = prefiller.export_sequence(rid)
+            finally:
+                prefiller.shutdown()
+
+            got = PDPrefillClient(sock).ship(handoff, timeout=180)
+            assert got == want, "cross-process PD diverged"
+        finally:
+            proc.wait(timeout=120)
