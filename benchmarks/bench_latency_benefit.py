@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
-              interpret=True, model_cfg=None, page_tokens=16):
+              interpret=True, model_cfg=None, page_tokens=16,
+              adaptive_horizon=True):
     import jax
 
     from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
@@ -37,9 +38,11 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
     cfg = model_cfg or LlamaConfig.toy()
     params = init_llama_params(cfg, jax.random.PRNGKey(0))
     ec = dict(
-        max_batch=4, max_model_len=256, page_tokens=page_tokens,
+        max_batch=4 if interpret else 8,
+        max_model_len=256, page_tokens=page_tokens,
         decode_horizon=4, prefill_buckets=(64,), num_pages=num_pages,
         interpret=interpret, enable_prefix_caching=False,
+        adaptive_horizon=adaptive_horizon,
     )
     a = LLMEngine(cfg, EngineConfig(**ec), params=params)
     b = LLMEngine(cfg, EngineConfig(**ec), params=params,
@@ -65,9 +68,18 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
     submit_t = time.perf_counter()
     ids = [a.add_request([i + 2] * 48, sp) for i in range(burst)]  # 48+96 tok = 9 pages/req
     ttft: dict[int, float] = {}
+    pool_bytes = num_pages * a.kv_cfg.page_bytes
+    peak_mapped = 0
     while a.has_unfinished():
         a.step()
         now = time.perf_counter()
+        # utilization = pages actually SERVING requests (in_use), not the
+        # prealloc reserve — the reference's used-memory metric
+        peak_mapped = max(
+            peak_mapped,
+            (a.manager.page_allocator.num_in_use
+             + b.manager.page_allocator.num_in_use) * a.kv_cfg.page_bytes,
+        )
         for seq in a.running:
             if seq.req.req_id not in ttft and seq.num_generated > 0:
                 ttft[seq.req.req_id] = now - submit_t
@@ -84,7 +96,8 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
     a.shutdown()
     b.shutdown()
     return {"mean_ttft_s": mean, "p99_ttft_s": p99,
-            "finish_s": finish, "preemptions": preempts}
+            "finish_s": finish, "preemptions": preempts,
+            "hbm_util": peak_mapped / pool_bytes}
 
 
 def main():
@@ -97,7 +110,12 @@ def main():
     if args.tpu:
         from kvcached_tpu.models.llama import LlamaConfig
 
-        kw = dict(interpret=False, page_tokens=64, num_pages=256,
+        # memory-pressured pool: burst demand ≈ pool size, so the static
+        # half-partition queues/preempts while elastic absorbs the burst.
+        # adaptive_horizon off: one decode program per engine (tunnel
+        # compiles are minutes each; overflow masking keeps fixed-K exact)
+        kw = dict(interpret=False, page_tokens=64, num_pages=44,
+                  adaptive_horizon=False,
                   model_cfg=LlamaConfig(
                       hidden_size=1024, num_layers=8, num_heads=8,
                       num_kv_heads=4, intermediate_size=2816))
@@ -105,14 +123,14 @@ def main():
     print("== latency benefit: elastic shared pool vs static partition ==")
     static = run_burst(elastic=False, burst=args.burst, **kw)
     elastic = run_burst(elastic=True, burst=args.burst, **kw)
-    print(f"static  : mean TTFT {static['mean_ttft_s']*1e3:8.1f} ms  "
-          f"p99 {static['p99_ttft_s']*1e3:8.1f} ms  "
-          f"finish {static['finish_s']:.2f} s  preempts {static['preemptions']}")
-    print(f"elastic : mean TTFT {elastic['mean_ttft_s']*1e3:8.1f} ms  "
-          f"p99 {elastic['p99_ttft_s']*1e3:8.1f} ms  "
-          f"finish {elastic['finish_s']:.2f} s  preempts {elastic['preemptions']}")
+    for name, r in (("static", static), ("elastic", elastic)):
+        print(f"{name:8}: mean TTFT {r['mean_ttft_s']*1e3:8.1f} ms  "
+              f"p99 {r['p99_ttft_s']*1e3:8.1f} ms  "
+              f"finish {r['finish_s']:.2f} s  preempts {r['preemptions']}  "
+              f"peak HBM util {r['hbm_util']:.2f}")
     print(f"TTFT improvement: mean {static['mean_ttft_s']/elastic['mean_ttft_s']:.2f}x, "
-          f"p99 {static['p99_ttft_s']/elastic['p99_ttft_s']:.2f}x")
+          f"p99 {static['p99_ttft_s']/elastic['p99_ttft_s']:.2f}x; "
+          f"aggregate HBM utilization {elastic['hbm_util']/max(static['hbm_util'],1e-9):.2f}x")
 
 
 if __name__ == "__main__":

@@ -122,6 +122,10 @@ class EngineConfig:
     #: int8 KV: default per-head dequantization scale (amax/127 of expected
     #: K/V magnitude); override per (layer, head) via set_kv_scales()
     kv_scale: float = 0.04
+    #: shrink the decode horizon near sequence caps (saves wasted steps but
+    #: compiles one program per power-of-two K; disable where compiles are
+    #: expensive — overflow masking keeps fixed-K runs correct)
+    adaptive_horizon: bool = True
 
 
 class LLMEngine:
@@ -839,10 +843,13 @@ class LLMEngine:
         # adaptive horizon: no on-device step past the batch's nearest cap
         # produces a kept token, so shrink K (to a power of two, bounding the
         # number of compiled variants) when every row is close to finishing
-        needed = min(
-            max(1, self._row_cap(s) - len(s.tokens)) for s in batch
-        )
-        K = min(ec.decode_horizon, 1 << (needed.bit_length() - 1))
+        if ec.adaptive_horizon:
+            needed = min(
+                max(1, self._row_cap(s) - len(s.tokens)) for s in batch
+            )
+            K = min(ec.decode_horizon, 1 << (needed.bit_length() - 1))
+        else:
+            K = ec.decode_horizon
 
         # ensure every sequence has blocks for +K tokens; preempt on pressure
         i = 0

@@ -139,6 +139,7 @@ def _attn_body(
     # first ``v_head_dim`` lanes (c_kv).  V DMAs are skipped entirely.
     mla = v_head_dim is not None
     b = pl.program_id(0)
+    batch = pl.num_programs(0)
     layer = layer_ref[0]
     if quantized:
         # int8 KV: dequantization is per-kv-head, so it folds into the
@@ -150,18 +151,64 @@ def _attn_body(
         v_sc = jnp.stack(
             [v_scales_ref[layer, h] for h in range(num_kv_heads)]
         )[:, None, None]
-    seq_len = seq_lens_ref[b]
-    num_pages = pl.cdiv(seq_len, page_tokens)
-    # sliding window: skip whole pages before the window start
-    if window is not None:
-        win_start = jnp.maximum(seq_len - window, 0)
-        first_page = win_start // page_tokens
-    else:
-        win_start = 0
-        first_page = 0
     C = pages_per_chunk
+
+    def row_geometry(row):
+        """(num_pages, first_page, win_start) for a batch row — used for
+        this row AND to prefetch the next row's first chunk."""
+        s = seq_lens_ref[row]
+        n = pl.cdiv(s, page_tokens)
+        if window is not None:
+            ws = jnp.maximum(s - window, 0)
+            fp = ws // page_tokens
+        else:
+            ws = jnp.zeros_like(s)
+            fp = jnp.zeros_like(s)
+        return n, fp, ws
+
+    num_pages, first_page, win_start = row_geometry(b)
     num_chunks = pl.cdiv(num_pages - first_page, C)
     chunk_tokens = C * page_tokens
+
+    def row_dma(row, n_pages_row, fp_row, chunk, j, slot, kv):
+        page_idx = fp_row + chunk * C + j
+        # clamp so tail columns read a valid (masked-out) page: scratch VMEM
+        # is uninitialized and a masked score still multiplies V (0×NaN=NaN)
+        page_idx = jnp.minimum(page_idx, n_pages_row - 1)
+        page_id = page_tables_ref[row, page_idx]
+        pool = k_pool_ref if kv == 0 else v_pool_ref
+        buf = k_buf if kv == 0 else v_buf
+        return pltpu.make_async_copy(
+            pool.at[layer, page_id], buf.at[slot, :, j], sems.at[slot, j, kv]
+        )
+
+    def start_chunk_row(row, n_pages_row, fp_row, chunk, slot):
+        for j in range(C):
+            row_dma(row, n_pages_row, fp_row, chunk, j, slot, 0).start()
+            if not mla:
+                row_dma(row, n_pages_row, fp_row, chunk, j, slot, 1).start()
+
+    def prefetch_safe(row):
+        """May row's chunk 0 be fetched BEFORE its RMW token write?  Only
+        if the write page (the row's last page) is beyond chunk 0.  Must be
+        computable identically by row-1 (issuer) and row (consumer)."""
+        n, fp, _ = row_geometry(row)
+        live = n - fp
+        if write_kv:
+            return live > C
+        return live > 0
+
+    # Cross-row pipelining: grid programs run sequentially and scratch
+    # persists, so each program leaves the NEXT row's chunk 0 in flight —
+    # the fetch overlaps this row's epilogue and the next row's RMW write,
+    # removing the per-row pipeline warmup bubble.
+    chunk0_prefetched = (b > 0) & prefetch_safe(b)
+
+    # fetch chunk 0 as early as possible: before the RMW write whenever the
+    # write page lies beyond chunk 0 (the fetch then overlaps the write)
+    @pl.when((num_pages > 0) & ~chunk0_prefetched & prefetch_safe(b))
+    def _early_chunk0():
+        start_chunk_row(b, num_pages, first_page, 0, 0)
 
     # ---- 1) write this token's K/V via an aligned RMW window --------------
     if write_kv:
@@ -226,38 +273,28 @@ def _attn_body(
                 win_write(win_v, v_pool_ref, win_sems.at[1]).wait()
 
     # ---- 2) paged attention over the sequence's pages ---------------------
-    def page_dma(chunk, j, slot, kv):
-        page_idx = first_page + chunk * C + j
-        # clamp so tail columns read a valid (masked-out) page: scratch VMEM
-        # is uninitialized and a masked score still multiplies V (0×NaN=NaN)
-        page_idx = jnp.minimum(page_idx, num_pages - 1)
-        page_id = page_tables_ref[b, page_idx]
-        pool = k_pool_ref if kv == 0 else v_pool_ref
-        buf = k_buf if kv == 0 else v_buf
-        return pltpu.make_async_copy(
-            pool.at[layer, page_id], buf.at[slot, :, j], sems.at[slot, j, kv]
-        )
-
     def start_chunk(chunk, slot):
-        for j in range(C):
-            page_dma(chunk, j, slot, 0).start()
-            if not mla:
-                page_dma(chunk, j, slot, 1).start()
+        start_chunk_row(b, num_pages, first_page, chunk, slot)
 
     def wait_chunk(chunk, slot):
         for j in range(C):
-            page_dma(chunk, j, slot, 0).wait()
+            row_dma(b, num_pages, first_page, chunk, j, slot, 0).wait()
             if not mla:
-                page_dma(chunk, j, slot, 1).wait()
+                row_dma(b, num_pages, first_page, chunk, j, slot, 1).wait()
 
     m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(num_pages > 0)
-    def _():
+    # chunk 0 was started by the early fetch, the previous grid program
+    # (cross-row prefetch), or — when the write page is inside chunk 0 —
+    # must start only now, after the RMW write landed
+    @pl.when((num_pages > 0) & ~chunk0_prefetched & ~prefetch_safe(b))
+    def _late_chunk0():
         start_chunk(0, 0)
 
+    @pl.when(num_pages > 0)
+    def _():
         def body(c, _):
             slot = jax.lax.rem(c, 2)
             next_slot = jax.lax.rem(c + 1, 2)
@@ -270,23 +307,31 @@ def _attn_body(
 
             base = first_page * page_tokens + c * chunk_tokens
             head_dim = q_ref.shape[3]
+            # MXU operand dtype: byte/2-byte pools run the matmuls in bf16
+            # (native MXU rate; int8/fp8 values are EXACT in bf16) with fp32
+            # accumulation — the fp32-operand path measured compute-bound at
+            # ~77% of HBM peak on v5e.  4-byte pools keep full fp32 math.
+            mm_dt = (
+                jnp.float32
+                if jnp.dtype(k_buf.dtype).itemsize >= 4 else jnp.bfloat16
+            )
             # all heads in one batched matmul: [KH, q_pad, D] x [KH, T, D]
-            q = q_ref[0].astype(jnp.float32) * sm_scale
+            q = q_ref[0].astype(mm_dt)
             k = (
                 k_buf[slot]
                 .reshape(num_kv_heads, chunk_tokens, head_dim)
-                .astype(jnp.float32)
+                .astype(mm_dt)
             )
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [KH, q_pad, chunk_tokens]
+            ) * sm_scale  # [KH, q_pad, chunk_tokens]; scale in fp32 post-dot
             if quantized:
                 s = s * k_sc  # dequantize K via the scores
             token_idx = base + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, dimension=2
             )
-            in_range = (token_idx < seq_len) & (token_idx >= win_start)
+            in_range = (token_idx < seq_lens_ref[b]) & (token_idx >= win_start)
             s = jnp.where(in_range, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_scr[:, :, :1]
@@ -302,10 +347,10 @@ def _attn_body(
                 v = (
                     v_buf[slot]
                     .reshape(num_kv_heads, chunk_tokens, head_dim)
-                    .astype(jnp.float32)
+                    .astype(mm_dt)
                 )
             pv = jax.lax.dot_general(
-                p, v, (((2,), (1,)), ((0,), (0,))),
+                p.astype(mm_dt), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [KH, q_pad, v_dim]
             if quantized:
@@ -321,6 +366,14 @@ def _attn_body(
             return 0
 
         jax.lax.fori_loop(0, num_chunks, body, 0, unroll=False)
+
+    # leave the NEXT row's chunk 0 in flight (slot 0, safe: all of this
+    # row's slot reads completed above) — consumed by the next grid program
+    nxt = jnp.minimum(b + 1, batch - 1)  # clamp: no OOB SMEM read on last row
+    @pl.when((b + 1 < batch) & prefetch_safe(nxt))
+    def _prefetch_next_row():
+        n_n, fp_n, _ = row_geometry(nxt)
+        start_chunk_row(nxt, n_n, fp_n, 0, 0)
 
     l = l_scr[:, :, :1]
     l_safe = jnp.where(l == 0.0, 1.0, l)

@@ -133,16 +133,22 @@ def _prefill_kernel(
 
             base = first_page * page_tokens + c * chunk_tokens
             head_dim = q_ref.shape[3]
-            q = q_ref[0].astype(jnp.float32) * sm_scale  # [KH, rows, D]
+            # bf16 MXU operands for byte/2-byte pools (fp32 accumulate);
+            # fp32 pools keep full fp32 math — see paged_attention.py
+            mm_dt = (
+                jnp.float32
+                if jnp.dtype(k_buf.dtype).itemsize >= 4 else jnp.bfloat16
+            )
+            q = q_ref[0].astype(mm_dt)  # [KH, rows, D]
             k = (
                 k_buf[slot]
                 .reshape(num_kv_heads, chunk_tokens, head_dim)
-                .astype(jnp.float32)
+                .astype(mm_dt)
             )
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [KH, rows, chunk_tokens]
+            ) * sm_scale  # [KH, rows, chunk_tokens]
             if quantized:
                 s = s * k_sc
             kv_idx = base + jax.lax.broadcasted_iota(
@@ -172,10 +178,10 @@ def _prefill_kernel(
                 v = (
                     v_buf[slot]
                     .reshape(num_kv_heads, chunk_tokens, head_dim)
-                    .astype(jnp.float32)
+                    .astype(mm_dt)
                 )
             pv = jax.lax.dot_general(
-                p, v, (((2,), (1,)), ((0,), (0,))),
+                p.astype(mm_dt), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             if quantized:

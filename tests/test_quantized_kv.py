@@ -46,12 +46,15 @@ def make_case(seq_lens=(40, 7), num_pages=16, page_tokens=32,
 class TestFp8Kernel:
     def test_paged_matches_dense_same_dtype(self):
         """Same fp8 pool → paged kernel must match the dense reference
-        reading the same quantized values (Δ≈0 modulo softmax order)."""
+        reading the same quantized values.  The kernel runs its matmul
+        OPERANDS in bf16 (native MXU rate; fp8 values are exact in bf16 but
+        q and the softmax probs round) with fp32 accumulation — tolerance
+        covers that operand rounding, not the fp8 content."""
         q, k_pool, v_pool, pt, sl = make_case()
         out = paged_attention(q, k_pool, v_pool, pt, sl, interpret=True)
         ref = paged_attention_reference(q, k_pool, v_pool, pt, sl)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=2e-5, atol=2e-5)
+                                   rtol=2e-2, atol=2e-2)
 
     def test_fp8_quantization_actually_applied(self):
         """The pool really holds fp8: values differ from fp32 originals."""
