@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
               interpret=True, model_cfg=None, page_tokens=16,
-              adaptive_horizon=True):
+              adaptive_horizon=True, max_model_len=256):
     import jax
 
     from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
@@ -39,7 +39,7 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
     params = init_llama_params(cfg, jax.random.PRNGKey(0))
     ec = dict(
         max_batch=4 if interpret else 8,
-        max_model_len=256, page_tokens=page_tokens,
+        max_model_len=max_model_len, page_tokens=page_tokens,
         decode_horizon=4, prefill_buckets=(64,), num_pages=num_pages,
         interpret=interpret, enable_prefix_caching=False,
         adaptive_horizon=adaptive_horizon,
@@ -64,28 +64,36 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
     a.generate([[1] * 48], SamplingParams(max_new_tokens=2))
 
     # burst on A: submit all at once, measure TTFT per request
-    sp = SamplingParams(max_new_tokens=max_new)
+    # staggered request shapes (real traces aren't lockstep): varied prompt
+    # and generation lengths so page-boundary crossings spread out in time
     submit_t = time.perf_counter()
-    ids = [a.add_request([i + 2] * 48, sp) for i in range(burst)]  # 48+96 tok = 9 pages/req
+    ids = [
+        a.add_request(
+            [i + 2] * (32 + 16 * (i % 4)),
+            SamplingParams(
+                max_new_tokens=max(16, max_new - 24 * (i % 5))
+            ),
+        )
+        for i in range(burst)
+    ]
     ttft: dict[int, float] = {}
     pool_bytes = num_pages * a.kv_cfg.page_bytes
-    peak_mapped = 0
     while a.has_unfinished():
         a.step()
         now = time.perf_counter()
-        # utilization = pages actually SERVING requests (in_use), not the
-        # prealloc reserve — the reference's used-memory metric
-        peak_mapped = max(
-            peak_mapped,
-            (a.manager.page_allocator.num_in_use
-             + b.manager.page_allocator.num_in_use) * a.kv_cfg.page_bytes,
-        )
         for seq in a.running:
             if seq.req.req_id not in ttft and seq.num_generated > 0:
                 ttft[seq.req.req_id] = now - submit_t
         for out in a.finished_outputs:
             ttft.setdefault(out.req_id, now - submit_t)
     finish = time.perf_counter() - submit_t
+
+    # utilization = pages that actually SERVED requests (allocator-exact
+    # high-water mark of in_use; the prealloc reserve doesn't count)
+    peak_mapped = (
+        a.manager.page_allocator.peak_in_use
+        + b.manager.page_allocator.peak_in_use
+    ) * a.kv_cfg.page_bytes
 
     lat = sorted(ttft.get(i, finish) for i in ids)
     mean = sum(lat) / len(lat)
@@ -114,8 +122,10 @@ def main():
         # half-partition queues/preempts while elastic absorbs the burst.
         # adaptive_horizon off: one decode program per engine (tunnel
         # compiles are minutes each; overflow masking keeps fixed-K exact)
+        # 8 pages/request so the elastic pool genuinely fills while the
+        # static half stays capped (≥1.5x aggregate-utilization target)
         kw = dict(interpret=False, page_tokens=64, num_pages=44,
-                  adaptive_horizon=False,
+                  adaptive_horizon=False, max_model_len=512, max_new=440,
                   model_cfg=LlamaConfig(
                       hidden_size=1024, num_layers=8, num_heads=8,
                       num_kv_heads=4, intermediate_size=2816))

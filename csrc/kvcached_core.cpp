@@ -212,6 +212,7 @@ struct KvcAlloc {
   std::condition_variable cv;
   std::deque<int32_t> free_v, reserved, reclaimed;
   int64_t in_use = 0, num_mapped = 0, limit_pages;
+  int64_t peak_in_use = 0;  // high-water mark (exact, not sampled)
 
   // block manager
   std::unordered_map<int32_t, PageBlocks> avail_pages;  // pages w/ free slots
@@ -353,6 +354,18 @@ int64_t kvc_in_use_pages(void* alloc) {
   auto* a = (KvcAlloc*)alloc;
   std::lock_guard<std::mutex> g(a->m);
   return a->in_use;
+}
+
+int64_t kvc_peak_in_use_pages(void* alloc) {
+  auto* a = (KvcAlloc*)alloc;
+  std::lock_guard<std::mutex> g(a->m);
+  return a->peak_in_use;
+}
+
+void kvc_reset_peak_in_use(void* alloc) {
+  auto* a = (KvcAlloc*)alloc;
+  std::lock_guard<std::mutex> g(a->m);
+  a->peak_in_use = a->in_use;
 }
 
 int64_t kvc_reserved_pages(void* alloc) {
@@ -575,6 +588,7 @@ int64_t kvc_alloc_blocks(void* alloc, int64_t n, int64_t* out) {
           return -1;
         }
         a->in_use += 1;
+        if (a->in_use > a->peak_in_use) a->peak_in_use = a->in_use;
         auto res = a->avail_pages.emplace(vp, PageBlocks{});
         pb = &res.first->second;
         pb->free_slots.reserve(a->bpp);

@@ -89,7 +89,8 @@ def _load():
         lib.kvc_alloc_destroy.argtypes = [C.c_void_p]
         lib.kvc_set_hooks.argtypes = [C.c_void_p, _MAP_CB, _MAP_CB, C.c_void_p]
         for name in ("kvc_available_blocks", "kvc_mapped_bytes",
-                     "kvc_in_use_pages", "kvc_reserved_pages",
+                     "kvc_in_use_pages", "kvc_peak_in_use_pages",
+                     "kvc_reserved_pages",
                      "kvc_limit_pages", "kvc_num_reserved_blocks"):
             fn = getattr(lib, name)
             fn.restype = C.c_int64
@@ -113,6 +114,7 @@ def _load():
         lib.kvc_used_blocks.restype = C.c_int64
         lib.kvc_used_blocks.argtypes = [C.c_void_p, C.POINTER(C.c_int64),
                                         C.c_int64]
+        lib.kvc_reset_peak_in_use.argtypes = [C.c_void_p]
         lib.kvc_publish_resize_target.argtypes = [C.c_void_p, C.c_int64]
         lib.kvc_version.restype = C.c_int64
         _lib = lib
@@ -277,6 +279,14 @@ class NativeBlockManager:
     @property
     def num_in_use(self) -> int:
         return self._lib.kvc_in_use_pages(self._h)
+
+    @property
+    def peak_in_use(self) -> int:
+        """High-water in_use mark (exact; survives frees/preemptions)."""
+        return self._lib.kvc_peak_in_use_pages(self._h)
+
+    def reset_peak_in_use(self) -> None:
+        self._lib.kvc_reset_peak_in_use(self._h)
 
     @property
     def num_reserved(self) -> int:

@@ -218,6 +218,7 @@ class PageAllocator:
         self._reclaimed: deque[int] = deque()
         self._num_mapped = 0  # reserved + in-use
         self._in_use = 0  # mapped pages handed to the caller
+        self._peak_in_use = 0  # high-water mark
         # Current limit in pages (elastic). Starts at the full virtual space.
         self._limit_pages = virtual_pages
 
@@ -292,6 +293,7 @@ class PageAllocator:
             else:
                 return None
             self._in_use += 1
+            self._peak_in_use = max(self._peak_in_use, self._in_use)
             self._update_shm()
             return PageState(vp, self.blocks_per_page)
 
@@ -376,6 +378,14 @@ class PageAllocator:
     @property
     def num_in_use(self) -> int:
         return self._in_use
+
+    @property
+    def peak_in_use(self) -> int:
+        """High-water in_use mark (exact; survives frees/preemptions)."""
+        return self._peak_in_use
+
+    def reset_peak_in_use(self) -> None:
+        self._peak_in_use = self._in_use
 
     @property
     def num_reserved(self) -> int:

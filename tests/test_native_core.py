@@ -203,3 +203,30 @@ class TestNativeOnly:
         a.free(got)
         a.shutdown()
         b.shutdown()
+
+
+def test_peak_in_use_high_water():
+    """peak_in_use survives frees (exact high-water, not sampled)."""
+    from kvcached_tpu import KVConfig
+    from kvcached_tpu.kv_cache_manager_native import create_kv_cache_manager
+    from kvcached_tpu.core.native import NativePagePool
+
+    cfg = KVConfig(num_layers=2, num_kv_heads=2, head_dim=64,
+                   block_tokens=16, page_tokens=16)
+    mgr = create_kv_cache_manager(cfg, NativePagePool(32),
+                                  reserve_null_block=False,
+                                  enable_prealloc=False)
+    try:
+        pa = mgr.page_allocator
+        a = mgr.alloc(8)
+        assert pa.peak_in_use == 8
+        mgr.free(a)
+        assert pa.num_in_use == 0
+        assert pa.peak_in_use == 8  # survives the free
+        b = mgr.alloc(3)
+        assert pa.peak_in_use == 8
+        pa.reset_peak_in_use()
+        assert pa.peak_in_use == 3
+        mgr.free(b)
+    finally:
+        mgr.shutdown()
