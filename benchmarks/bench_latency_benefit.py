@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
               interpret=True, model_cfg=None, page_tokens=16,
-              adaptive_horizon=True, max_model_len=256):
+              adaptive_horizon=True, max_model_len=256, hold_frac=0.125):
     import jax
 
     from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
@@ -57,8 +57,11 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
     # model B idles but holds a working set (a long sequence's worth of pages
     # pinned via try_to_reserve — simulating its steady-state footprint)
     # B idles with a small steady-state working set (~12% of the pool)
-    hold_blocks = (num_pages // 8) * a.kv_cfg.blocks_per_page
-    b_hold = b.manager.alloc(min(b.manager.available_size(), hold_blocks))
+    hold_blocks = int(num_pages * hold_frac) * a.kv_cfg.blocks_per_page
+    b_hold = (
+        b.manager.alloc(min(b.manager.available_size(), hold_blocks))
+        if hold_blocks else None
+    )
 
     # warm compile on A
     a.generate([[1] * 48], SamplingParams(max_new_tokens=2))
@@ -124,8 +127,11 @@ def main():
         # compiles are minutes each; overflow masking keeps fixed-K exact)
         # 8 pages/request so the elastic pool genuinely fills while the
         # static half stays capped (≥1.5x aggregate-utilization target)
+        # B fully idle: the serverless-colocation scenario — static strands
+        # B's half of the pool, elastic lends it to A's burst
         kw = dict(interpret=False, page_tokens=64, num_pages=44,
                   adaptive_horizon=False, max_model_len=512, max_new=440,
+                  hold_frac=0.0,
                   model_cfg=LlamaConfig(
                       hidden_size=1024, num_layers=8, num_heads=8,
                       num_kv_heads=4, intermediate_size=2816))

@@ -16,7 +16,8 @@ Config shape (see examples/two_models.yaml):
       check_interval_s: 60
     models:
       - name: llama-a
-        family: llama          # llama | mla
+        family: llama          # llama | mla | hybrid | hybrid_linear
+        # OR: checkpoint: /path/to/hf_dir   (config.json + safetensors)
         config: {hidden_size: 2048, num_layers: 16, ...}
         engine: {max_batch: 8, max_model_len: 2048}
         kvcached_ipc: kvcached_llama_a    # shm segment for kvctl
@@ -38,6 +39,11 @@ logger = get_kvcached_logger(__name__)
 
 
 def _model_cfg(family: str, cfg: dict):
+    cfg = dict(cfg)
+    # YAML lists → the tuples the frozen configs expect
+    for key in ("layer_windows", "layer_types"):
+        if key in cfg:
+            cfg[key] = tuple(cfg[key])
     if family == "llama":
         from ..models.llama import LlamaConfig
 
@@ -46,6 +52,14 @@ def _model_cfg(family: str, cfg: dict):
         from ..models.mla import MLAConfig
 
         return MLAConfig(**cfg)
+    if family == "hybrid":
+        from ..models.hybrid import HybridConfig
+
+        return HybridConfig(**cfg)
+    if family in ("hybrid_linear", "mamba"):
+        from ..models.mamba import HybridLinearConfig
+
+        return HybridLinearConfig(**cfg)
     raise ValueError(f"unknown model family {family!r}")
 
 
@@ -60,7 +74,14 @@ def build_runtime(config: dict) -> AsyncEngineRunner:
     shared: dict[tuple, tuple[DevicePagePool, tuple]] = {}
     for m in config["models"]:
         family = m.get("family", "llama")
-        mcfg = _model_cfg(family, m.get("config", {}))
+        params = None
+        if "checkpoint" in m:
+            # real weights: HF checkpoint dir (config.json + safetensors)
+            from ..models.hf_loader import params_from_hf
+
+            mcfg, params = params_from_hf(m["checkpoint"])
+        else:
+            mcfg = _model_cfg(family, m.get("config", {}))
         ec_kw = dict(m.get("engine", {}))
         ec_kw.setdefault("page_tokens", page_tokens)
         ec_kw.setdefault("ipc_name", m.get("kvcached_ipc", f"kvcached_tpu_{m['name']}"))
@@ -68,8 +89,16 @@ def build_runtime(config: dict) -> AsyncEngineRunner:
         from ..models.adapter import as_adapter
 
         adapter = as_adapter(mcfg)
+        # arena depth: multi-group (hybrid) models allocate an arena of
+        # layers_per_group layers, NOT total layers — sharing must key on
+        # the actual array shape
+        gw = getattr(adapter, "group_windows", None)
+        arena_layers = (
+            adapter.layers_per_group if gw and len(gw) > 1
+            else adapter.num_layers
+        )
         geom = (
-            adapter.num_layers,
+            arena_layers,
             adapter.num_kv_heads,
             adapter.head_dim,
             adapter.num_kv_buffers,
@@ -78,14 +107,15 @@ def build_runtime(config: dict) -> AsyncEngineRunner:
         if geom in shared:
             pool, arrays = shared[geom]
             eng = LLMEngine(
-                mcfg, EngineConfig(**ec_kw), shared_pool=pool, pool_arrays=arrays
+                mcfg, EngineConfig(**ec_kw), params=params,
+                shared_pool=pool, pool_arrays=arrays,
             )
         else:
             if "num_pages" in pool_cfg:
                 ec_kw["num_pages"] = int(pool_cfg["num_pages"])
             elif "hbm_utilization" in pool_cfg:
                 ec_kw["hbm_utilization"] = float(pool_cfg["hbm_utilization"])
-            eng = LLMEngine(mcfg, EngineConfig(**ec_kw))
+            eng = LLMEngine(mcfg, EngineConfig(**ec_kw), params=params)
             shared[geom] = (eng.pool, eng.arrays)
         runner.add_model(m["name"], eng)
         logger.info("model %s (%s) ready", m["name"], family)
