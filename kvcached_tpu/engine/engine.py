@@ -412,34 +412,49 @@ class LLMEngine:
         b2 = P(dp, None) if dp else P()
         rep = P()
 
+        # int8: per-head scales shard on the kv-head axis like the pools
+        qs = self.quant_scales
+        sc_p = P(None, "tp")
+
         def dstep(params, tokens, positions, k_pools, v_pools,
-                  page_tables, slot_pages, slot_offsets, seq_lens):
+                  page_tables, slot_pages, slot_offsets, seq_lens,
+                  *scales):
             return adapter.decode_step(
                 params, tokens, positions, k_pools, v_pools,
                 page_tables, slot_pages, slot_offsets, seq_lens,
                 tp_axis="tp", interpret=ec.interpret,
+                **({"quant_scales": scales} if scales else {}),
             )
 
-        self._decode_step_impl = jax.shard_map(
+        d_sharded = jax.shard_map(
             dstep, mesh=self.mesh,
-            in_specs=(pspecs, bd, bd, pool_p, pool_p, b2, bd, bd, bd),
+            in_specs=(pspecs, bd, bd, pool_p, pool_p, b2, bd, bd, bd)
+            + ((sc_p, sc_p) if qs else ()),
             out_specs=(bd, pool_p, pool_p),
             check_vma=False,
         )
+        self._decode_step_impl = (
+            (lambda *a: d_sharded(*a, *qs)) if qs else d_sharded
+        )
 
         def pstep(params, tokens, positions, k_pools, v_pools,
-                  chunk_pages, page_table, q_start, true_len):
+                  chunk_pages, page_table, q_start, true_len, *scales):
             return adapter.prefill_step(
                 params, tokens, positions, k_pools, v_pools,
                 chunk_pages, page_table, q_start, true_len,
                 tp_axis="tp", interpret=ec.interpret,
+                **({"quant_scales": scales} if scales else {}),
             )
 
-        self._prefill_step_impl = jax.shard_map(
+        p_sharded = jax.shard_map(
             pstep, mesh=self.mesh,
-            in_specs=(pspecs, rep, rep, pool_p, pool_p, rep, rep, rep, rep),
+            in_specs=(pspecs, rep, rep, pool_p, pool_p, rep, rep, rep, rep)
+            + ((sc_p, sc_p) if qs else ()),
             out_specs=(rep, pool_p, pool_p),
             check_vma=False,
+        )
+        self._prefill_step_impl = (
+            (lambda *a: p_sharded(*a, *qs)) if qs else p_sharded
         )
 
     def _decode_fn_for(self, K: int):

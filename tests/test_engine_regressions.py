@@ -222,3 +222,52 @@ def test_adaptive_horizon_matches_fixed(toy):
             eng.shutdown()
     assert outs[0] == outs[1]
     assert len(outs[0]) == 11
+
+
+def test_stop_tokens_end_generation_early(toy):
+    """stop_token_ids must truncate at the stop token even when the device
+    horizon runs past it (post-stop steps are discarded host-side)."""
+    cfg, params = toy
+    eng = make_engine(cfg, params, max_model_len=64, decode_horizon=4)
+    try:
+        # discover what the model would generate unconstrained...
+        free = eng.generate(
+            [[5, 6, 7, 8]], SamplingParams(max_new_tokens=12)
+        )[0].output_tokens
+        stop = free[5]  # ...then stop at its 6th token
+        out = eng.generate(
+            [[5, 6, 7, 8]],
+            SamplingParams(max_new_tokens=12, stop_token_ids=(stop,)),
+        )[0].output_tokens
+        first = out.index(stop)
+        assert first <= 5
+        assert out[-1] == stop, "generation must end AT the stop token"
+        assert len(out) <= 6
+    finally:
+        eng.shutdown()
+
+
+def test_temperature_sampling_is_seeded_deterministic(toy):
+    """temperature>0 draws from the per-step PRNG chain — two engines with
+    identical state must sample identical tokens (reproducibility), and
+    sampling must differ from greedy."""
+    cfg, params = toy
+    sp = SamplingParams(max_new_tokens=10, temperature=1.5)
+    outs = []
+    for _ in range(2):
+        eng = make_engine(cfg, params, max_model_len=64)
+        try:
+            outs.append(
+                eng.generate([[9, 8, 7]], sp)[0].output_tokens
+            )
+        finally:
+            eng.shutdown()
+    assert outs[0] == outs[1], "seeded sampling must be reproducible"
+    eng = make_engine(cfg, params, max_model_len=64)
+    try:
+        greedy = eng.generate(
+            [[9, 8, 7]], SamplingParams(max_new_tokens=10)
+        )[0].output_tokens
+    finally:
+        eng.shutdown()
+    assert outs[0] != greedy, "hot sampling should diverge from greedy"

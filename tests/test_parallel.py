@@ -234,3 +234,46 @@ class TestMeshEngine:
         mesh = make_mesh(tp=8, dp=1)
         with pytest.raises(ValueError, match="num_kv_heads"):
             LLMEngine(cfg, EngineConfig(num_pages=8, interpret=True), mesh=mesh)
+
+
+class TestMeshInt8:
+    def test_int8_engine_on_mesh_matches_single_device(self):
+        """int8 per-head scales must shard on the kv-head axis with the
+        pools; mesh serving must match the single-device int8 engine."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=256, num_layers=2,
+            num_heads=8, num_kv_heads=4, head_dim=128, intermediate_size=512,
+        )
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(
+            max_batch=4, max_model_len=64, page_tokens=32, decode_horizon=2,
+            prefill_buckets=(32,), num_pages=32, interpret=True,
+            kv_dtype="int8",
+        )
+        prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+        sp = SamplingParams(max_new_tokens=6)
+
+        single = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        try:
+            want = [o.output_tokens for o in single.generate(prompts, sp)]
+        finally:
+            single.shutdown()
+
+        eng = LLMEngine(
+            cfg, EngineConfig(**ecfg), params=params,
+            mesh=make_mesh(tp=4, dp=2),
+        )
+        try:
+            got = [o.output_tokens for o in eng.generate(prompts, sp)]
+        finally:
+            eng.shutdown()
+        assert got == want
