@@ -282,6 +282,14 @@ class LLMEngine:
                  spec.cell_elems),
                 jnp.float32,
             )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                # the state pool is replicated across the whole mesh (see
+                # _build_step_impls: tp replicates mixers, dp merges deltas)
+                self.states = jax.device_put(
+                    self.states, NamedSharding(mesh, P())
+                )
 
         self.params = (
             params
@@ -401,6 +409,23 @@ class LLMEngine:
             self._prefill_step_impl = lambda *a: adapter.prefill_step(
                 *a, interpret=ec.interpret, **extra
             )
+            if self.has_state:
+                self._decode_state_impl = (
+                    lambda params, t, p, k, v, pt, sp, so, sl, states, ss:
+                    adapter.decode_step(
+                        params, t, p, k, v, pt, sp, so, sl,
+                        states=states, state_slots=ss,
+                        interpret=ec.interpret,
+                    )
+                )
+                self._prefill_state_impl = (
+                    lambda params, t, p, k, v, cp, pt, qs, tl, states, slot:
+                    adapter.prefill_step(
+                        params, t, p, k, v, cp, pt, qs, tl,
+                        states=states, state_slot=slot,
+                        interpret=ec.interpret,
+                    )
+                )
             return
 
         from jax.sharding import PartitionSpec as P
@@ -455,6 +480,58 @@ class LLMEngine:
         )
         self._prefill_step_impl = (
             (lambda *a: p_sharded(*a, *qs)) if qs else p_sharded
+        )
+
+        if not self.has_state:
+            return
+
+        # Stateful (hybrid-linear) family on a mesh.  The mamba state pool
+        # is REPLICATED (mixers replicate across tp — models/mamba.py):
+        # - across tp, every shard computes identical state updates (x is
+        #   replicated after the attention/MLP psums), so out P() holds.
+        # - across dp, shards update DISJOINT slot rows (a sequence lives on
+        #   exactly one dp shard), so replication is restored by summing the
+        #   per-shard deltas: merged = states + psum(new - states, dp).
+        #   States are tiny next to KV, so the per-step psum is noise.
+        def dstep_state(params, tokens, positions, k_pools, v_pools,
+                        page_tables, slot_pages, slot_offsets, seq_lens,
+                        states, state_slots):
+            logits, k_pools, v_pools, new_states = adapter.decode_step(
+                params, tokens, positions, k_pools, v_pools,
+                page_tables, slot_pages, slot_offsets, seq_lens,
+                states=states, state_slots=state_slots,
+                tp_axis="tp", interpret=ec.interpret,
+            )
+            if dp:
+                new_states = states + jax.lax.psum(new_states - states, dp)
+            return logits, k_pools, v_pools, new_states
+
+        self._decode_state_impl = jax.shard_map(
+            dstep_state, mesh=self.mesh,
+            in_specs=(pspecs, bd, bd, pool_p, pool_p, b2, bd, bd, bd,
+                      rep, bd),
+            out_specs=(bd, pool_p, pool_p, rep),
+            check_vma=False,
+        )
+
+        # prefill runs ONE sequence replicated over dp: every shard computes
+        # the same state update, so no merge is needed.
+        def pstep_state(params, tokens, positions, k_pools, v_pools,
+                        chunk_pages, page_table, q_start, true_len,
+                        states, state_slot):
+            return adapter.prefill_step(
+                params, tokens, positions, k_pools, v_pools,
+                chunk_pages, page_table, q_start, true_len,
+                states=states, state_slot=state_slot,
+                tp_axis="tp", interpret=ec.interpret,
+            )
+
+        self._prefill_state_impl = jax.shard_map(
+            pstep_state, mesh=self.mesh,
+            in_specs=(pspecs, rep, rep, pool_p, pool_p, rep, rep, rep, rep,
+                      rep, rep),
+            out_specs=(rep, pool_p, pool_p, rep),
+            check_vma=False,
         )
 
     def _decode_fn_for(self, K: int):
@@ -524,7 +601,7 @@ class LLMEngine:
         """Decode horizon for stateful (mamba) models: the state pool rides
         the scan carry, donated alongside the KV pools."""
         ec = self.cfg
-        adapter = self.adapter
+        decode_step = self._decode_state_impl
         P = ec.page_tokens
 
         @partial(jax.jit, donate_argnums=(1, 2, 3))
@@ -544,10 +621,10 @@ class LLMEngine:
                 )
                 slot_offsets = positions % P
                 ss = jnp.where(overflow, -1, state_slots)  # -1 = drop write
-                logits, k_pools, v_pools, states = adapter.decode_step(
+                logits, k_pools, v_pools, states = decode_step(
                     params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    states=states, state_slots=ss, interpret=ec.interpret,
+                    states, ss,
                 )
                 key, sub = jax.random.split(key)
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -583,16 +660,15 @@ class LLMEngine:
         return prefill
 
     def _build_prefill_fn_stateful(self):
-        ec = self.cfg
-        adapter = self.adapter
+        prefill_step = self._prefill_state_impl
 
         @partial(jax.jit, donate_argnums=(1, 2, 3))
         def prefill(params, k_pools, v_pools, states, tokens, positions,
                     chunk_pages, page_table, q_start, true_len, state_slot):
-            logits, k_pools, v_pools, states = adapter.prefill_step(
+            logits, k_pools, v_pools, states = prefill_step(
                 params, tokens, positions, k_pools, v_pools,
                 chunk_pages, page_table, q_start, true_len,
-                states=states, state_slot=state_slot, interpret=ec.interpret,
+                states, state_slot,
             )
             next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return next_token, k_pools, v_pools, states
@@ -992,17 +1068,24 @@ class LLMEngine:
 
     # ----------------------------------------------- PD disaggregation
 
-    def export_sequence(self, req_id: int):
+    def export_sequence(self, req_id: int, *, device: bool = False):
         """Prefill side of PD disaggregation: extract a prefilled (or
-        partially decoded) sequence — tokens + its KV page payloads — and
-        free its local pages.  A decode engine adopts the result via
+        partially decoded) sequence — tokens + its KV page payloads (and,
+        for stateful models, the mamba state cell) — and free its local
+        pages.  A decode engine adopts the result via
         :meth:`import_sequence`, continuing bit-identically.
+
+        ``device=True`` keeps the payload as jax arrays (no host copy):
+        handing it to an engine on another chip rides ICI via
+        ``jax.device_put`` inside the import's write path; ``to_wire``
+        still works (it gathers lazily).
 
         Reference analogue: NIXL connector shipping kvcached pages between
         prefill and decode workers (vllm/nixl_compat.py:104-197)."""
-        if self.num_groups > 1 or self.has_state:
+        if self.num_groups > 1:
             raise NotImplementedError(
-                "PD export currently covers single-group stateless models"
+                "PD export does not cover multi-group hybrid models "
+                "(sliding-window groups reclaim pages mid-sequence)"
             )
         from ..parallel.pd import SeqHandoff
 
@@ -1011,11 +1094,17 @@ class LLMEngine:
         n = len(seq.blocks)
         phys = self._phys_row(seq)[:n]
         # page gather (read-only; the pool is not donated here)
-        payload_k = np.asarray(self.k_pools[:, phys])
+        wrap = (lambda x: x) if device else np.asarray
+        payload_k = wrap(self.k_pools[:, phys])
         payload_v = (
-            np.asarray(self.v_pools[:, phys])
+            wrap(self.v_pools[:, phys])
             if self.v_pools is not None else None
         )
+        payload_state = None
+        if self.has_state:
+            payload_state = wrap(
+                self.states[:, self._phys_state_slot(seq)]
+            )
         sp = seq.req.sampling
         handoff = SeqHandoff(
             prompt=list(seq.req.prompt),
@@ -1025,18 +1114,34 @@ class LLMEngine:
             stop_token_ids=sp.stop_token_ids,
             payload_k=payload_k,
             payload_v=payload_v,
+            payload_state=payload_state,
         )
         self._free_seq(seq, cache_kv=False)
         return handoff
 
     def import_sequence(self, handoff) -> int:
         """Decode side of PD disaggregation: allocate local pages, land the
-        payload through the Pallas page writer, and resume decoding."""
-        if self.num_groups > 1 or self.has_state:
+        payload through the Pallas page writer (state cells via scatter),
+        and resume decoding.  Payloads may be numpy (socket plane) or jax
+        arrays (device plane): ``jnp.asarray`` device_puts either, so a
+        cross-chip handoff rides ICI without a host bounce."""
+        if self.num_groups > 1:
             raise NotImplementedError(
-                "PD import currently covers single-group stateless models"
+                "PD import does not cover multi-group hybrid models"
             )
-        from ..ops.paged_attention import write_prefill_kv
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "PD import into a meshed engine needs a shard-mapped page "
+                "writer; import into the single-device engine instead"
+            )
+        if self.has_state != (handoff.payload_state is not None):
+            raise ValueError("handoff state payload does not match model family")
+        if (self.v_pools is None) != (handoff.payload_v is None):
+            raise ValueError("handoff buffer count does not match kv geometry")
+        from ..ops.paged_attention import (
+            write_prefill_kv,
+            write_prefill_kv_single,
+        )
 
         req = Request(
             next(self._ids), list(handoff.prompt),
@@ -1054,16 +1159,35 @@ class LLMEngine:
         if blocks is None:
             raise RuntimeError("decode engine out of pages for PD import")
         seq.blocks = blocks
+        if self.has_state:
+            sb = self.state_manager.alloc(1)
+            if sb is None:
+                self.manager.free(blocks)
+                seq.blocks = []
+                raise RuntimeError("decode engine out of state slots for PD import")
+            seq.state_block = sb[0]
+            self.states = self.states.at[:, self._phys_state_slot(seq)].set(
+                jnp.asarray(handoff.payload_state, jnp.float32)
+            )
         phys = jnp.asarray(self._phys_row(seq)[:n])
+        pay_k = jnp.asarray(handoff.payload_k)  # device_put (ICI cross-chip)
+        pay_v = (
+            jnp.asarray(handoff.payload_v)
+            if handoff.payload_v is not None else None
+        )
         for layer in range(L):
             # [n, KH, P, D] -> [KH, n*P, D] (the writer's chunk layout)
-            k_new = jnp.asarray(
-                np.transpose(handoff.payload_k[layer], (1, 0, 2, 3))
-                .reshape(KH, n * P, D)
+            k_new = jnp.transpose(pay_k[layer], (1, 0, 2, 3)).reshape(
+                KH, n * P, D
             )
-            v_new = jnp.asarray(
-                np.transpose(handoff.payload_v[layer], (1, 0, 2, 3))
-                .reshape(KH, n * P, D)
+            if pay_v is None:  # MLA single-buffer latent pool
+                self.k_pools = write_prefill_kv_single(
+                    self.k_pools, k_new, phys, layer,
+                    interpret=self.cfg.interpret,
+                )
+                continue
+            v_new = jnp.transpose(pay_v[layer], (1, 0, 2, 3)).reshape(
+                KH, n * P, D
             )
             self.k_pools, self.v_pools = write_prefill_kv(
                 self.k_pools, self.v_pools, k_new, v_new, phys, layer,

@@ -242,9 +242,9 @@ class HybridLinearAdapter:
         )
 
     def param_specs(self, tp_axis: str) -> dict:
-        raise NotImplementedError(
-            "hybrid-linear adapter has no TP param sharding yet"
-        )
+        from ..parallel.mesh import hybrid_linear_param_specs
+
+        return hybrid_linear_param_specs(self.cfg.layer_types, tp_axis)
 
 
 def as_adapter(model) -> ModelAdapter:

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
 from ..ops.paged_prefill import paged_prefill_attention
-from .llama import rms_norm, rope
+from .llama import _maybe_psum, rms_norm, rope
 
 
 def _round_up(x: int, m: int) -> int:
@@ -290,6 +290,14 @@ def hybrid_linear_decode_step(
 ):
     B = tokens.shape[0]
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    # TP sharding (under shard_map): attention layers are Megatron-sharded
+    # like the Llama family; mamba mixers run REPLICATED — the state cells
+    # and mixer matmuls are tiny next to attention+MLP, so replicating them
+    # costs ~nothing while keeping the packed super-cell layout intact (a
+    # d_inner shard would have to restripe conv++ssm packing per shard).
+    if tp_axis:
+        tp = jax.lax.axis_size(tp_axis)
+        H, KH = H // tp, KH // tp
     x = params["embed"][tokens]
 
     attn_i = mamba_i = 0
@@ -306,9 +314,12 @@ def hybrid_linear_decode_step(
                 k.astype(k_pools.dtype), v.astype(v_pools.dtype),
                 slot_pages, slot_offsets, interpret=interpret,
             )
-            x = x + attn.reshape(B, H * D) @ lp["wo"]
+            x = x + _maybe_psum(attn.reshape(B, H * D) @ lp["wo"], tp_axis)
             h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-            x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+            x = x + _maybe_psum(
+                (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"],
+                tp_axis,
+            )
             attn_i += 1
         else:
             h = rms_norm(x, lp["norm"], cfg.rms_eps)
@@ -351,6 +362,9 @@ def hybrid_linear_prefill_step(
     chunk start)."""
     T = tokens.shape[0]
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if tp_axis:  # attention sharded, mixers replicated (see decode step)
+        tp = jax.lax.axis_size(tp_axis)
+        H, KH = H // tp, KH // tp
     x = params["embed"][tokens]
 
     attn_i = mamba_i = 0
@@ -370,9 +384,12 @@ def hybrid_linear_prefill_step(
                 q, k_pools, v_pools, page_table, q_start, q_start + true_len,
                 attn_i, interpret=interpret,
             )
-            x = x + attn.reshape(T, H * D) @ lp["wo"]
+            x = x + _maybe_psum(attn.reshape(T, H * D) @ lp["wo"], tp_axis)
             h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-            x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+            x = x + _maybe_psum(
+                (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"],
+                tp_axis,
+            )
             attn_i += 1
         else:
             h = rms_norm(x, lp["norm"], cfg.rms_eps)

@@ -58,6 +58,40 @@ def llama_param_specs(tp_axis: str = "tp") -> dict:
     }
 
 
+def hybrid_linear_param_specs(layer_types, tp_axis: str = "tp") -> dict:
+    """PartitionSpecs for the hybrid-linear (attention + mamba) param tree.
+
+    Attention layers shard Megatron-style like Llama; mamba mixer layers are
+    REPLICATED: their params and state cells are tiny relative to the
+    attention/MLP weights, and sharding d_inner would force restriping the
+    packed conv++ssm super cells per shard (models/mamba.py pack_cell) for
+    negligible FLOP savings.  ``layer_types`` is the config's per-layer
+    ("attn" | "mamba") tuple — the params["layers"] python list mirrors it.
+    """
+    t = tp_axis
+    attn = {
+        "attn_norm": P(),
+        "wq": P(None, t),
+        "wk": P(None, t),
+        "wv": P(None, t),
+        "wo": P(t, None),
+        "mlp_norm": P(),
+        "w_gate": P(None, t),
+        "w_up": P(None, t),
+        "w_down": P(t, None),
+    }
+    mamba = {
+        "norm": P(), "in_proj": P(), "conv_w": P(), "a_log": P(),
+        "dt_proj": P(), "b_proj": P(), "c_proj": P(), "out_proj": P(),
+    }
+    return {
+        "embed": P(),
+        "layers": [attn if k == "attn" else mamba for k in layer_types],
+        "final_norm": P(),
+        "lm_head": P(),
+    }
+
+
 def pool_spec_partition(tp_axis: str = "tp") -> P:
     """Pools [L, pages, kv_heads, page_tokens, head_dim] shard on kv heads."""
     return P(None, None, tp_axis)

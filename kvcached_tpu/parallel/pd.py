@@ -36,7 +36,11 @@ logger = get_kvcached_logger(__name__)
 
 @dataclass
 class SeqHandoff:
-    """Everything a decode engine needs to adopt a prefilled sequence."""
+    """Everything a decode engine needs to adopt a prefilled sequence.
+
+    Payloads may be numpy arrays (socket plane) or jax arrays (device
+    plane, ``export_sequence(device=True)``): ``to_wire`` gathers lazily,
+    and ``import_sequence`` device_puts either kind."""
 
     prompt: list[int]
     tokens: list[int]  # prompt + tokens generated so far (≥ 1 from prefill)
@@ -45,25 +49,40 @@ class SeqHandoff:
     stop_token_ids: tuple
     payload_k: np.ndarray  # [L, n_pages, KH, page_tokens, D]
     payload_v: np.ndarray | None  # None for MLA single-buffer pools
+    #: stateful (mamba) models: packed super cell [L_mamba, cell_elems] f32
+    payload_state: np.ndarray | None = None
 
     # ---- wire format: json header + raw ndarray buffers -------------------
 
     def to_wire(self) -> bytes:
+        pk = np.asarray(self.payload_k)
         header = {
             "prompt": self.prompt,
             "tokens": self.tokens,
             "max_new_tokens": self.max_new_tokens,
             "temperature": self.temperature,
             "stop_token_ids": list(self.stop_token_ids),
-            "k_shape": list(self.payload_k.shape),
-            "k_dtype": self.payload_k.dtype.name,  # name survives bf16/fp8
+            "k_shape": list(pk.shape),
+            "k_dtype": pk.dtype.name,  # name survives bf16/fp8
             "has_v": self.payload_v is not None,
+            "state_shape": (
+                list(self.payload_state.shape)
+                if self.payload_state is not None else None
+            ),
         }
         hj = json.dumps(header).encode()
         parts = [struct.pack("<I", len(hj)), hj,
-                 np.ascontiguousarray(self.payload_k).tobytes()]
+                 np.ascontiguousarray(pk).tobytes()]
         if self.payload_v is not None:
-            parts.append(np.ascontiguousarray(self.payload_v).tobytes())
+            parts.append(
+                np.ascontiguousarray(np.asarray(self.payload_v)).tobytes()
+            )
+        if self.payload_state is not None:
+            parts.append(
+                np.ascontiguousarray(
+                    np.asarray(self.payload_state, np.float32)
+                ).tobytes()
+            )
         return b"".join(parts)
 
     @classmethod
@@ -84,6 +103,14 @@ class SeqHandoff:
         payload_v = None
         if header["has_v"]:
             payload_v = np.frombuffer(data[off : off + nbytes], dt).reshape(shape)
+            off += nbytes
+        payload_state = None
+        if header.get("state_shape") is not None:
+            sshape = tuple(header["state_shape"])
+            snbytes = int(np.prod(sshape)) * 4
+            payload_state = np.frombuffer(
+                data[off : off + snbytes], np.float32
+            ).reshape(sshape)
         return cls(
             prompt=list(header["prompt"]),
             tokens=list(header["tokens"]),
@@ -92,6 +119,7 @@ class SeqHandoff:
             stop_token_ids=tuple(header["stop_token_ids"]),
             payload_k=payload_k,
             payload_v=payload_v,
+            payload_state=payload_state,
         )
 
 

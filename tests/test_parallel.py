@@ -236,6 +236,54 @@ class TestMeshEngine:
             LLMEngine(cfg, EngineConfig(num_pages=8, interpret=True), mesh=mesh)
 
 
+class TestMeshHybridLinear:
+    def test_hybrid_linear_engine_on_mesh_matches_single_device(self):
+        """The stateful (attention + mamba) family served over a dp×tp mesh:
+        attention Megatron-sharded, mixers replicated, state-pool deltas
+        psum-merged across dp — tokens must match single-device exactly."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+        from kvcached_tpu.models.mamba import (
+            HybridLinearConfig,
+            init_hybrid_linear_params,
+        )
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = HybridLinearConfig.toy(num_layers=4)
+        params = init_hybrid_linear_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(
+            max_batch=4, max_model_len=96, page_tokens=16, decode_horizon=4,
+            prefill_buckets=(16, 32), num_pages=48, interpret=True,
+        )
+        prompts = [
+            [1, 2, 3, 4, 5],
+            list(range(7, 27)),
+            [42] * 40,  # > largest bucket → chunked prefill resumes state
+            [9, 9, 9],
+        ]
+        sp = SamplingParams(max_new_tokens=8)
+
+        single = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        try:
+            want = [o.output_tokens for o in single.generate(prompts, sp)]
+        finally:
+            single.shutdown()
+
+        mesh = make_mesh(tp=2, dp=2)
+        eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params, mesh=mesh)
+        try:
+            got = [o.output_tokens for o in eng.generate(prompts, sp)]
+            assert eng.k_pools.sharding.spec == (None, None, "tp")
+        finally:
+            eng.shutdown()
+
+        assert got == want, "hybrid-linear mesh engine diverged"
+
+
 class TestMeshInt8:
     def test_int8_engine_on_mesh_matches_single_device(self):
         """int8 per-head scales must shard on the kv-head axis with the

@@ -98,6 +98,116 @@ class TestInProcessHandoff:
             eng.shutdown()
 
 
+class TestDevicePayloadHandoff:
+    def test_device_export_stays_on_device_and_matches(self, toy):
+        """export_sequence(device=True): payloads are jax arrays (the ICI
+        plane between chips); import device_puts them without a host
+        bounce and decoding matches the local reference."""
+        cfg, params = toy
+        want = local_reference(cfg, params)
+
+        prefiller = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        decoder = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        try:
+            rid = prefiller.add_request(
+                PROMPT, SamplingParams(max_new_tokens=MAX_NEW)
+            )
+            prefiller.step()
+            handoff = prefiller.export_sequence(rid, device=True)
+            assert isinstance(handoff.payload_k, jax.Array)
+
+            new_id = decoder.import_sequence(handoff)
+            while decoder.has_unfinished():
+                decoder.step()
+            out = next(
+                o for o in decoder.finished_outputs if o.req_id == new_id
+            )
+            assert out.output_tokens == want
+            # the device handoff still serializes (lazy gather)
+            from kvcached_tpu.parallel.pd import SeqHandoff
+
+            h2 = SeqHandoff.from_wire(handoff.to_wire())
+            assert h2.tokens == handoff.tokens
+        finally:
+            prefiller.shutdown()
+            decoder.shutdown()
+
+
+class TestStatefulHandoff:
+    def test_hybrid_linear_pd_roundtrip(self):
+        """Stateful (attention + mamba) PD: the handoff carries the packed
+        super cell alongside KV pages; the decode engine continues
+        token-exactly (wire round-trip included)."""
+        from kvcached_tpu.models.mamba import (
+            HybridLinearConfig,
+            init_hybrid_linear_params,
+        )
+        from kvcached_tpu.parallel.pd import SeqHandoff
+
+        cfg = HybridLinearConfig.toy(num_layers=4)
+        params = init_hybrid_linear_params(cfg, jax.random.PRNGKey(0))
+        want = local_reference(cfg, params)
+
+        prefiller = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        decoder = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        try:
+            rid = prefiller.add_request(
+                PROMPT, SamplingParams(max_new_tokens=MAX_NEW)
+            )
+            prefiller.step()
+            handoff = prefiller.export_sequence(rid)
+            assert handoff.payload_state is not None
+            assert handoff.payload_state.shape == (
+                cfg.num_mamba_layers, cfg.cell_elems,
+            )
+            # prefiller released its state slot (only the null slot remains)
+            assert prefiller.state_manager.page_allocator.num_in_use <= 1
+
+            handoff = SeqHandoff.from_wire(handoff.to_wire())
+            new_id = decoder.import_sequence(handoff)
+            while decoder.has_unfinished():
+                decoder.step()
+            out = next(
+                o for o in decoder.finished_outputs if o.req_id == new_id
+            )
+            assert out.output_tokens == want, "stateful PD diverged"
+        finally:
+            prefiller.shutdown()
+            decoder.shutdown()
+
+
+class TestMLAHandoff:
+    def test_mla_single_buffer_pd(self):
+        """MLA's latent pool has one KV buffer (payload_v None): import must
+        route through the single-buffer page writer."""
+        from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+
+        cfg = MLAConfig.toy()
+        params = init_mla_params(cfg, jax.random.PRNGKey(0))
+        want = local_reference(cfg, params)
+
+        prefiller = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        decoder = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        try:
+            rid = prefiller.add_request(
+                PROMPT, SamplingParams(max_new_tokens=MAX_NEW)
+            )
+            prefiller.step()
+            handoff = prefiller.export_sequence(rid)
+            assert handoff.payload_v is None
+
+            new_id = decoder.import_sequence(handoff)
+            while decoder.has_unfinished():
+                decoder.step()
+            out = next(
+                o for o in decoder.finished_outputs if o.req_id == new_id
+            )
+            assert out.output_tokens == want, "MLA PD diverged"
+        finally:
+            prefiller.shutdown()
+            decoder.shutdown()
+
+
 DECODE_SERVER_SCRIPT = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
