@@ -1129,11 +1129,6 @@ class LLMEngine:
             raise NotImplementedError(
                 "PD import does not cover multi-group hybrid models"
             )
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "PD import into a meshed engine needs a shard-mapped page "
-                "writer; import into the single-device engine instead"
-            )
         if self.has_state != (handoff.payload_state is not None):
             raise ValueError("handoff state payload does not match model family")
         if (self.v_pools is None) != (handoff.payload_v is None):
@@ -1175,6 +1170,44 @@ class LLMEngine:
             jnp.asarray(handoff.payload_v)
             if handoff.payload_v is not None else None
         )
+        if self.mesh is not None:
+            # meshed decode engine: payload shards on the kv-head axis like
+            # the pool, and the per-layer page writers run under shard_map
+            # (dp shards perform identical writes — the pool has no dp axis).
+            # Recompiles per distinct page count n; PD import is not the
+            # decode hot path.
+            from jax.sharding import PartitionSpec as SP
+
+            pool_p = SP(None, None, "tp")
+            pay_p = SP(None, None, "tp")  # [L, n, KH, P, D] on KH
+
+            def write_all(k_pools, v_pools, pay_k, pay_v, phys):
+                kh, pt, d = pay_k.shape[2], pay_k.shape[3], pay_k.shape[4]
+                for layer in range(L):
+                    k_new = jnp.transpose(
+                        pay_k[layer], (1, 0, 2, 3)
+                    ).reshape(kh, n * pt, d)
+                    v_new = jnp.transpose(
+                        pay_v[layer], (1, 0, 2, 3)
+                    ).reshape(kh, n * pt, d)
+                    k_pools, v_pools = write_prefill_kv(
+                        k_pools, v_pools, k_new, v_new, phys, layer,
+                        interpret=self.cfg.interpret,
+                    )
+                return k_pools, v_pools
+
+            sharded = jax.shard_map(
+                write_all, mesh=self.mesh,
+                in_specs=(pool_p, pool_p, pay_p, pay_p, SP()),
+                out_specs=(pool_p, pool_p),
+                check_vma=False,
+            )
+            self.k_pools, self.v_pools = jax.jit(
+                sharded, donate_argnums=(0, 1)
+            )(self.k_pools, self.v_pools, pay_k, pay_v, phys)
+            seq.num_prefilled = seq.prompt_len
+            self.running.append(seq)
+            return req.req_id
         for layer in range(L):
             # [n, KH, P, D] -> [KH, n*P, D] (the writer's chunk layout)
             k_new = jnp.transpose(pay_k[layer], (1, 0, 2, 3)).reshape(

@@ -133,6 +133,50 @@ class TestDevicePayloadHandoff:
             decoder.shutdown()
 
 
+class TestMeshImportHandoff:
+    def test_import_into_meshed_decode_engine(self):
+        """PD across parallelism domains: a single-device prefill engine
+        hands off to a decode engine serving over a dp×tp mesh (the
+        payload shards onto the kv-head axis through a shard-mapped page
+        writer)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=256, num_layers=2,
+            num_heads=8, num_kv_heads=4, head_dim=128, intermediate_size=512,
+        )
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        want = local_reference(cfg, params)
+
+        prefiller = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        decoder = LLMEngine(
+            cfg, EngineConfig(**ECFG), params=params,
+            mesh=make_mesh(tp=4, dp=2),
+        )
+        try:
+            rid = prefiller.add_request(
+                PROMPT, SamplingParams(max_new_tokens=MAX_NEW)
+            )
+            prefiller.step()
+            handoff = prefiller.export_sequence(rid, device=True)
+
+            new_id = decoder.import_sequence(handoff)
+            assert decoder.k_pools.sharding.spec == (None, None, "tp")
+            while decoder.has_unfinished():
+                decoder.step()
+            out = next(
+                o for o in decoder.finished_outputs if o.req_id == new_id
+            )
+            assert out.output_tokens == want, "mesh PD import diverged"
+        finally:
+            prefiller.shutdown()
+            decoder.shutdown()
+
+
 class TestStatefulHandoff:
     def test_hybrid_linear_pd_roundtrip(self):
         """Stateful (attention + mamba) PD: the handoff carries the packed
