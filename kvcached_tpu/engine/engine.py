@@ -45,8 +45,40 @@ logger = get_kvcached_logger(__name__)
 class SamplingParams:
     max_new_tokens: int = 32
     temperature: float = 0.0  # 0 = greedy (deterministic)
+    top_k: int = 0  # 0 = disabled; keep the k highest-logit tokens
+    top_p: float = 1.0  # nucleus sampling; 1.0 = disabled
     seed: int = 0
     stop_token_ids: tuple[int, ...] = ()
+
+
+def _sample_tokens(logits, temps, top_ks, top_ps, key, *, filters: bool):
+    """Per-row sampling: greedy where temp==0; else temperature scaling,
+    then top-k, then top-p (nucleus) filtering before the categorical.
+    ``filters=False`` compiles the unfiltered fast path (no vocab sorts) —
+    the engine picks the variant per dispatch from the batch's params."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    if filters:
+        V = logits.shape[-1]
+        # RANK-based filtering (not value thresholds): a stable argsort
+        # breaks ties by token index exactly like argmax, so top_k=1 is
+        # bit-identical to greedy even when bf16-valued logits tie at the
+        # max (value thresholds would keep every tied token)
+        order = jnp.argsort(-scaled, axis=-1, stable=True)  # desc token ids
+        ranks = jnp.argsort(order, axis=-1)  # rank of each token
+        k = jnp.where(top_ks > 0, top_ks, V)
+        scaled = jnp.where(ranks >= k[:, None], -jnp.inf, scaled)
+        # nucleus: keep the smallest rank-prefix whose exclusive cumulative
+        # mass is < top_p (always ≥ 1 token)
+        desc = jnp.take_along_axis(scaled, order, axis=-1)
+        probs = jax.nn.softmax(desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_n = jnp.sum((cum - probs) < top_ps[:, None], axis=-1)
+        scaled = jnp.where(
+            ranks >= jnp.maximum(keep_n, 1)[:, None], -jnp.inf, scaled
+        )
+    sampled = jax.random.categorical(key, scaled).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
 
 
 @dataclass
@@ -173,6 +205,11 @@ class LLMEngine:
                     f"num_kv_heads={self.adapter.num_kv_heads} not divisible "
                     f"by tp={tp}"
                 )
+            if self.adapter.vocab_size % tp:
+                raise ValueError(
+                    f"vocab_size={self.adapter.vocab_size} not divisible by "
+                    f"tp={tp} (the LM head shards on the vocab axis)"
+                )
             if ec.max_batch % dp:
                 raise ValueError(f"max_batch={ec.max_batch} not divisible by dp={dp}")
             pool_sharding = NamedSharding(mesh, P(None, None, "tp"))
@@ -242,6 +279,13 @@ class LLMEngine:
         # they are not fungible, but limits/accounting/prealloc are shared
         # machinery.  Slot 0 (physical page 0) is the null slot.
         self.has_state = bool(getattr(self.adapter, "has_state", False))
+        if self.has_state and ec.kv_dtype == "int8":
+            # the stateful step impls don't thread per-head scales; a direct
+            # bf16->int8 cast would silently destroy KV precision
+            raise ValueError(
+                "int8 KV with per-head scales is not supported for stateful "
+                "(mamba) models; use bfloat16 or float8_e4m3fn"
+            )
         self.state_manager = None
         self.states = None
         if self.has_state:
@@ -534,21 +578,23 @@ class LLMEngine:
             check_vma=False,
         )
 
-    def _decode_fn_for(self, K: int):
-        fn = self._decode_fns.get(K)
+    def _decode_fn_for(self, K: int, filters: bool = False):
+        fn = self._decode_fns.get((K, filters))
         if fn is None:
-            fn = self._decode_fns[K] = self._build_decode_fn(K)
+            fn = self._decode_fns[(K, filters)] = self._build_decode_fn(
+                K, filters
+            )
         return fn
 
-    def _build_decode_fn(self, K: int):
+    def _build_decode_fn(self, K: int, filters: bool = False):
         if self.has_state:
-            return self._build_decode_fn_stateful(K)
+            return self._build_decode_fn_stateful(K, filters)
         ec = self.cfg
         decode_step = self._decode_step_impl
         P = ec.page_tokens
 
         @partial(jax.jit, donate_argnums=(1, 2))
-        def decode_multi(params, k_pools, v_pools, tokens0, seq_lens0, page_tables, temps, max_lens, rng_key):
+        def decode_multi(params, k_pools, v_pools, tokens0, seq_lens0, page_tables, temps, top_ks, top_ps, max_lens, rng_key):
             """K decode steps on device.  seq_lens0 counts tokens whose KV is
             already written; the j-th step consumes input token j at position
             seq_lens0 + j.  Returns sampled tokens [K, B].
@@ -583,11 +629,9 @@ class LLMEngine:
                     page_tables, slot_pages, slot_offsets, seq_lens,
                 )
                 key, sub = jax.random.split(key)
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                sampled = jax.random.categorical(
-                    sub, logits / jnp.maximum(temps, 1e-6)[:, None]
-                ).astype(jnp.int32)
-                next_tokens = jnp.where(temps > 0, sampled, greedy)
+                next_tokens = _sample_tokens(
+                    logits, temps, top_ks, top_ps, sub, filters=filters
+                )
                 return (next_tokens, k_pools, v_pools, key), next_tokens
 
             (_, k_pools, v_pools, _), toks = jax.lax.scan(
@@ -597,7 +641,7 @@ class LLMEngine:
 
         return decode_multi
 
-    def _build_decode_fn_stateful(self, K: int):
+    def _build_decode_fn_stateful(self, K: int, filters: bool = False):
         """Decode horizon for stateful (mamba) models: the state pool rides
         the scan carry, donated alongside the KV pools."""
         ec = self.cfg
@@ -606,8 +650,8 @@ class LLMEngine:
 
         @partial(jax.jit, donate_argnums=(1, 2, 3))
         def decode_multi(params, k_pools, v_pools, states, tokens0,
-                         seq_lens0, page_tables, temps, max_lens,
-                         state_slots, rng_key):
+                         seq_lens0, page_tables, temps, top_ks, top_ps,
+                         max_lens, state_slots, rng_key):
             def one_step(carry, j):
                 tokens, k_pools, v_pools, states, key = carry
                 raw_lens = seq_lens0 + j + 1
@@ -627,11 +671,9 @@ class LLMEngine:
                     states, ss,
                 )
                 key, sub = jax.random.split(key)
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                sampled = jax.random.categorical(
-                    sub, logits / jnp.maximum(temps, 1e-6)[:, None]
-                ).astype(jnp.int32)
-                next_tokens = jnp.where(temps > 0, sampled, greedy)
+                next_tokens = _sample_tokens(
+                    logits, temps, top_ks, top_ps, sub, filters=filters
+                )
                 return (next_tokens, k_pools, v_pools, states, key), next_tokens
 
             (_, k_pools, v_pools, states, _), toks = jax.lax.scan(
@@ -654,8 +696,12 @@ class LLMEngine:
                 params, tokens, positions, k_pools, v_pools,
                 chunk_pages, page_table, q_start, true_len,
             )
-            next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return next_token, k_pools, v_pools
+            # greedy token computed in-jit (the temp=0 path transfers one
+            # scalar, no extra dispatch); logits ride along so sampled
+            # requests draw their first token with their own
+            # temperature/top-k/top-p instead of being forced greedy
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (greedy, logits), k_pools, v_pools
 
         return prefill
 
@@ -670,8 +716,8 @@ class LLMEngine:
                 chunk_pages, page_table, q_start, true_len,
                 states, state_slot,
             )
-            next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return next_token, k_pools, v_pools, states
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (greedy, logits), k_pools, v_pools, states
 
         return prefill
 
@@ -879,7 +925,7 @@ class LLMEngine:
         max_bucket = max(self.cfg.prefill_buckets)
         multi = self.num_groups > 1
         phys = self._phys_rows(seq) if multi else self._phys_row(seq)
-        next_token = None
+        out = None
         while q_start < plen:
             this_len = min(plen - q_start, max_bucket)
             T = self._bucket_len(this_len)
@@ -897,7 +943,7 @@ class LLMEngine:
                 chunk_pages[:n_real] = phys[start_page : start_page + n_real]
             if self.has_state:
                 slot = jnp.asarray(self._phys_state_slot(seq), jnp.int32)
-                next_token, self.k_pools, self.v_pools, self.states = (
+                out, self.k_pools, self.v_pools, self.states = (
                     self._prefill_fn(
                         self.params, self.k_pools, self.v_pools, self.states,
                         jnp.asarray(tokens), jnp.asarray(positions),
@@ -907,17 +953,39 @@ class LLMEngine:
                     )
                 )
             else:
-                next_token, self.k_pools, self.v_pools = self._prefill_fn(
+                out, self.k_pools, self.v_pools = self._prefill_fn(
                     self.params, self.k_pools, self.v_pools,
                     jnp.asarray(tokens), jnp.asarray(positions),
                     jnp.asarray(chunk_pages), jnp.asarray(phys),
                     jnp.asarray(q_start, jnp.int32), jnp.asarray(this_len, jnp.int32),
                 )
             q_start += this_len
-        seq.tokens.append(int(next_token))
+        seq.tokens.append(self._sample_first_token(seq, out))
         seq.num_prefilled = plen
         self.running.append(seq)
         return True
+
+    def _sample_first_token(self, seq: Sequence, out) -> int:
+        """Sample the prefill's token with the request's own params (the
+        decode scan handles subsequent tokens).  Keyed off the engine step
+        counter + the request seed, so identical engine histories reproduce
+        identical outputs (matching the decode PRNG discipline)."""
+        greedy, logits = out
+        sp = seq.req.sampling
+        if sp.temperature <= 0:
+            return int(greedy)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self._step_count), sp.seed
+        )
+        tok = _sample_tokens(
+            logits[None],
+            jnp.asarray([sp.temperature], jnp.float32),
+            jnp.asarray([sp.top_k], jnp.int32),
+            jnp.asarray([sp.top_p], jnp.float32),
+            key,
+            filters=sp.top_k > 0 or sp.top_p < 1.0,
+        )
+        return int(tok[0])
 
     def _row_cap(self, seq: Sequence) -> int:
         return min(
@@ -966,6 +1034,8 @@ class LLMEngine:
         else:
             page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
         temps = np.zeros(B, np.float32)
+        top_ks = np.zeros(B, np.int32)
+        top_ps = np.ones(B, np.float32)
         max_lens = np.zeros(B, np.int32)  # 0 for padded rows: all writes discarded
         for i, seq in enumerate(batch):
             tokens0[i] = seq.tokens[-1]
@@ -974,8 +1044,13 @@ class LLMEngine:
                 page_tables[:, i] = self._phys_rows(seq)
             else:
                 page_tables[i] = self._phys_row(seq)
-            temps[i] = seq.req.sampling.temperature
+            sp = seq.req.sampling
+            temps[i] = sp.temperature
+            top_ks[i] = sp.top_k
+            top_ps[i] = sp.top_p
             max_lens[i] = self._row_cap(seq)
+        # only pay the vocab sorts when some row actually filters
+        filters = bool((top_ks > 0).any() or (top_ps < 1.0).any())
 
         key = jax.random.PRNGKey(self._step_count)
         if self.has_state:
@@ -983,18 +1058,20 @@ class LLMEngine:
             for i, seq in enumerate(batch):
                 state_slots[i] = self._phys_state_slot(seq)
             toks, self.k_pools, self.v_pools, self.states = (
-                self._decode_fn_for(K)(
+                self._decode_fn_for(K, filters)(
                     self.params, self.k_pools, self.v_pools, self.states,
                     jnp.asarray(tokens0), jnp.asarray(seq_lens0),
                     jnp.asarray(page_tables), jnp.asarray(temps),
+                    jnp.asarray(top_ks), jnp.asarray(top_ps),
                     jnp.asarray(max_lens), jnp.asarray(state_slots), key,
                 )
             )
         else:
-            toks, self.k_pools, self.v_pools = self._decode_fn_for(K)(
+            toks, self.k_pools, self.v_pools = self._decode_fn_for(K, filters)(
                 self.params, self.k_pools, self.v_pools,
                 jnp.asarray(tokens0), jnp.asarray(seq_lens0),
                 jnp.asarray(page_tables), jnp.asarray(temps),
+                jnp.asarray(top_ks), jnp.asarray(top_ps),
                 jnp.asarray(max_lens), key,
             )
         toks = np.asarray(toks)  # [K, B]
@@ -1082,24 +1159,37 @@ class LLMEngine:
 
         Reference analogue: NIXL connector shipping kvcached pages between
         prefill and decode workers (vllm/nixl_compat.py:104-197)."""
-        if self.num_groups > 1:
-            raise NotImplementedError(
-                "PD export does not cover multi-group hybrid models "
-                "(sliding-window groups reclaim pages mid-sequence)"
-            )
-        from ..parallel.pd import SeqHandoff
+        from ..parallel.pd import GroupPayload, SeqHandoff
 
         seq = next(s for s in self.running if s.req.req_id == req_id)
         self.running.remove(seq)
-        n = len(seq.blocks)
-        phys = self._phys_row(seq)[:n]
         # page gather (read-only; the pool is not donated here)
         wrap = (lambda x: x) if device else np.asarray
-        payload_k = wrap(self.k_pools[:, phys])
-        payload_v = (
-            wrap(self.v_pools[:, phys])
-            if self.v_pools is not None else None
-        )
+        payload_k = payload_v = payload_groups = None
+        if self.num_groups > 1:
+            # hybrid groups: sliding-window groups reclaimed pages below
+            # the window (entries None) — ship only live pages with their
+            # positions in the block row
+            payload_groups = []
+            for g in range(self.num_groups):
+                pt = self.managers[g].page_allocator.page_table
+                row = seq.blocks_g[g]
+                idx = [j for j, b in enumerate(row) if b is not None]
+                phys_g = np.asarray([pt[row[j]] for j in idx], np.int32)
+                payload_groups.append(GroupPayload(
+                    indices=idx,
+                    n_slots=len(row),
+                    k=wrap(self.k_pools[:, phys_g]),
+                    v=wrap(self.v_pools[:, phys_g]),
+                ))
+        else:
+            n = len(seq.blocks)
+            phys = self._phys_row(seq)[:n]
+            payload_k = wrap(self.k_pools[:, phys])
+            payload_v = (
+                wrap(self.v_pools[:, phys])
+                if self.v_pools is not None else None
+            )
         payload_state = None
         if self.has_state:
             payload_state = wrap(
@@ -1115,6 +1205,7 @@ class LLMEngine:
             payload_k=payload_k,
             payload_v=payload_v,
             payload_state=payload_state,
+            payload_groups=payload_groups,
         )
         self._free_seq(seq, cache_kv=False)
         return handoff
@@ -1125,18 +1216,14 @@ class LLMEngine:
         and resume decoding.  Payloads may be numpy (socket plane) or jax
         arrays (device plane): ``jnp.asarray`` device_puts either, so a
         cross-chip handoff rides ICI without a host bounce."""
-        if self.num_groups > 1:
-            raise NotImplementedError(
-                "PD import does not cover multi-group hybrid models"
-            )
+        if (self.num_groups > 1) != (handoff.payload_groups is not None):
+            raise ValueError("handoff group payload does not match model family")
         if self.has_state != (handoff.payload_state is not None):
             raise ValueError("handoff state payload does not match model family")
-        if (self.v_pools is None) != (handoff.payload_v is None):
+        if self.num_groups == 1 and (
+            (self.v_pools is None) != (handoff.payload_v is None)
+        ):
             raise ValueError("handoff buffer count does not match kv geometry")
-        from ..ops.paged_attention import (
-            write_prefill_kv,
-            write_prefill_kv_single,
-        )
 
         req = Request(
             next(self._ids), list(handoff.prompt),
@@ -1148,8 +1235,43 @@ class LLMEngine:
         )
         seq = Sequence(req, self.num_groups)
         seq.tokens = list(handoff.tokens)
-        L, n, KH, P, D = handoff.payload_k.shape
-        assert P == self.cfg.page_tokens, "page geometry mismatch"
+
+        if handoff.payload_groups is not None:
+            # hybrid groups: all-or-nothing allocation of each group's live
+            # pages, re-placed at their original block-row positions (dead
+            # sliding-window entries stay None → zero page, never read)
+            if len(handoff.payload_groups) != self.num_groups:
+                raise ValueError("handoff group count mismatch")
+            taken: list[tuple[int, list[int]]] = []
+            for g, grp in enumerate(handoff.payload_groups):
+                blocks = (
+                    self._alloc_blocks(len(grp.indices), g)
+                    if grp.indices else []
+                )
+                if blocks is None:
+                    for gg, bs in taken:
+                        self.managers[gg].free(bs)
+                    raise RuntimeError(
+                        "decode engine out of pages for PD import"
+                    )
+                taken.append((g, blocks))
+                row: list[int | None] = [None] * grp.n_slots
+                for b, j in zip(blocks, grp.indices):
+                    row[j] = b
+                seq.blocks_g[g] = row
+            for g, grp in enumerate(handoff.payload_groups):
+                if not grp.indices:
+                    continue
+                pt = self.managers[g].page_allocator.page_table
+                phys = jnp.asarray(
+                    [pt[seq.blocks_g[g][j]] for j in grp.indices], jnp.int32
+                )
+                self._land_pages(phys, jnp.asarray(grp.k), jnp.asarray(grp.v))
+            seq.num_prefilled = seq.prompt_len
+            self.running.append(seq)
+            return req.req_id
+
+        n = handoff.payload_k.shape[1]
         blocks = self._alloc_blocks(n)
         if blocks is None:
             raise RuntimeError("decode engine out of pages for PD import")
@@ -1165,17 +1287,31 @@ class LLMEngine:
                 jnp.asarray(handoff.payload_state, jnp.float32)
             )
         phys = jnp.asarray(self._phys_row(seq)[:n])
-        pay_k = jnp.asarray(handoff.payload_k)  # device_put (ICI cross-chip)
-        pay_v = (
+        self._land_pages(
+            phys,
+            jnp.asarray(handoff.payload_k),  # device_put (ICI cross-chip)
             jnp.asarray(handoff.payload_v)
-            if handoff.payload_v is not None else None
+            if handoff.payload_v is not None else None,
         )
+        seq.num_prefilled = seq.prompt_len
+        self.running.append(seq)
+        return req.req_id
+
+    def _land_pages(self, phys, pay_k, pay_v) -> None:
+        """Write gathered page payloads [L, n, KH, P, D] into the pools at
+        physical pages ``phys``, through the Pallas page writers — via a
+        shard-mapped writer when serving over a mesh (payload shards on the
+        kv-head axis like the pool; dp shards perform identical writes).
+        Recompiles per distinct page count n; PD import is not the decode
+        hot path."""
+        from ..ops.paged_attention import (
+            write_prefill_kv,
+            write_prefill_kv_single,
+        )
+
+        L, n, KH, P, D = pay_k.shape
+        assert P == self.cfg.page_tokens, "page geometry mismatch"
         if self.mesh is not None:
-            # meshed decode engine: payload shards on the kv-head axis like
-            # the pool, and the per-layer page writers run under shard_map
-            # (dp shards perform identical writes — the pool has no dp axis).
-            # Recompiles per distinct page count n; PD import is not the
-            # decode hot path.
             from jax.sharding import PartitionSpec as SP
 
             pool_p = SP(None, None, "tp")
@@ -1205,9 +1341,7 @@ class LLMEngine:
             self.k_pools, self.v_pools = jax.jit(
                 sharded, donate_argnums=(0, 1)
             )(self.k_pools, self.v_pools, pay_k, pay_v, phys)
-            seq.num_prefilled = seq.prompt_len
-            self.running.append(seq)
-            return req.req_id
+            return
         for layer in range(L):
             # [n, KH, P, D] -> [KH, n*P, D] (the writer's chunk layout)
             k_new = jnp.transpose(pay_k[layer], (1, 0, 2, 3)).reshape(
@@ -1226,9 +1360,6 @@ class LLMEngine:
                 self.k_pools, self.v_pools, k_new, v_new, phys, layer,
                 interpret=self.cfg.interpret,
             )
-        seq.num_prefilled = seq.prompt_len
-        self.running.append(seq)
-        return req.req_id
 
     # ------------------------------------------------------------- frontends
 

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
 from ..ops.paged_prefill import paged_prefill_attention
-from .llama import init_llama_params, rms_norm, rope
+from .llama import init_llama_params, lm_head_logits, rms_norm, rope
 
 
 @dataclass(frozen=True)
@@ -210,7 +210,7 @@ def hybrid_decode_step(
     )
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(x, params["lm_head"], tp_axis)
     return logits, k_pools, v_pools
 
 
@@ -292,5 +292,5 @@ def hybrid_prefill_step(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     last = x[jnp.maximum(true_len - 1, 0)]
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(last, params["lm_head"], tp_axis)
     return logits, k_pools, v_pools

@@ -137,6 +137,20 @@ def _maybe_psum(x: jax.Array, tp_axis: str | None) -> jax.Array:
     return jax.lax.psum(x, tp_axis) if tp_axis else x
 
 
+def lm_head_logits(
+    x: jax.Array, lm_head: jax.Array, tp_axis: str | None
+) -> jax.Array:
+    """Project to vocab logits.  Under TP the LM head is column-sharded on
+    the vocab axis (PartitionSpec (None, tp)): each shard computes its
+    logit slice and the slices are all-gathered — bitwise identical to the
+    replicated matmul (each output column is the same dot product), at
+    1/tp the per-chip weight memory (≈1 GB saved on a 128k-vocab 8B)."""
+    logits = (x @ lm_head).astype(jnp.float32)
+    if tp_axis:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    return logits
+
+
 def llama_decode_step(
     params: dict,
     cfg: LlamaConfig,
@@ -218,7 +232,7 @@ def llama_decode_step(
     )
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(x, params["lm_head"], tp_axis)
     return logits, k_pools, v_pools
 
 
@@ -300,5 +314,5 @@ def llama_prefill_step(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     last = x[jnp.maximum(true_len - 1, 0)]
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(last, params["lm_head"], tp_axis)
     return logits, k_pools, v_pools

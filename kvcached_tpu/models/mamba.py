@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
 from ..ops.paged_prefill import paged_prefill_attention
-from .llama import _maybe_psum, rms_norm, rope
+from .llama import _maybe_psum, lm_head_logits, rms_norm, rope
 
 
 def _round_up(x: int, m: int) -> int:
@@ -335,7 +335,7 @@ def hybrid_linear_decode_step(
             mamba_i += 1
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(x, params["lm_head"], tp_axis)
     return logits, k_pools, v_pools, states
 
 
@@ -413,7 +413,7 @@ def hybrid_linear_prefill_step(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     last = x[jnp.maximum(true_len - 1, 0)]
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(last, params["lm_head"], tp_axis)
     return logits, k_pools, v_pools, states
 
 

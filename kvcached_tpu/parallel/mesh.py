@@ -54,7 +54,8 @@ def llama_param_specs(tp_axis: str = "tp") -> dict:
             "w_down": P(None, t, None),
         },
         "final_norm": P(),
-        "lm_head": P(),
+        # vocab-column sharded: logits all-gathered in lm_head_logits
+        "lm_head": P(None, t),
     }
 
 
@@ -88,7 +89,7 @@ def hybrid_linear_param_specs(layer_types, tp_axis: str = "tp") -> dict:
         "embed": P(),
         "layers": [attn if k == "attn" else mamba for k in layer_types],
         "final_norm": P(),
-        "lm_head": P(),
+        "lm_head": P(None, t),  # vocab-column sharded (lm_head_logits)
     }
 
 

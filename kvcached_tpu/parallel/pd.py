@@ -35,6 +35,18 @@ logger = get_kvcached_logger(__name__)
 
 
 @dataclass
+class GroupPayload:
+    """One layer group's live pages (hybrid models: sliding-window groups
+    reclaim pages mid-sequence, so the handoff carries only the live ones
+    plus their positions in the sequence's block row)."""
+
+    indices: list[int]  # positions of live pages in the block row
+    n_slots: int  # full block-row length (dead entries stay None)
+    k: np.ndarray  # [L_arena, n_live, KH, page_tokens, D]
+    v: np.ndarray
+
+
+@dataclass
 class SeqHandoff:
     """Everything a decode engine needs to adopt a prefilled sequence.
 
@@ -47,32 +59,55 @@ class SeqHandoff:
     max_new_tokens: int
     temperature: float
     stop_token_ids: tuple
-    payload_k: np.ndarray  # [L, n_pages, KH, page_tokens, D]
+    payload_k: np.ndarray | None  # [L, n_pages, KH, page_tokens, D]
     payload_v: np.ndarray | None  # None for MLA single-buffer pools
     #: stateful (mamba) models: packed super cell [L_mamba, cell_elems] f32
     payload_state: np.ndarray | None = None
+    #: hybrid multi-group models: per-group live pages (payload_k/v None)
+    payload_groups: list[GroupPayload] | None = None
 
     # ---- wire format: json header + raw ndarray buffers -------------------
 
     def to_wire(self) -> bytes:
-        pk = np.asarray(self.payload_k)
+        first = (
+            self.payload_k
+            if self.payload_k is not None else self.payload_groups[0].k
+        )
+        first = np.asarray(first)
         header = {
             "prompt": self.prompt,
             "tokens": self.tokens,
             "max_new_tokens": self.max_new_tokens,
             "temperature": self.temperature,
             "stop_token_ids": list(self.stop_token_ids),
-            "k_shape": list(pk.shape),
-            "k_dtype": pk.dtype.name,  # name survives bf16/fp8
+            "k_dtype": first.dtype.name,  # name survives bf16/fp8
+            "k_shape": (
+                list(np.asarray(self.payload_k).shape)
+                if self.payload_k is not None else None
+            ),
             "has_v": self.payload_v is not None,
             "state_shape": (
                 list(self.payload_state.shape)
                 if self.payload_state is not None else None
             ),
+            "groups": (
+                [
+                    {
+                        "indices": list(g.indices),
+                        "n_slots": g.n_slots,
+                        "shape": list(np.asarray(g.k).shape),
+                    }
+                    for g in self.payload_groups
+                ]
+                if self.payload_groups is not None else None
+            ),
         }
         hj = json.dumps(header).encode()
-        parts = [struct.pack("<I", len(hj)), hj,
-                 np.ascontiguousarray(pk).tobytes()]
+        parts = [struct.pack("<I", len(hj)), hj]
+        if self.payload_k is not None:
+            parts.append(
+                np.ascontiguousarray(np.asarray(self.payload_k)).tobytes()
+            )
         if self.payload_v is not None:
             parts.append(
                 np.ascontiguousarray(np.asarray(self.payload_v)).tobytes()
@@ -83,6 +118,10 @@ class SeqHandoff:
                     np.asarray(self.payload_state, np.float32)
                 ).tobytes()
             )
+        if self.payload_groups is not None:
+            for g in self.payload_groups:
+                parts.append(np.ascontiguousarray(np.asarray(g.k)).tobytes())
+                parts.append(np.ascontiguousarray(np.asarray(g.v)).tobytes())
         return b"".join(parts)
 
     @classmethod
@@ -90,27 +129,42 @@ class SeqHandoff:
         (hlen,) = struct.unpack_from("<I", data, 0)
         header = json.loads(data[4 : 4 + hlen])
         off = 4 + hlen
-        shape = tuple(header["k_shape"])
         try:
             dt = np.dtype(header["k_dtype"])
         except TypeError:
             import ml_dtypes
 
             dt = np.dtype(getattr(ml_dtypes, header["k_dtype"]))
-        nbytes = int(np.prod(shape)) * dt.itemsize
-        payload_k = np.frombuffer(data[off : off + nbytes], dt).reshape(shape)
-        off += nbytes
-        payload_v = None
-        if header["has_v"]:
-            payload_v = np.frombuffer(data[off : off + nbytes], dt).reshape(shape)
-            off += nbytes
+
+        def take(shape, dtype):
+            nonlocal off
+            n = int(np.prod(shape)) * dtype.itemsize
+            arr = np.frombuffer(data[off : off + n], dtype).reshape(shape)
+            off += n
+            return arr
+
+        payload_k = payload_v = None
+        if header.get("k_shape") is not None:
+            shape = tuple(header["k_shape"])
+            payload_k = take(shape, dt)
+            if header["has_v"]:
+                payload_v = take(shape, dt)
         payload_state = None
         if header.get("state_shape") is not None:
-            sshape = tuple(header["state_shape"])
-            snbytes = int(np.prod(sshape)) * 4
-            payload_state = np.frombuffer(
-                data[off : off + snbytes], np.float32
-            ).reshape(sshape)
+            payload_state = take(
+                tuple(header["state_shape"]), np.dtype(np.float32)
+            )
+        payload_groups = None
+        if header.get("groups") is not None:
+            payload_groups = []
+            for g in header["groups"]:
+                shape = tuple(g["shape"])
+                payload_groups.append(GroupPayload(
+                    indices=list(g["indices"]),
+                    n_slots=int(g["n_slots"]),
+                    k=take(shape, dt),
+                    v=take(shape, dt),
+                ))
         return cls(
             prompt=list(header["prompt"]),
             tokens=list(header["tokens"]),
@@ -120,6 +174,7 @@ class SeqHandoff:
             payload_k=payload_k,
             payload_v=payload_v,
             payload_state=payload_state,
+            payload_groups=payload_groups,
         )
 
 

@@ -30,7 +30,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..models.llama import rms_norm, rope
+from ..models.llama import lm_head_logits, rms_norm, rope
 from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
 from ..ops.paged_prefill import paged_prefill_attention
 
@@ -129,7 +129,7 @@ class PPLlamaAdapter:
             layer_fn, (x, k_pools, v_pools), layers
         )
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-        logits = (x @ params["lm_head"]).astype(jnp.float32)
+        logits = lm_head_logits(x, params["lm_head"], tp_axis)
         return logits, k_pools, v_pools
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
@@ -183,7 +183,7 @@ class PPLlamaAdapter:
         )
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
         last = x[jnp.maximum(true_len - 1, 0)]
-        logits = (last @ params["lm_head"]).astype(jnp.float32)
+        logits = lm_head_logits(last, params["lm_head"], tp_axis)
         return logits, k_pools, v_pools
 
     def param_specs(self, tp_axis: str) -> dict:

@@ -298,6 +298,8 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
         sampling = SamplingParams(
             max_new_tokens=int(body.get("max_tokens", 32)),
             temperature=float(body.get("temperature", 0.0)),
+            top_k=int(body.get("top_k", 0)),
+            top_p=float(body.get("top_p", 1.0)),
             stop_token_ids=stop_ids,
         )
         if handle.sleeping:

@@ -220,6 +220,57 @@ class TestStatefulHandoff:
             decoder.shutdown()
 
 
+class TestHybridGroupHandoff:
+    def test_multi_group_pd_with_reclaimed_pages(self):
+        """Hybrid (full-attn + sliding-window groups) PD: the handoff ships
+        each group's LIVE pages with their block-row positions — the SW
+        group's reclaimed (None) entries stay dead on the decode side —
+        and decoding continues token-exactly, including further window
+        reclaim."""
+        from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+        from kvcached_tpu.parallel.pd import SeqHandoff
+
+        cfg = HybridConfig.toy(num_layers=4, window=32)
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        prompt = list(range(1, 65))  # 4 pages; window 32 reclaims page 0+
+        max_new = 20
+
+        local = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        try:
+            want = local.generate(
+                [prompt], SamplingParams(max_new_tokens=max_new)
+            )[0].output_tokens
+        finally:
+            local.shutdown()
+
+        prefiller = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        decoder = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        try:
+            rid = prefiller.add_request(
+                prompt, SamplingParams(max_new_tokens=max_new)
+            )
+            prefiller.step()  # prefill
+            prefiller.step()  # one decode horizon → window reclaim kicks in
+            h = prefiller.export_sequence(rid)
+            assert h.payload_groups is not None
+            sw = h.payload_groups[1]  # SW group: some entries reclaimed
+            full = h.payload_groups[0]
+            assert len(full.indices) == full.n_slots, "full group keeps all"
+            assert len(sw.indices) < sw.n_slots, "SW group must have holes"
+
+            h = SeqHandoff.from_wire(h.to_wire())
+            new_id = decoder.import_sequence(h)
+            while decoder.has_unfinished():
+                decoder.step()
+            out = next(
+                o for o in decoder.finished_outputs if o.req_id == new_id
+            )
+            assert out.output_tokens == want, "hybrid-group PD diverged"
+        finally:
+            prefiller.shutdown()
+            decoder.shutdown()
+
+
 class TestMLAHandoff:
     def test_mla_single_buffer_pd(self):
         """MLA's latent pool has one KV buffer (payload_v None): import must

@@ -1,0 +1,163 @@
+"""Sampling semantics: temperature + top-k + top-p (nucleus) filtering.
+
+The reference delegates sampling to the host engines (vLLM/SGLang); owning
+the engine means owning the sampler.  Filtering runs inside the decode scan
+(`engine._sample_tokens`), compiled only for dispatches whose batch
+actually uses it so the greedy/temperature hot path keeps no vocab sorts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+from kvcached_tpu.engine.engine import _sample_tokens
+from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+
+@pytest.fixture(scope="module")
+def toy():
+    cfg = LlamaConfig.toy()
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def make_engine(cfg, params):
+    return LLMEngine(cfg, EngineConfig(
+        max_batch=4, max_model_len=64, page_tokens=16, decode_horizon=4,
+        prefill_buckets=(16, 32), num_pages=64, interpret=True,
+    ), params=params)
+
+
+class TestSampleTokensUnit:
+    """Pure-function checks of the filtered sampler."""
+
+    def _draws(self, logits, temps, top_ks, top_ps, n=200):
+        out = set()
+        for i in range(n):
+            t = _sample_tokens(
+                logits, temps, top_ks, top_ps, jax.random.PRNGKey(i),
+                filters=True,
+            )
+            out.add(int(t[0]))
+        return out
+
+    def test_top_k_restricts_support(self):
+        logits = jnp.asarray([[3.0, 2.9, 2.8, -1.0, -2.0, -3.0]])
+        seen = self._draws(
+            logits, jnp.ones(1), jnp.asarray([2], jnp.int32), jnp.ones(1)
+        )
+        assert seen <= {0, 1}, f"top_k=2 must only emit the top 2, got {seen}"
+        assert len(seen) == 2, "both top-2 tokens should appear in 200 draws"
+
+    def test_top_p_keeps_minimal_nucleus(self):
+        # softmax ≈ [0.64, 0.24, 0.09, ...]: p=0.7 keeps {0, 1} (0.64 < 0.7
+        # exclusive-cum for token 1, 0.88 ≥ 0.7 for token 2)
+        logits = jnp.asarray([[4.0, 3.0, 2.0, 1.0, 0.0, -1.0]])
+        seen = self._draws(
+            logits, jnp.ones(1), jnp.zeros(1, jnp.int32), jnp.asarray([0.7])
+        )
+        assert seen == {0, 1}, f"p=0.7 nucleus is {{0,1}}, got {seen}"
+
+    def test_top_p_always_keeps_one_token(self):
+        logits = jnp.asarray([[5.0, 0.0, 0.0, 0.0]])
+        seen = self._draws(
+            logits, jnp.ones(1), jnp.zeros(1, jnp.int32),
+            jnp.asarray([1e-9]),
+        )
+        assert seen == {0}
+
+    def test_mixed_batch_greedy_rows_unaffected(self):
+        logits = jnp.asarray([
+            [0.0, 1.0, 2.0, 3.0],  # greedy row: argmax = 3
+            [3.0, 2.9, -9.0, -9.0],  # filtered row
+        ])
+        t = _sample_tokens(
+            logits,
+            jnp.asarray([0.0, 1.0]),
+            jnp.asarray([0, 1], jnp.int32),
+            jnp.asarray([1.0, 1.0]),
+            jax.random.PRNGKey(0),
+            filters=True,
+        )
+        assert int(t[0]) == 3
+        assert int(t[1]) == 0  # top_k=1 ≡ argmax
+
+    def test_disabled_filters_match_plain_categorical(self):
+        """top_k=0/top_p=1.0 through the filtered path must draw the same
+        token as the unfiltered path (same key, same scaled logits)."""
+        logits = jax.random.normal(jax.random.PRNGKey(7), (4, 64))
+        for seed in range(5):
+            key = jax.random.PRNGKey(seed)
+            a = _sample_tokens(
+                logits, jnp.ones(4), jnp.zeros(4, jnp.int32), jnp.ones(4),
+                key, filters=True,
+            )
+            b = _sample_tokens(
+                logits, jnp.ones(4), jnp.zeros(4, jnp.int32), jnp.ones(4),
+                key, filters=False,
+            )
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEngineSampling:
+    def test_top_k_1_equals_greedy(self, toy):
+        """temperature>0 with top_k=1 collapses to the greedy chain."""
+        cfg, params = toy
+        eng = make_engine(cfg, params)
+        try:
+            greedy = eng.generate(
+                [[9, 8, 7]], SamplingParams(max_new_tokens=10)
+            )[0].output_tokens
+            topk1 = eng.generate(
+                [[9, 8, 7]],
+                SamplingParams(max_new_tokens=10, temperature=1.5, top_k=1),
+            )[0].output_tokens
+        finally:
+            eng.shutdown()
+        assert topk1 == greedy
+
+    def test_top_p_sampling_is_seeded_deterministic(self, toy):
+        cfg, params = toy
+        sp = SamplingParams(
+            max_new_tokens=10, temperature=1.2, top_p=0.9, top_k=40
+        )
+        outs = []
+        for _ in range(2):
+            eng = make_engine(cfg, params)
+            try:
+                outs.append(eng.generate([[9, 8, 7]], sp)[0].output_tokens)
+            finally:
+                eng.shutdown()
+        assert outs[0] == outs[1], "seeded filtered sampling must reproduce"
+
+    def test_mixed_filtered_and_greedy_batch(self, toy):
+        """A batch mixing greedy and filtered rows: the greedy row's output
+        must equal its solo-greedy run (filters are per-row)."""
+        cfg, params = toy
+        eng = make_engine(cfg, params)
+        try:
+            solo = eng.generate(
+                [[1, 2, 3]], SamplingParams(max_new_tokens=8)
+            )[0].output_tokens
+        finally:
+            eng.shutdown()
+
+        eng = make_engine(cfg, params)
+        try:
+            rid_greedy = eng.add_request(
+                [1, 2, 3], SamplingParams(max_new_tokens=8)
+            )
+            eng.add_request(
+                [7, 7, 7],
+                SamplingParams(max_new_tokens=8, temperature=1.0, top_k=5),
+            )
+            while eng.has_unfinished():
+                eng.step()
+            got = next(
+                o for o in eng.finished_outputs if o.req_id == rid_greedy
+            ).output_tokens
+        finally:
+            eng.shutdown()
+        assert got == solo
