@@ -366,6 +366,8 @@ class LLMEngine:
         self.cache_namespace = self._stable_namespace()
         self.waiting: list[Sequence] = []
         self.running: list[Sequence] = []
+        #: sequence mid-way through an interleaved chunked prefill
+        self._prefilling: Sequence | None = None
         self.finished_outputs: list[RequestOutput] = []
         self._preempt_count = 0
         self._step_count = 0
@@ -480,24 +482,76 @@ class LLMEngine:
         bd = P(dp) if dp else P()
         b2 = P(dp, None) if dp else P()
         rep = P()
+        # hybrid layer groups: page_tables [G, B, max_pages] and slot_pages
+        # [G, B] shard on the BATCH dim (dim 1), never on groups
+        if self.num_groups > 1:
+            tbl_p = P(None, dp, None) if dp else P()
+            sp_p = P(None, dp) if dp else P()
+        else:
+            tbl_p, sp_p = b2, bd
 
         # int8: per-head scales shard on the kv-head axis like the pools
         qs = self.quant_scales
         sc_p = P(None, "tp")
 
+        # dp>1: the fused kernel writes only each dp shard's local rows into
+        # its pool REPLICA.  Without equalization a sequence whose batch row
+        # migrates to the other dp shard (after a neighbour finishes) reads
+        # zeros for its previously decoded KV — and host gathers / prefix
+        # cache / PD export see only dp0's writes.  So every decode step
+        # all-gathers the per-token K/V (a few KB) and every shard writes
+        # ALL rows, keeping replicas bit-identical.
+        equalize = bool(dp) and self.mesh.shape[dp] > 1
+        if self.num_groups > 1:
+            group_index = tuple(adapter.cfg.group_index)
+            layer_in_group = tuple(adapter.cfg.layer_in_group)
+
+        def _equalize_kv(k_pools, v_pools, ks, vs, slot_pages, slot_offsets,
+                         scales):
+            from ..ops.paged_attention import write_decode_tokens
+
+            ks = jax.lax.all_gather(ks, dp, axis=1, tiled=True)
+            vs = jax.lax.all_gather(vs, dp, axis=1, tiled=True)
+            so = jax.lax.all_gather(slot_offsets, dp, axis=0, tiled=True)
+            if self.num_groups > 1:
+                sp = jax.lax.all_gather(slot_pages, dp, axis=1, tiled=True)
+                sp_l = sp[jnp.asarray(group_index, jnp.int32)]  # [Lk, B]
+                pool_layers = jnp.asarray(layer_in_group, jnp.int32)
+            else:
+                sp = jax.lax.all_gather(slot_pages, dp, axis=0, tiled=True)
+                Lk = ks.shape[0]
+                sp_l = jnp.broadcast_to(sp[None], (Lk, sp.shape[0]))
+                pool_layers = jnp.arange(Lk, dtype=jnp.int32)
+            return write_decode_tokens(
+                k_pools, v_pools, ks, vs, pool_layers, sp_l, so,
+                interpret=ec.interpret,
+                k_scales=scales[0] if scales else None,
+                v_scales=scales[1] if scales else None,
+            )
+
         def dstep(params, tokens, positions, k_pools, v_pools,
                   page_tables, slot_pages, slot_offsets, seq_lens,
                   *scales):
-            return adapter.decode_step(
+            kw = {"quant_scales": scales} if scales else {}
+            if not equalize:
+                return adapter.decode_step(
+                    params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    tp_axis="tp", interpret=ec.interpret, **kw,
+                )
+            logits, k_pools, v_pools, (ks, vs) = adapter.decode_step(
                 params, tokens, positions, k_pools, v_pools,
                 page_tables, slot_pages, slot_offsets, seq_lens,
-                tp_axis="tp", interpret=ec.interpret,
-                **({"quant_scales": scales} if scales else {}),
+                tp_axis="tp", interpret=ec.interpret, collect_kv=True, **kw,
             )
+            k_pools, v_pools = _equalize_kv(
+                k_pools, v_pools, ks, vs, slot_pages, slot_offsets, scales
+            )
+            return logits, k_pools, v_pools
 
         d_sharded = jax.shard_map(
             dstep, mesh=self.mesh,
-            in_specs=(pspecs, bd, bd, pool_p, pool_p, b2, bd, bd, bd)
+            in_specs=(pspecs, bd, bd, pool_p, pool_p, tbl_p, sp_p, bd, bd)
             + ((sc_p, sc_p) if qs else ()),
             out_specs=(bd, pool_p, pool_p),
             check_vma=False,
@@ -540,12 +594,28 @@ class LLMEngine:
         def dstep_state(params, tokens, positions, k_pools, v_pools,
                         page_tables, slot_pages, slot_offsets, seq_lens,
                         states, state_slots):
-            logits, k_pools, v_pools, new_states = adapter.decode_step(
-                params, tokens, positions, k_pools, v_pools,
-                page_tables, slot_pages, slot_offsets, seq_lens,
-                states=states, state_slots=state_slots,
-                tp_axis="tp", interpret=ec.interpret,
-            )
+            if equalize:
+                logits, k_pools, v_pools, new_states, (ks, vs) = (
+                    adapter.decode_step(
+                        params, tokens, positions, k_pools, v_pools,
+                        page_tables, slot_pages, slot_offsets, seq_lens,
+                        states=states, state_slots=state_slots,
+                        tp_axis="tp", interpret=ec.interpret, collect_kv=True,
+                    )
+                )
+                # same replica-equalization as the stateless path: the KV
+                # pools carry dp-local writes that must be replayed on every
+                # shard (the states are handled by the delta psum below)
+                k_pools, v_pools = _equalize_kv(
+                    k_pools, v_pools, ks, vs, slot_pages, slot_offsets, ()
+                )
+            else:
+                logits, k_pools, v_pools, new_states = adapter.decode_step(
+                    params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    states=states, state_slots=state_slots,
+                    tp_axis="tp", interpret=ec.interpret,
+                )
             if dp:
                 new_states = states + jax.lax.psum(new_states - states, dp)
             return logits, k_pools, v_pools, new_states
@@ -735,7 +805,7 @@ class LLMEngine:
         return req.req_id
 
     def has_unfinished(self) -> bool:
-        return bool(self.waiting or self.running)
+        return bool(self.waiting or self.running or self._prefilling)
 
     # ------------------------------------------------------------- scheduling
 
@@ -879,6 +949,17 @@ class LLMEngine:
     # ------------------------------------------------------------- stepping
 
     def _do_prefill(self, seq: Sequence) -> bool:
+        """Blocking prefill: admit + run every chunk back-to-back.  The
+        scheduler's interleaved path uses :meth:`_begin_prefill` +
+        :meth:`_prefill_chunk` instead, so long prompts don't stall
+        running sequences."""
+        if not self._begin_prefill(seq):
+            return False
+        while not self._prefill_chunk(seq):
+            pass
+        return True
+
+    def _begin_prefill(self, seq: Sequence) -> bool:
         P = self.cfg.page_tokens
         plen = seq.prompt_len
 
@@ -917,49 +998,57 @@ class LLMEngine:
                 seq.state_block = None
             return False
 
-        # Chunked prefill (the reference's host engines chunk long prefills
-        # routinely): loop bucket-sized page-aligned chunks, advancing
-        # q_start; the kernel attends each chunk against all pages written
-        # so far, so the result is token-exact vs a single-shot prefill.
-        q_start = n_hit * P
+        seq.num_prefilled = n_hit * P  # prefill progress (tokens written)
+        return True
+
+    def _prefill_chunk(self, seq: Sequence) -> bool:
+        """Run ONE bucket-sized page-aligned chunk of seq's prompt (the
+        reference's host engines chunk long prefills routinely).  The
+        kernel attends the chunk against all pages written so far, so the
+        result is token-exact vs a single-shot prefill.  Returns True when
+        the prompt is fully prefilled (first token sampled, seq running)."""
+        P = self.cfg.page_tokens
+        plen = seq.prompt_len
+        q_start = seq.num_prefilled
         max_bucket = max(self.cfg.prefill_buckets)
         multi = self.num_groups > 1
         phys = self._phys_rows(seq) if multi else self._phys_row(seq)
-        out = None
-        while q_start < plen:
-            this_len = min(plen - q_start, max_bucket)
-            T = self._bucket_len(this_len)
-            assert T % P == 0, "prefill buckets must be multiples of page_tokens"
-            tokens = np.zeros(T, np.int32)
-            tokens[:this_len] = seq.req.prompt[q_start : q_start + this_len]
-            positions = q_start + np.arange(T, dtype=np.int32)
-            start_page = q_start // P
-            n_real = -(-this_len // P)
-            if multi:
-                chunk_pages = np.zeros((self.num_groups, T // P), np.int32)
-                chunk_pages[:, :n_real] = phys[:, start_page : start_page + n_real]
-            else:
-                chunk_pages = np.zeros(T // P, np.int32)
-                chunk_pages[:n_real] = phys[start_page : start_page + n_real]
-            if self.has_state:
-                slot = jnp.asarray(self._phys_state_slot(seq), jnp.int32)
-                out, self.k_pools, self.v_pools, self.states = (
-                    self._prefill_fn(
-                        self.params, self.k_pools, self.v_pools, self.states,
-                        jnp.asarray(tokens), jnp.asarray(positions),
-                        jnp.asarray(chunk_pages), jnp.asarray(phys),
-                        jnp.asarray(q_start, jnp.int32),
-                        jnp.asarray(this_len, jnp.int32), slot,
-                    )
-                )
-            else:
-                out, self.k_pools, self.v_pools = self._prefill_fn(
-                    self.params, self.k_pools, self.v_pools,
+
+        this_len = min(plen - q_start, max_bucket)
+        T = self._bucket_len(this_len)
+        assert T % P == 0, "prefill buckets must be multiples of page_tokens"
+        tokens = np.zeros(T, np.int32)
+        tokens[:this_len] = seq.req.prompt[q_start : q_start + this_len]
+        positions = q_start + np.arange(T, dtype=np.int32)
+        start_page = q_start // P
+        n_real = -(-this_len // P)
+        if multi:
+            chunk_pages = np.zeros((self.num_groups, T // P), np.int32)
+            chunk_pages[:, :n_real] = phys[:, start_page : start_page + n_real]
+        else:
+            chunk_pages = np.zeros(T // P, np.int32)
+            chunk_pages[:n_real] = phys[start_page : start_page + n_real]
+        if self.has_state:
+            slot = jnp.asarray(self._phys_state_slot(seq), jnp.int32)
+            out, self.k_pools, self.v_pools, self.states = (
+                self._prefill_fn(
+                    self.params, self.k_pools, self.v_pools, self.states,
                     jnp.asarray(tokens), jnp.asarray(positions),
                     jnp.asarray(chunk_pages), jnp.asarray(phys),
-                    jnp.asarray(q_start, jnp.int32), jnp.asarray(this_len, jnp.int32),
+                    jnp.asarray(q_start, jnp.int32),
+                    jnp.asarray(this_len, jnp.int32), slot,
                 )
-            q_start += this_len
+            )
+        else:
+            out, self.k_pools, self.v_pools = self._prefill_fn(
+                self.params, self.k_pools, self.v_pools,
+                jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray(chunk_pages), jnp.asarray(phys),
+                jnp.asarray(q_start, jnp.int32), jnp.asarray(this_len, jnp.int32),
+            )
+        seq.num_prefilled = q_start + this_len
+        if seq.num_prefilled < plen:
+            return False
         seq.tokens.append(self._sample_first_token(seq, out))
         seq.num_prefilled = plen
         self.running.append(seq)
@@ -1123,14 +1212,37 @@ class LLMEngine:
             return False
         return True
 
+    def preempt_prefilling(self) -> None:
+        """Roll a mid-prefill sequence back to waiting (sleep/pressure)."""
+        seq = self._prefilling
+        if seq is None:
+            return
+        self._prefilling = None
+        self._free_seq(seq, cache_kv=False)
+        seq.tokens = list(seq.req.prompt)
+        seq.num_prefilled = 0
+        self.waiting.insert(0, seq)
+
     def step(self) -> None:
-        """One scheduler iteration: admit+prefill one waiting request if
-        possible, else run a decode horizon."""
+        """One scheduler iteration: one prefill chunk, or one decode
+        horizon.  A long prompt's chunks INTERLEAVE with decode (chunk on
+        odd steps, decode on even) so running sequences keep generating
+        while it prefills — the reference host engines' chunked-prefill
+        scheduling."""
         self._step_count += 1
+        if self._prefilling is not None:
+            if not self.running or self._step_count % 2:
+                if self._prefill_chunk(self._prefilling):
+                    self._prefilling = None
+            else:
+                self._do_decode()
+            return
         if self.waiting and len(self.running) < self.cfg.max_batch:
             seq = self.waiting[0]
-            if self._can_admit(seq) and self._do_prefill(seq):
+            if self._can_admit(seq) and self._begin_prefill(seq):
                 self.waiting.pop(0)
+                if not self._prefill_chunk(seq):
+                    self._prefilling = seq
                 return
             # cannot admit: fall through to decode if anything is running
             if not self.running:
@@ -1394,6 +1506,7 @@ class LLMEngine:
             ),
             "running": len(self.running),
             "waiting": len(self.waiting),
+            "prefilling": int(self._prefilling is not None),
             "preemptions": self._preempt_count,
             "prefix_cache": self.prefix_cache.get_usage(),
         }

@@ -66,13 +66,15 @@ class LlamaAdapter:
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, tp_axis=None, interpret=False, quant_scales=None):
+                    *, tp_axis=None, interpret=False, quant_scales=None,
+                    collect_kv=False):
         from .llama import llama_decode_step
 
         return llama_decode_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
             tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
+            collect_kv=collect_kv,
         )
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
@@ -163,13 +165,13 @@ class HybridAdapter:
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, tp_axis=None, interpret=False):
+                    *, tp_axis=None, interpret=False, collect_kv=False):
         from .hybrid import hybrid_decode_step
 
         return hybrid_decode_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
-            tp_axis=tp_axis, interpret=interpret,
+            tp_axis=tp_axis, interpret=interpret, collect_kv=collect_kv,
         )
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
@@ -221,13 +223,14 @@ class HybridLinearAdapter:
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, states, state_slots, tp_axis=None, interpret=False):
+                    *, states, state_slots, tp_axis=None, interpret=False,
+                    collect_kv=False):
         from .mamba import hybrid_linear_decode_step
 
         return hybrid_linear_decode_step(
             params, self.cfg, tokens, positions, k_pools, v_pools, states,
             page_tables, slot_pages, slot_offsets, seq_lens, state_slots,
-            tp_axis=tp_axis, interpret=interpret,
+            tp_axis=tp_axis, interpret=interpret, collect_kv=collect_kv,
         )
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,

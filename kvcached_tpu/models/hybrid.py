@@ -149,6 +149,7 @@ def hybrid_decode_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    collect_kv: bool = False,
 ):
     B = tokens.shape[0]
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -198,19 +199,21 @@ def hybrid_decode_step(
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
         x = x + _maybe_psum(mlp, tp_axis)
-        return (x, k_pools, v_pools), None
+        return (x, k_pools, v_pools), ((k, v) if collect_kv else None)
 
     layers = {
         "p": params["layers"],
         "g": jnp.asarray(cfg.group_index, jnp.int32),
         "lg": jnp.asarray(cfg.layer_in_group, jnp.int32),
     }
-    (x, k_pools, v_pools), _ = jax.lax.scan(
+    (x, k_pools, v_pools), kv = jax.lax.scan(
         layer_fn, (x, k_pools, v_pools), layers
     )
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = lm_head_logits(x, params["lm_head"], tp_axis)
+    if collect_kv:
+        return logits, k_pools, v_pools, kv  # per GLOBAL layer [L,B,KH,D]
     return logits, k_pools, v_pools
 
 

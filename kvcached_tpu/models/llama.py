@@ -166,6 +166,7 @@ def llama_decode_step(
     tp_axis: str | None = None,
     interpret: bool = False,
     quant_scales: tuple | None = None,  # (k_scales, v_scales) [L, KH] f32
+    collect_kv: bool = False,
 ):
     """One decode token for each of B sequences.
 
@@ -175,6 +176,11 @@ def llama_decode_step(
 
     int8 pools: pass ``quant_scales`` — K/V reach the kernel unquantized
     and are quantized in-kernel with the per-head scales.
+
+    ``collect_kv``: also return the per-layer (k, v) written this step —
+    ``(ks, vs)`` each [L, B, KH, D] in compute dtype — so a dp-meshed
+    caller can replay them into every dp replica (ops/paged_attention.py
+    write_decode_tokens keeps replicas bit-identical).
     """
     B = tokens.shape[0]
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -224,15 +230,17 @@ def llama_decode_step(
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
         x = x + _maybe_psum(mlp, tp_axis)
-        return (x, k_pools, v_pools), None
+        return (x, k_pools, v_pools), ((k, v) if collect_kv else None)
 
     layers = {"p": params["layers"], "i": jnp.arange(cfg.num_layers)}
-    (x, k_pools, v_pools), _ = jax.lax.scan(
+    (x, k_pools, v_pools), kv = jax.lax.scan(
         layer_fn, (x, k_pools, v_pools), layers
     )
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = lm_head_logits(x, params["lm_head"], tp_axis)
+    if collect_kv:
+        return logits, k_pools, v_pools, kv  # ([L,B,KH,D], [L,B,KH,D])
     return logits, k_pools, v_pools
 
 

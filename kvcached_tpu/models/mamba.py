@@ -287,8 +287,10 @@ def hybrid_linear_decode_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    collect_kv: bool = False,
 ):
     B = tokens.shape[0]
+    kv_collected = []
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     # TP sharding (under shard_map): attention layers are Megatron-sharded
     # like the Llama family; mamba mixers run REPLICATED — the state cells
@@ -309,6 +311,8 @@ def hybrid_linear_decode_step(
             v = (h @ lp["wv"]).reshape(B, KH, D)
             q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
             k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+            if collect_kv:
+                kv_collected.append((k, v))
             attn, k_pools, v_pools = paged_attention_decode(
                 q, k_pools, v_pools, page_tables, seq_lens, attn_i,
                 k.astype(k_pools.dtype), v.astype(v_pools.dtype),
@@ -336,6 +340,10 @@ def hybrid_linear_decode_step(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = lm_head_logits(x, params["lm_head"], tp_axis)
+    if collect_kv:
+        ks = jnp.stack([k for k, _ in kv_collected])  # [L_attn, B, KH, D]
+        vs = jnp.stack([v for _, v in kv_collected])
+        return logits, k_pools, v_pools, states, (ks, vs)
     return logits, k_pools, v_pools, states
 
 

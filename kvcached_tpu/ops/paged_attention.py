@@ -792,6 +792,177 @@ def write_prefill_kv_single(
     return k_pool
 
 
+def _decode_tokens_write_kernel(
+    pool_layers_ref,  # [Lk] int32 (SMEM): pool layer index per kv layer
+    slot_pages_ref,  # [Lk, B] int32 (0 = discard)
+    slot_offsets_ref,  # [B] int32
+    k_scales_ref,  # [L_pool, KH] f32 (ones if unused)
+    v_scales_ref,
+    k_new_ref,  # [1, num_kv_heads, head_dim] VMEM block (layer li, row b)
+    v_new_ref,
+    k_pool_in, v_pool_in,
+    k_pool_ref, v_pool_ref,  # aliased outputs (HBM)
+    win_k, win_v,  # [num_kv_heads, sublane, head_dim] VMEM RMW windows
+    sems,
+    *,
+    sublane: int,
+    num_kv_heads: int,
+    quantized: bool,
+):
+    li = pl.program_id(0)
+    b = pl.program_id(1)
+    layer = pool_layers_ref[li]
+    page = slot_pages_ref[li, b]
+    off = slot_offsets_ref[b]
+
+    @pl.when(page != 0)  # zero page = write-discard, like the fused kernel
+    def _():
+        win = (off // sublane) * sublane
+        row = off - win
+
+        def win_copy(vmem, pool, sem):
+            return pltpu.make_async_copy(
+                pool.at[layer, page, :, pl.ds(win, sublane)], vmem, sem
+            )
+
+        win_copy(win_k, k_pool_ref, sems.at[0]).start()
+        win_copy(win_v, v_pool_ref, sems.at[1]).start()
+        win_copy(win_k, k_pool_ref, sems.at[0]).wait()
+        win_copy(win_v, v_pool_ref, sems.at[1]).wait()
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (num_kv_heads, sublane, win_k.shape[-1]), 1
+        )
+        k_val = k_new_ref[0][:, None, :].astype(jnp.float32)
+        v_val = v_new_ref[0][:, None, :].astype(jnp.float32)
+        if quantized:
+            # same formula as the fused kernel's quantize-on-write, so
+            # rewriting a slot it already wrote is bit-identical.  The
+            # per-head scale tensor is built with full-rank selects — a
+            # scalar stack + reshape trips Mosaic layout inference here.
+            h_ids = jax.lax.broadcasted_iota(jnp.int32, k_val.shape, 0)
+            k_sc = jnp.ones_like(k_val)
+            v_sc = jnp.ones_like(v_val)
+            for h in range(num_kv_heads):
+                k_sc = jnp.where(h_ids == h, k_scales_ref[layer, h], k_sc)
+                v_sc = jnp.where(h_ids == h, v_scales_ref[layer, h], v_sc)
+            k_val = jnp.clip(jnp.round(k_val / k_sc), -127, 127)
+            v_val = jnp.clip(jnp.round(v_val / v_sc), -127, 127)
+        win_k[...] = jnp.where(
+            row_ids == row, k_val, win_k[...].astype(jnp.float32)
+        ).astype(win_k.dtype)
+        win_v[...] = jnp.where(
+            row_ids == row, v_val, win_v[...].astype(jnp.float32)
+        ).astype(win_v.dtype)
+
+        def win_write(vmem, pool, sem):
+            return pltpu.make_async_copy(
+                vmem, pool.at[layer, page, :, pl.ds(win, sublane)], sem
+            )
+
+        win_write(win_k, k_pool_ref, sems.at[0]).start()
+        win_write(win_v, v_pool_ref, sems.at[1]).start()
+        win_write(win_k, k_pool_ref, sems.at[0]).wait()
+        win_write(win_v, v_pool_ref, sems.at[1]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0, 1))
+def write_decode_tokens(
+    k_pool: jax.Array,  # [L, num_pages, num_kv_heads, page_tokens, head_dim]
+    v_pool: jax.Array,
+    k_new: jax.Array,  # [Lk, B, num_kv_heads, head_dim] UNquantized
+    v_new: jax.Array,
+    pool_layers: jax.Array,  # [Lk] int32 pool layer per kv layer
+    slot_pages: jax.Array,  # [Lk, B] int32 physical page (0 = discard)
+    slot_offsets: jax.Array,  # [B] int32 slot within the page
+    *,
+    interpret: bool = False,
+    k_scales: jax.Array | None = None,  # [L, KH] f32 (int8 pools)
+    v_scales: jax.Array | None = None,
+):
+    """Write one decode token per (kv-layer, batch-row) into the pools,
+    in place via aliasing.  The batched, all-layers counterpart of the fused
+    decode kernel's RMW token write — used to EQUALIZE dp replicas: under a
+    (dp, tp) mesh the fused kernel writes only the rows local to each dp
+    shard, so after the step every shard writes ALL rows' tokens (gathered
+    across dp, a few KB) through this kernel and the pool replicas stay
+    bit-identical.  Without it, a sequence whose batch row migrates to the
+    other dp shard (after a neighbour finishes) would read zeros for its
+    previously decoded positions.
+
+    ``pool_layers`` maps each kv layer to its pool layer index — identity
+    for Llama-likes; for hybrid layer groups, layers of different groups
+    share pool layers and are distinguished by page (models/hybrid.py).
+
+    Rewriting a slot the fused kernel already wrote is bit-identical: the
+    value path (cast → f32 blend → pool dtype; int8 clip(round(x/scale)))
+    matches the fused kernel's exactly."""
+    L, num_pages, num_kv_heads, page_tokens, head_dim = k_pool.shape
+    Lk, B, _, _ = k_new.shape
+    sublane = _sublane_for(k_pool.dtype)
+    quantized = jnp.dtype(k_pool.dtype) == jnp.int8
+    if quantized:
+        assert k_scales is not None and v_scales is not None
+    else:
+        # unquantized: pre-cast so the blend matches the fused kernel's bits
+        k_new = k_new.astype(k_pool.dtype)
+        v_new = v_new.astype(v_pool.dtype)
+    if k_scales is None:
+        k_scales = jnp.ones((L, num_kv_heads), jnp.float32)
+    if v_scales is None:
+        v_scales = jnp.ones((L, num_kv_heads), jnp.float32)
+    # flatten (layer, row) so the VMEM block is rank-3 like the fused
+    # kernel's k_new (a rank-4 (1,1,KH,D) block trips a Mosaic reshape)
+    k_new = k_new.reshape(Lk * B, num_kv_heads, head_dim)
+    v_new = v_new.reshape(Lk * B, num_kv_heads, head_dim)
+
+    k_pool, v_pool = pl.pallas_call(
+        functools.partial(
+            _decode_tokens_write_kernel,
+            sublane=sublane,
+            num_kv_heads=num_kv_heads,
+            quantized=quantized,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(Lk, B),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, num_kv_heads, head_dim),
+                    lambda li, b, *_: (li * B + b, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, num_kv_heads, head_dim),
+                    lambda li, b, *_: (li * B + b, 0, 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((num_kv_heads, sublane, head_dim), k_pool.dtype),
+                pltpu.VMEM((num_kv_heads, sublane, head_dim), v_pool.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ),
+        # flat inputs: 0=pool_layers 1=slot_pages 2=slot_offsets 3=k_scales
+        # 4=v_scales 5=k_new 6=v_new 7=k_pool 8=v_pool
+        input_output_aliases={7: 0, 8: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pool_layers, slot_pages, slot_offsets, k_scales, v_scales,
+      k_new, v_new, k_pool, v_pool)
+    return k_pool, v_pool
+
+
 # ---------------------------------------------------------------------------
 # Dense XLA reference (tests + non-TPU fallback).
 # ---------------------------------------------------------------------------

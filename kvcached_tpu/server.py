@@ -112,6 +112,7 @@ class ModelHandle:
         # they recompute after wake
         while eng.running:
             eng._preempt_one()
+        eng.preempt_prefilling()  # a mid-prefill sequence also rolls back
         # offload weights to host RAM; KV pages go back to the shared pool
         self._host_params = jax.tree.map(np.asarray, eng.params)
         eng.params = None

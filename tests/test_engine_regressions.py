@@ -208,6 +208,57 @@ def test_chunked_prefill_long_prompt(toy):
     assert got[0].output_tokens == want[0].output_tokens
 
 
+def test_interleaved_chunked_prefill(toy):
+    """A long prompt's chunks interleave with decode horizons: a running
+    sequence keeps generating while the long prompt prefills, and both
+    outputs stay token-exact vs serving each alone."""
+    cfg, params = toy
+    short = [5, 6, 7]
+    long_prompt = [((i * 37) % 500) + 1 for i in range(100)]  # > 3 chunks
+    sp = SamplingParams(max_new_tokens=16)
+
+    def solo(prompt):
+        eng = make_engine(
+            cfg, params, max_model_len=256, prefill_buckets=(16, 32),
+            decode_horizon=2, num_pages=96,
+        )
+        try:
+            return eng.generate([prompt], sp)[0].output_tokens
+        finally:
+            eng.shutdown()
+
+    want_short, want_long = solo(short), solo(long_prompt)
+
+    eng = make_engine(
+        cfg, params, max_model_len=256, prefill_buckets=(16, 32),
+        decode_horizon=2, num_pages=96,
+    )
+    try:
+        rid_s = eng.add_request(short, sp)
+        eng.step()  # short prefills and starts running
+        rid_l = eng.add_request(long_prompt, sp)
+        saw_interleave = False
+        while eng.has_unfinished():
+            eng.step()
+            short_seq = next(
+                (s for s in eng.running if s.req.req_id == rid_s), None
+            )
+            if (
+                eng._prefilling is not None
+                and 0 < eng._prefilling.num_prefilled < len(long_prompt)
+                and short_seq is not None
+                and short_seq.num_generated > 1
+            ):
+                saw_interleave = True
+        outs = {o.req_id: o.output_tokens for o in eng.finished_outputs}
+    finally:
+        eng.shutdown()
+
+    assert saw_interleave, "decode never ran while the long prompt prefilled"
+    assert outs[rid_s] == want_short
+    assert outs[rid_l] == want_long
+
+
 def test_adaptive_horizon_matches_fixed(toy):
     """Adaptive K near the cap must not change outputs."""
     cfg, params = toy

@@ -187,14 +187,21 @@ class TestMeshEngine:
         from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
         from kvcached_tpu.parallel.mesh import make_mesh
 
+        # float32 for EXACT token equality: in bf16, TP partial matmuls
+        # round before the psum, so mesh numerics differ from single-device
+        # in the last bit and greedy argmax near-ties occasionally flip —
+        # inherent to bf16 tensor parallelism, not a sharding bug.  f32
+        # keeps accumulation-order noise ~1e-7, far below any logit gap.
         cfg = LlamaConfig(
             vocab_size=256, hidden_size=256, num_layers=2,
             num_heads=8, num_kv_heads=4, head_dim=128, intermediate_size=512,
+            dtype="float32",
         )
         params = init_llama_params(cfg, jax.random.PRNGKey(0))
         ecfg = dict(
             max_batch=4, max_model_len=128, page_tokens=16, decode_horizon=4,
             prefill_buckets=(16, 32), num_pages=64, interpret=True,
+            kv_dtype="float32",
         )
         prompts = [
             [1, 2, 3, 4, 5],
@@ -219,6 +226,78 @@ class TestMeshEngine:
             eng.shutdown()
 
         assert got == want, "mesh engine diverged from single-device"
+
+    def test_dp_migration_and_replica_identity(self):
+        """Regression: decode KV writes are per-dp-shard-local in the fused
+        kernel; without the replica equalization pass (write_decode_tokens),
+        a sequence whose batch row MIGRATES to the other dp shard after a
+        neighbour finishes reads zeros for its own decoded KV.  Staggered
+        max_new_tokens forces the migration; afterwards every dp replica of
+        the pools must be bit-identical (host gathers, prefix-cache reuse,
+        and PD export all depend on it)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=256, num_layers=2,
+            num_heads=8, num_kv_heads=4, head_dim=128, intermediate_size=512,
+            dtype="float32",
+        )
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(
+            max_batch=4, max_model_len=128, page_tokens=16, decode_horizon=2,
+            prefill_buckets=(16,), num_pages=64, interpret=True,
+            kv_dtype="float32",
+        )
+        prompts = [[1, 2, 3], [4, 5, 6], [7, 8, 9], [10, 11, 12]]
+        # rows 0-1 (dp shard 0) finish early -> rows 2-3 migrate to shard 0
+        new_tokens = [2, 2, 12, 12]
+
+        def serve(mesh):
+            eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params, mesh=mesh)
+            try:
+                rids = [
+                    eng.add_request(p, SamplingParams(max_new_tokens=n))
+                    for p, n in zip(prompts, new_tokens)
+                ]
+                while eng.has_unfinished():
+                    eng.step()
+                idx = {r: i for i, r in enumerate(rids)}
+                outs = {
+                    idx[o.req_id]: o.output_tokens
+                    for o in eng.finished_outputs
+                }
+                pools = np.asarray(jax.device_get(eng.k_pools))
+                shards = {
+                    s.device.id: (s.index, np.asarray(s.data))
+                    for s in eng.k_pools.addressable_shards
+                } if mesh is not None else None
+                return outs, pools, shards, (
+                    np.array(mesh.devices) if mesh is not None else None
+                )
+            finally:
+                eng.shutdown()
+
+        want, pools_single, _, _ = serve(None)
+        got, _, shards, devarr = serve(make_mesh(tp=4, dp=2))
+        assert got == want, "post-migration decode diverged across dp"
+
+        # every dp replica holds every shard's writes, bit-identically
+        reps = []
+        for dp_i in range(devarr.shape[0]):
+            copy = np.zeros(pools_single.shape, np.float32)
+            for tp_i in range(devarr.shape[1]):
+                idx, data = shards[devarr[dp_i, tp_i].id]
+                copy[idx] = data
+            reps.append(copy)
+        assert np.array_equal(reps[0], reps[1]), "dp replicas diverged"
+        assert np.max(np.abs(reps[0] - pools_single)) < 1e-4
 
     def test_engine_mesh_validation(self):
         import jax
@@ -253,11 +332,14 @@ class TestMeshHybridLinear:
         )
         from kvcached_tpu.parallel.mesh import make_mesh
 
-        cfg = HybridLinearConfig.toy(num_layers=4)
+        # float32 for exact equality (see TestMeshEngine: bf16 TP rounds
+        # partial sums before the psum, flipping greedy near-ties)
+        cfg = HybridLinearConfig.toy(num_layers=4, dtype="float32")
         params = init_hybrid_linear_params(cfg, jax.random.PRNGKey(0))
         ecfg = dict(
             max_batch=4, max_model_len=96, page_tokens=16, decode_horizon=4,
             prefill_buckets=(16, 32), num_pages=48, interpret=True,
+            kv_dtype="float32",
         )
         prompts = [
             [1, 2, 3, 4, 5],
@@ -297,9 +379,12 @@ class TestMeshInt8:
         from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
         from kvcached_tpu.parallel.mesh import make_mesh
 
+        # params f32 for exact equality (see TestMeshEngine); KV stays int8
+        # — quantize/dequant is per-value, identical under sharding
         cfg = LlamaConfig(
             vocab_size=256, hidden_size=256, num_layers=2,
             num_heads=8, num_kv_heads=4, head_dim=128, intermediate_size=512,
+            dtype="float32",
         )
         params = init_llama_params(cfg, jax.random.PRNGKey(0))
         ecfg = dict(

@@ -34,8 +34,8 @@ def toy():
     return cfg, params
 
 
-def local_reference(cfg, params):
-    eng = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+def local_reference(cfg, params, ecfg=None):
+    eng = LLMEngine(cfg, EngineConfig(**(ecfg or ECFG)), params=params)
     try:
         return eng.generate(
             [PROMPT], SamplingParams(max_new_tokens=MAX_NEW)
@@ -145,16 +145,20 @@ class TestMeshImportHandoff:
         from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
         from kvcached_tpu.parallel.mesh import make_mesh
 
+        # float32 for exact token equality across the mesh (bf16 TP rounds
+        # partial sums pre-psum; greedy near-ties can flip — inherent)
         cfg = LlamaConfig(
             vocab_size=256, hidden_size=256, num_layers=2,
             num_heads=8, num_kv_heads=4, head_dim=128, intermediate_size=512,
+            dtype="float32",
         )
         params = init_llama_params(cfg, jax.random.PRNGKey(0))
-        want = local_reference(cfg, params)
+        ecfg = {**ECFG, "kv_dtype": "float32"}
+        want = local_reference(cfg, params, ecfg)
 
-        prefiller = LLMEngine(cfg, EngineConfig(**ECFG), params=params)
+        prefiller = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
         decoder = LLMEngine(
-            cfg, EngineConfig(**ECFG), params=params,
+            cfg, EngineConfig(**ecfg), params=params,
             mesh=make_mesh(tp=4, dp=2),
         )
         try:
@@ -249,7 +253,8 @@ class TestHybridGroupHandoff:
             rid = prefiller.add_request(
                 prompt, SamplingParams(max_new_tokens=max_new)
             )
-            prefiller.step()  # prefill
+            prefiller.step()  # prefill chunk 1 (interleaved scheduling)
+            prefiller.step()  # prefill chunk 2 → sequence running
             prefiller.step()  # one decode horizon → window reclaim kicks in
             h = prefiller.export_sequence(rid)
             assert h.payload_groups is not None
