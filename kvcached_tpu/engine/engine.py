@@ -158,6 +158,16 @@ class EngineConfig:
     #: compiles one program per power-of-two K; disable where compiles are
     #: expensive — overflow masking keeps fixed-K runs correct)
     adaptive_horizon: bool = True
+    #: speculative decoding via prompt-lookup (n-gram) drafting + a fused
+    #: multi-query verify kernel: up to spec_gamma+1 tokens per dispatch,
+    #: weights streamed ONCE per dispatch instead of per token.  Greedy
+    #: rows only (temperature 0); token-exact vs plain decode by
+    #: construction.  Ignored for stateful / multi-group families.
+    spec_decode: bool = False
+    spec_gamma: int = 4  # draft tokens verified per iteration
+    spec_ngram: int = 2  # trailing n-gram matched for prompt lookup
+    spec_horizon: int = 4  # on-device verify iterations per dispatch
+    spec_window: int = 128  # token ring the device drafts from
 
 
 class LLMEngine:
@@ -375,8 +385,12 @@ class LLMEngine:
         # decode fns are compiled lazily per horizon K (adaptive horizon:
         # dispatches near a sequence's cap use a shorter scan, avoiding
         # wasted post-cap steps)
+        self._verify_step_impl = None  # set by _build_step_impls if supported
         self._build_step_impls()
         self._decode_fns: dict[int, object] = {}
+        self._verify_fns: dict[int, object] = {}  # per T = gamma+1
+        self._spec_dispatches = 0
+        self._spec_tokens = 0
         self._prefill_fn = self._build_prefill_fn()
 
     def _stable_namespace(self) -> str:
@@ -426,6 +440,7 @@ class LLMEngine:
         )
         self._build_step_impls(reset_scales=False)
         self._decode_fns.clear()
+        self._verify_fns.clear()
         self._prefill_fn = self._build_prefill_fn()
 
     def _build_step_impls(self, reset_scales: bool = True) -> None:
@@ -455,6 +470,10 @@ class LLMEngine:
             self._prefill_step_impl = lambda *a: adapter.prefill_step(
                 *a, interpret=ec.interpret, **extra
             )
+            if hasattr(adapter, "verify_step"):
+                self._verify_step_impl = lambda *a: adapter.verify_step(
+                    *a, interpret=ec.interpret, **extra
+                )
             if self.has_state:
                 self._decode_state_impl = (
                     lambda params, t, p, k, v, pt, sp, so, sl, states, ss:
@@ -559,6 +578,59 @@ class LLMEngine:
         self._decode_step_impl = (
             (lambda *a: d_sharded(*a, *qs)) if qs else d_sharded
         )
+
+        if hasattr(adapter, "verify_step"):
+            bd2 = P(dp, None) if dp else P()  # [B, T] arrays
+
+            def vstep(params, tokens, positions, k_pools, v_pools,
+                      page_tables, slot_pages, slot_offsets, seq_lens,
+                      *scales):
+                kw = {"quant_scales": scales} if scales else {}
+                if not equalize:
+                    return adapter.verify_step(
+                        params, tokens, positions, k_pools, v_pools,
+                        page_tables, slot_pages, slot_offsets, seq_lens,
+                        tp_axis="tp", interpret=ec.interpret, **kw,
+                    )
+                # dp>1: same replica equalization as decode, with the
+                # (row, token) pairs flattened into writer rows
+                from ..ops.paged_attention import write_decode_tokens
+
+                logits, k_pools, v_pools, (ks, vs) = adapter.verify_step(
+                    params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    tp_axis="tp", interpret=ec.interpret, collect_kv=True,
+                    **kw,
+                )
+                ks = jax.lax.all_gather(ks, dp, axis=1, tiled=True)
+                vs = jax.lax.all_gather(vs, dp, axis=1, tiled=True)
+                sp = jax.lax.all_gather(slot_pages, dp, axis=0, tiled=True)
+                so = jax.lax.all_gather(slot_offsets, dp, axis=0, tiled=True)
+                Lk, Bg, Tt = ks.shape[0], sp.shape[0], sp.shape[1]
+                ks = ks.reshape(Lk, Bg * Tt, *ks.shape[3:])
+                vs = vs.reshape(Lk, Bg * Tt, *vs.shape[3:])
+                sp_l = jnp.broadcast_to(
+                    sp.reshape(1, Bg * Tt), (Lk, Bg * Tt)
+                )
+                k_pools, v_pools = write_decode_tokens(
+                    k_pools, v_pools, ks, vs,
+                    jnp.arange(Lk, dtype=jnp.int32), sp_l,
+                    so.reshape(Bg * Tt), interpret=ec.interpret,
+                    k_scales=scales[0] if scales else None,
+                    v_scales=scales[1] if scales else None,
+                )
+                return logits, k_pools, v_pools
+
+            v_sharded = jax.shard_map(
+                vstep, mesh=self.mesh,
+                in_specs=(pspecs, bd2, bd2, pool_p, pool_p, b2, bd2, bd2, bd)
+                + ((sc_p, sc_p) if qs else ()),
+                out_specs=(bd, pool_p, pool_p),
+                check_vma=False,
+            )
+            self._verify_step_impl = (
+                (lambda *a: v_sharded(*a, *qs)) if qs else v_sharded
+            )
 
         def pstep(params, tokens, positions, k_pools, v_pools,
                   chunk_pages, page_table, q_start, true_len, *scales):
@@ -1178,6 +1250,187 @@ class LLMEngine:
                 seq.tokens = seq.tokens[: seq.prompt_len + keep]
                 self._finish_seq(seq)
 
+    # --------------------------------------------------------- spec decode
+
+    def _spec_ok(self, batch) -> bool:
+        """Speculative decoding applies when the adapter has a verify step
+        (Llama-likes incl. sliding window + int8), the family is stateless
+        single-group, and every row is greedy (temperature 0 — acceptance
+        compares the model's own argmax, so outputs are token-exact vs
+        plain decode by construction)."""
+        return (
+            self.cfg.spec_decode
+            and self._verify_step_impl is not None
+            and not self.has_state
+            and self.num_groups == 1
+            and all(s.req.sampling.temperature == 0.0 for s in batch)
+        )
+
+    def _decode_dispatch(self) -> None:
+        batch = self.running[: self.cfg.max_batch]
+        if batch and self._spec_ok(batch):
+            self._do_spec_decode()
+        else:
+            self._do_decode()
+
+    def _build_spec_fn(self, T: int, S: int, W: int):
+        """Jit one SPEC HORIZON: ``S`` chained verify iterations on device,
+        each drafting gamma = T-1 tokens from a device-held ring of the
+        last ``W`` tokens (prompt-lookup, vLLM's ngram scheme), verifying
+        them in one fused multi-query forward, and accepting the longest
+        prefix matching the model's own argmax.  Drafting + acceptance stay
+        in-jit, so one HOST DISPATCH nets up to S*T tokens per row — the
+        speculative sibling of the K-step decode horizon (one dispatch per
+        token would drown the win in dispatch overhead: measured 0.37x on
+        the axon tunnel vs 1.116x verify/decode forward cost)."""
+        ec = self.cfg
+        P = ec.page_tokens
+        n = ec.spec_ngram
+        gamma = T - 1
+        vstep = self._verify_step_impl
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def spec_multi(params, k_pools, v_pools, ring0, seq_lens0,
+                       page_tables, max_lens):
+            """ring0 [B, W]: last W tokens, newest at column W-1 (short rows
+            left-padded with -1 — never matches a real n-gram).  seq_lens0
+            [B] counts tokens whose KV is already written (= len-1).
+            Returns (outs [S, B, T] argmax tokens, counts [S, B] accepted
+            per iteration, pools)."""
+            B = ring0.shape[0]
+            b_idx = jnp.arange(B)[:, None]
+
+            def draft(ring):
+                key = ring[:, W - n:]  # trailing n-gram
+                idx = jnp.arange(W - n)[:, None] + jnp.arange(n)[None, :]
+                wins = ring[:, idx]  # [B, W-n, n] candidate windows
+                m = jnp.all(wins == key[:, None, :], axis=-1)  # [B, W-n]
+                found = jnp.any(m, axis=1)
+                latest = (W - n - 1) - jnp.argmax(m[:, ::-1], axis=1)
+                cont_idx = jnp.minimum(
+                    latest[:, None] + n + jnp.arange(gamma)[None, :], W - 1
+                )
+                cont = jnp.take_along_axis(ring, cont_idx, axis=1)
+                rep = jnp.broadcast_to(ring[:, -1:], cont.shape)
+                return jnp.where(found[:, None], cont, rep)  # [B, gamma]
+
+            def one(carry, _):
+                ring, seq_lens, k_pools, v_pools = carry
+                d = draft(ring)
+                tokens = jnp.concatenate([ring[:, -1:], d], axis=1)  # [B, T]
+                raw_pos = seq_lens[:, None] + jnp.arange(T)[None, :]
+                cap = jnp.maximum(max_lens[:, None] - 1, 0)
+                pos = jnp.clip(raw_pos, 0, cap)
+                overflow = raw_pos > cap  # incl. padded rows (max_lens 0)
+                slot_pages = jnp.where(
+                    overflow, 0, page_tables[b_idx, pos // P]
+                )
+                slot_offsets = pos % P
+                # UNclamped: the kernel derives each query's position as
+                # (kv_lens - T) + j, so clamping at a row's cap would shift
+                # every query one short and corrupt the causal mask one
+                # dispatch BEFORE the cap.  Overflow queries' outputs are
+                # discarded host-side and their writes already routed to
+                # the zero page, so the honest count is safe.
+                kv_lens = seq_lens + T
+                logits, k_pools, v_pools = vstep(
+                    params, tokens, pos, k_pools, v_pools, page_tables,
+                    slot_pages, slot_offsets, kv_lens,
+                )
+                out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
+                # longest accepted prefix: draft j is kept iff all drafts
+                # before it matched the model's own argmax
+                match = (out[:, :gamma] == d).astype(jnp.int32)
+                a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # 0..gamma
+                appended = a + 1  # accepted drafts + the model's next token
+                # roll the accepted tokens into the ring (out[:, :appended])
+                cat = jnp.concatenate([ring, out], axis=1)  # [B, W+T]
+                new_ring = jnp.take_along_axis(
+                    cat, jnp.arange(W)[None, :] + appended[:, None], axis=1
+                )
+                new_seq = jnp.minimum(
+                    seq_lens + appended, jnp.maximum(max_lens - 1, 0)
+                )
+                return (new_ring, new_seq, k_pools, v_pools), (out, appended)
+
+            (_, _, k_pools, v_pools), (outs, counts) = jax.lax.scan(
+                one, (ring0, jnp.maximum(seq_lens0, 0), k_pools, v_pools),
+                None, length=S,
+            )
+            return outs, counts, k_pools, v_pools
+
+        return spec_multi
+
+    def _do_spec_decode(self) -> None:
+        """One speculative horizon: S on-device verify iterations, each
+        drafting + verifying gamma tokens and accepting the matched prefix.
+        Token-exact vs plain greedy decode by construction (acceptance
+        compares the model's own argmax)."""
+        ec = self.cfg
+        B = ec.max_batch
+        gamma = ec.spec_gamma
+        T = gamma + 1
+        S = ec.spec_horizon
+        W = max(ec.spec_window, ec.spec_ngram + gamma + 1)
+        batch = self.running[:B]
+        # worst case a dispatch advances a row by S*T tokens (capped at the
+        # row's own cap); reserve pages up front, preempting on pressure
+        i = 0
+        while i < len(batch):
+            seq = batch[i]
+            need = min(len(seq.tokens) + S * T, self._row_cap(seq))
+            if self._ensure_blocks(seq, need):
+                i += 1
+                continue
+            if not self._preempt_one():
+                break
+            batch = self.running[:B]
+        batch = [s for s in batch if s in self.running]
+        if not batch:
+            return
+
+        ring = np.full((B, W), -1, np.int32)  # -1 pad: matches no n-gram
+        seq_lens0 = np.zeros(B, np.int32)
+        page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        max_lens = np.zeros(B, np.int32)  # 0 for padded rows: all discarded
+        for i, seq in enumerate(batch):
+            tail = seq.tokens[-W:]
+            ring[i, W - len(tail):] = tail
+            seq_lens0[i] = len(seq.tokens) - 1  # KV written so far
+            page_tables[i] = self._phys_row(seq)
+            max_lens[i] = self._row_cap(seq)
+
+        key = (T, S, W)
+        fn = self._verify_fns.get(key)
+        if fn is None:
+            fn = self._verify_fns[key] = self._build_spec_fn(T, S, W)
+        outs, counts, self.k_pools, self.v_pools = fn(
+            self.params, self.k_pools, self.v_pools, jnp.asarray(ring),
+            jnp.asarray(seq_lens0), jnp.asarray(page_tables),
+            jnp.asarray(max_lens),
+        )
+        outs = np.asarray(outs)  # [S, B, T]
+        counts = np.asarray(counts)  # [S, B]
+        self._spec_dispatches += 1
+
+        for i, seq in enumerate(batch):
+            appended = 0
+            for it in range(S):
+                if seq.finished():
+                    break
+                for j in range(int(counts[it, i])):
+                    seq.tokens.append(int(outs[it, i, j]))
+                    appended += 1
+                    if seq.finished():
+                        break
+            self._spec_tokens += appended
+            self._reclaim_slid_pages(seq)
+            if seq.finished():
+                sp = seq.req.sampling
+                keep = min(seq.num_generated, sp.max_new_tokens)
+                seq.tokens = seq.tokens[: seq.prompt_len + keep]
+                self._finish_seq(seq)
+
     def _finish_seq(self, seq: Sequence) -> None:
         self.running.remove(seq)
         self._free_seq(seq)
@@ -1235,7 +1488,7 @@ class LLMEngine:
                 if self._prefill_chunk(self._prefilling):
                     self._prefilling = None
             else:
-                self._do_decode()
+                self._decode_dispatch()
             return
         if self.waiting and len(self.running) < self.cfg.max_batch:
             seq = self.waiting[0]
@@ -1253,7 +1506,7 @@ class LLMEngine:
                 time.sleep(0.01)
                 return
         if self.running:
-            self._do_decode()
+            self._decode_dispatch()
 
     # ----------------------------------------------- PD disaggregation
 
@@ -1510,6 +1763,15 @@ class LLMEngine:
             "preemptions": self._preempt_count,
             "prefix_cache": self.prefix_cache.get_usage(),
         }
+        if self.cfg.spec_decode:
+            out["spec"] = {
+                "dispatches": self._spec_dispatches,
+                "tokens": self._spec_tokens,
+                "tokens_per_dispatch": (
+                    self._spec_tokens / self._spec_dispatches
+                    if self._spec_dispatches else 0.0
+                ),
+            }
         if self.num_groups > 1:
             out["groups"] = [
                 {

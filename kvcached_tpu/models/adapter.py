@@ -88,6 +88,21 @@ class LlamaAdapter:
             tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
         )
 
+    def verify_step(self, params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    *, tp_axis=None, interpret=False, quant_scales=None,
+                    collect_kv=False):
+        """Speculative-decode verification: T tokens per row in one pass
+        (engines without this method fall back to plain decode)."""
+        from .llama import llama_verify_step
+
+        return llama_verify_step(
+            params, self.cfg, tokens, positions, k_pools, v_pools,
+            page_tables, slot_pages, slot_offsets, seq_lens,
+            tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
+            collect_kv=collect_kv,
+        )
+
     def param_specs(self, tp_axis: str) -> dict:
         from ..parallel.mesh import llama_param_specs
 

@@ -29,6 +29,7 @@ from ..ops.paged_attention import (
     paged_attention,
     paged_attention_decode,
     paged_attention_reference,
+    paged_attention_verify,
     write_prefill_kv,
 )
 from ..ops.paged_prefill import paged_prefill_attention
@@ -241,6 +242,85 @@ def llama_decode_step(
     logits = lm_head_logits(x, params["lm_head"], tp_axis)
     if collect_kv:
         return logits, k_pools, v_pools, kv  # ([L,B,KH,D], [L,B,KH,D])
+    return logits, k_pools, v_pools
+
+
+def llama_verify_step(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [B, T] int32: [last_token, draft_1 .. draft_{T-1}]
+    positions: jax.Array,  # [B, T] int32
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    page_tables: jax.Array,  # [B, max_pages] PHYSICAL ids
+    slot_pages: jax.Array,  # [B, T] write page per fed token (0 = discard)
+    slot_offsets: jax.Array,  # [B, T]
+    seq_lens: jax.Array,  # [B] int32 length INCLUDING all T fed tokens
+    *,
+    tp_axis: str | None = None,
+    interpret: bool = False,
+    quant_scales: tuple | None = None,
+    collect_kv: bool = False,
+):
+    """Speculative-decode verification: process T tokens per sequence in ONE
+    forward pass (weights stream once for T tokens instead of T times),
+    writing their KV and returning logits at every position —
+    (logits [B, T, vocab], k_pools, v_pools).  The host accepts the longest
+    draft prefix matching the model's own argmax (reference context: the
+    host engines' spec-decode flow the elastic pools must accommodate,
+    sglang/patches.py:714-956)."""
+    B, T = tokens.shape
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if tp_axis:
+        tp = jax.lax.axis_size(tp_axis)
+        H, KH = H // tp, KH // tp
+    int8_kv = jnp.dtype(k_pools.dtype) == jnp.int8
+    k_scales, v_scales = quant_scales if quant_scales else (None, None)
+
+    x = params["embed"][tokens]  # [B, T, E]
+
+    def layer_fn(carry, layer):
+        x, k_pools, v_pools = carry
+        lp, l_idx = layer["p"], layer["i"]
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q = rope((h @ lp["wq"]).reshape(B, T, H, D), positions, cfg.rope_theta)
+        k = rope((h @ lp["wk"]).reshape(B, T, KH, D), positions, cfg.rope_theta)
+        v = (h @ lp["wv"]).reshape(B, T, KH, D)
+
+        attn, k_pools, v_pools = paged_attention_verify(
+            q,
+            k_pools,
+            v_pools,
+            page_tables,
+            seq_lens,
+            l_idx,
+            k if int8_kv else k.astype(k_pools.dtype),
+            v if int8_kv else v.astype(v_pools.dtype),
+            slot_pages,
+            slot_offsets,
+            interpret=interpret,
+            window=cfg.sliding_window,
+            k_scales=k_scales,
+            v_scales=v_scales,
+        )  # [B, T, H, D]
+        attn_out = attn.reshape(B, T, H * D) @ lp["wo"]
+        x = x + _maybe_psum(attn_out, tp_axis)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        x = x + _maybe_psum(mlp, tp_axis)
+        return (x, k_pools, v_pools), ((k, v) if collect_kv else None)
+
+    layers = {"p": params["layers"], "i": jnp.arange(cfg.num_layers)}
+    (x, k_pools, v_pools), kv = jax.lax.scan(
+        layer_fn, (x, k_pools, v_pools), layers
+    )
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = lm_head_logits(x, params["lm_head"], tp_axis)  # [B, T, V]
+    if collect_kv:
+        return logits, k_pools, v_pools, kv  # ([L,B,T,KH,D], same)
     return logits, k_pools, v_pools
 
 

@@ -144,13 +144,20 @@ def _attn_body(
     if quantized:
         # int8 KV: dequantization is per-kv-head, so it folds into the
         # SCORES (k) and the weighted-value OUTPUT (v) — one [KH] multiply
-        # instead of rescaling whole K/V chunks
-        k_sc = jnp.stack(
-            [k_scales_ref[layer, h] for h in range(num_kv_heads)]
-        )[:, None, None]
-        v_sc = jnp.stack(
-            [v_scales_ref[layer, h] for h in range(num_kv_heads)]
-        )[:, None, None]
+        # instead of rescaling whole K/V chunks.  Built with full-rank
+        # selects: a scalar stack + reshape to [KH,1,1] trips Mosaic layout
+        # inference when KH < 8 (one sublane tile).
+        def _head_scales(scales_ref):
+            h_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (num_kv_heads, 1, 1), 0
+            )
+            sc = jnp.ones((num_kv_heads, 1, 1), jnp.float32)
+            for h in range(num_kv_heads):
+                sc = jnp.where(h_ids == h, scales_ref[layer, h], sc)
+            return sc
+
+        k_sc = _head_scales(k_scales_ref)
+        v_sc = _head_scales(v_scales_ref)
     C = pages_per_chunk
 
     def row_geometry(row):
@@ -626,6 +633,358 @@ def _paged_attention_impl(
 
     out = out[:, :, :q_per_kv, :]
     return out.reshape(batch, num_q_heads, head_dim), k_pool, v_pool
+
+
+# ---------------------------------------------------------------------------
+# Multi-query verify kernel (speculative decoding).
+# ---------------------------------------------------------------------------
+
+
+def _verify_kernel(
+    page_tables_ref,  # [B, max_pages] int32 (SMEM)
+    seq_lens_ref,  # [B] int32: length INCLUDING the T fed tokens
+    layer_ref,  # [1] int32
+    slot_pages_ref,  # [B, T] int32 physical page per fed token (0 = discard)
+    slot_offsets_ref,  # [B, T] int32
+    k_scales_ref,  # [L, KH] f32 (SMEM; ones if unused)
+    v_scales_ref,
+    q_ref,  # [1, KH, R, D] VMEM block; row = t * group + g, padded to R
+    k_new_ref,  # [1, T, KH, D] VMEM block (the T fed tokens' K)
+    v_new_ref,
+    k_pool_in, v_pool_in,
+    o_ref,  # [1, KH, R, D]
+    k_pool_ref, v_pool_ref,  # aliased outputs (HBM)
+    k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
+    *,
+    page_tokens: int,
+    pages_per_chunk: int,
+    num_kv_heads: int,
+    group: int,
+    q_tokens: int,  # T
+    sm_scale: float,
+    sublane: int,
+    window: int | None,
+    quantized: bool,
+):
+    """Speculative-decode verification: write the T fed tokens' KV into
+    their slots, then causal attention of T queries per sequence against
+    the sequence's pages.  Query j sits at position ``seq_len - T + j`` and
+    attends tokens ``<= `` its own position — the batched, multi-query
+    sibling of the fused decode kernel (reference context: the host
+    engines' spec-decode flow, sglang/patches.py:714-956, which the
+    reference's elastic pools must accommodate)."""
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    T = q_tokens
+    s = seq_lens_ref[b]
+    # callers may pass an honest s that overhangs a row's cap by < T (the
+    # overflow queries are discarded); clamp the page range to the table
+    # width so the overhang can't read past page_tables in SMEM
+    num_pages = jnp.minimum(
+        pl.cdiv(s, page_tokens), page_tables_ref.shape[1]
+    )
+    base = s - T  # tokens whose KV existed before this step
+    if window is not None:
+        ws0 = jnp.maximum(base + 1 - window, 0)
+        first_page = ws0 // page_tokens
+    else:
+        first_page = jnp.zeros_like(s)
+    C = pages_per_chunk
+    num_chunks = pl.cdiv(num_pages - first_page, C)
+    chunk_tokens = C * page_tokens
+
+    if quantized:
+        # full-rank selects (a scalar stack + reshape trips Mosaic layout
+        # inference in this kernel shape — see write_decode_tokens)
+        def head_scales(scales_ref, shape, iota_dim):
+            h_ids = jax.lax.broadcasted_iota(jnp.int32, shape, iota_dim)
+            sc = jnp.ones(shape, jnp.float32)
+            for h in range(num_kv_heads):
+                sc = jnp.where(h_ids == h, scales_ref[layer, h], sc)
+            return sc
+
+    # ---- 1) write the T fed tokens' K/V via aligned RMW windows ----------
+    for j in range(T):
+        page = slot_pages_ref[b, j]
+        off = slot_offsets_ref[b, j]
+
+        @pl.when(page != 0)  # zero page = discard (overflow / padding)
+        def _():
+            win = (off // sublane) * sublane
+            row = off - win
+
+            def win_copy(vmem, pool, sem):
+                return pltpu.make_async_copy(
+                    pool.at[layer, page, :, pl.ds(win, sublane)], vmem, sem
+                )
+
+            win_copy(win_k, k_pool_ref, win_sems.at[0]).start()
+            win_copy(win_v, v_pool_ref, win_sems.at[1]).start()
+            win_copy(win_k, k_pool_ref, win_sems.at[0]).wait()
+            win_copy(win_v, v_pool_ref, win_sems.at[1]).wait()
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (num_kv_heads, sublane, win_k.shape[-1]), 1
+            )
+            k_val = k_new_ref[0, j][:, None, :].astype(jnp.float32)
+            v_val = v_new_ref[0, j][:, None, :].astype(jnp.float32)
+            if quantized:
+                k_val = jnp.clip(
+                    jnp.round(k_val / head_scales(k_scales_ref, k_val.shape, 0)),
+                    -127, 127,
+                )
+                v_val = jnp.clip(
+                    jnp.round(v_val / head_scales(v_scales_ref, v_val.shape, 0)),
+                    -127, 127,
+                )
+            win_k[...] = jnp.where(
+                row_ids == row, k_val, win_k[...].astype(jnp.float32)
+            ).astype(win_k.dtype)
+            win_v[...] = jnp.where(
+                row_ids == row, v_val, win_v[...].astype(jnp.float32)
+            ).astype(win_v.dtype)
+
+            def win_write(vmem, pool, sem):
+                return pltpu.make_async_copy(
+                    vmem, pool.at[layer, page, :, pl.ds(win, sublane)], sem
+                )
+
+            win_write(win_k, k_pool_ref, win_sems.at[0]).start()
+            win_write(win_v, v_pool_ref, win_sems.at[1]).start()
+            win_write(win_k, k_pool_ref, win_sems.at[0]).wait()
+            win_write(win_v, v_pool_ref, win_sems.at[1]).wait()
+
+    # ---- 2) causal multi-query attention over the pages -------------------
+    def page_dma(chunk, j, slot, kv):
+        page_idx = first_page + chunk * C + j
+        page_idx = jnp.minimum(page_idx, num_pages - 1)  # masked tail
+        page_id = page_tables_ref[b, page_idx]
+        pool = k_pool_ref if kv == 0 else v_pool_ref
+        buf = k_buf if kv == 0 else v_buf
+        return pltpu.make_async_copy(
+            pool.at[layer, page_id], buf.at[slot, :, j], sems.at[slot, j, kv]
+        )
+
+    def start_chunk(chunk, slot):
+        for j in range(C):
+            page_dma(chunk, j, slot, 0).start()
+            page_dma(chunk, j, slot, 1).start()
+
+    def wait_chunk(chunk, slot):
+        for j in range(C):
+            page_dma(chunk, j, slot, 0).wait()
+            page_dma(chunk, j, slot, 1).wait()
+
+    m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # chunk 0 starts only after the RMW writes (the write pages are the
+    # sequence's last pages, which small sequences reach in chunk 0)
+    @pl.when(num_pages > 0)
+    def _():
+        start_chunk(0, 0)
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+            next_slot = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                start_chunk(c + 1, next_slot)
+
+            wait_chunk(c, slot)
+
+            base_tok = first_page * page_tokens + c * chunk_tokens
+            head_dim = q_ref.shape[3]
+            mm_dt = (
+                jnp.float32
+                if jnp.dtype(k_buf.dtype).itemsize >= 4 else jnp.bfloat16
+            )
+            q = q_ref[0].astype(mm_dt)  # [KH, R, D]
+            k = (
+                k_buf[slot]
+                .reshape(num_kv_heads, chunk_tokens, head_dim)
+                .astype(mm_dt)
+            )
+            s_mat = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale  # [KH, R, chunk_tokens]
+            if quantized:
+                s_mat = s_mat * head_scales(k_scales_ref, s_mat.shape, 0)
+            token_idx = base_tok + jax.lax.broadcasted_iota(
+                jnp.int32, s_mat.shape, dimension=2
+            )
+            # per-query causality: row r is query index r // group at
+            # position base + r//group, attending tokens <= its position
+            q_idx = jax.lax.broadcasted_iota(
+                jnp.int32, s_mat.shape, dimension=1
+            ) // group
+            limit = base + q_idx + 1
+            in_range = (token_idx < limit) & (token_idx < s)
+            if window is not None:
+                in_range &= token_idx >= jnp.maximum(limit - window, 0)
+            s_mat = jnp.where(in_range, s_mat, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scr[:, :, :1]
+            l_prev = l_scr[:, :, :1]
+            m_cur = jnp.max(s_mat, axis=2, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s_mat - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+            v = (
+                v_buf[slot]
+                .reshape(num_kv_heads, chunk_tokens, head_dim)
+                .astype(mm_dt)
+            )
+            pv = jax.lax.dot_general(
+                p.astype(mm_dt), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if quantized:
+                pv = pv * head_scales(v_scales_ref, pv.shape, 0)
+            acc_scr[...] = acc_scr[...] * alpha + pv
+            m_scr[:, :, :1] = m_new
+            l_scr[:, :, :1] = l_new
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, body, 0, unroll=False)
+
+    l = l_scr[:, :, :1]
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "window"),
+    donate_argnums=(1, 2),
+)
+def paged_attention_verify(
+    q: jax.Array,  # [B, T, num_q_heads, head_dim]
+    k_pool: jax.Array,  # [L, num_pages, KH, page_tokens, D]
+    v_pool: jax.Array,
+    page_tables: jax.Array,  # [B, max_pages] int32 physical ids
+    seq_lens: jax.Array,  # [B] int32 INCLUDING the T fed tokens
+    layer: jax.Array | int,
+    k_new: jax.Array,  # [B, T, KH, D] the fed tokens' K (unquantized if int8)
+    v_new: jax.Array,
+    slot_pages: jax.Array,  # [B, T] int32 (0 = discard)
+    slot_offsets: jax.Array,  # [B, T] int32
+    *,
+    sm_scale: float | None = None,
+    interpret: bool = False,
+    pages_per_chunk: int | None = None,
+    window: int | None = None,
+    k_scales: jax.Array | None = None,
+    v_scales: jax.Array | None = None,
+):
+    """Fused speculative-decode verification step: write T fed tokens' KV
+    per sequence, then causal multi-query paged attention.  Token j of row
+    b sits at position ``seq_lens[b] - T + j``.  Returns
+    (out [B, T, H, D], k_pool, v_pool) with the pools aliased in place —
+    callers must donate them."""
+    B, T, num_q_heads, head_dim = q.shape
+    L, _, num_kv_heads, page_tokens, _ = k_pool.shape
+    assert num_q_heads % num_kv_heads == 0
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    rows = T * group
+    R = _round_up(rows, 8)
+    max_pages = page_tables.shape[1]
+    C = pages_per_chunk or _pick_pages_per_chunk(
+        num_kv_heads, page_tokens, head_dim,
+        jnp.dtype(k_pool.dtype).itemsize, max_pages,
+    )
+    sublane = _sublane_for(k_pool.dtype)
+    quantized = jnp.dtype(k_pool.dtype) == jnp.int8
+    if k_scales is None:
+        k_scales = jnp.ones((L, num_kv_heads), jnp.float32)
+    if v_scales is None:
+        v_scales = jnp.ones((L, num_kv_heads), jnp.float32)
+
+    # [B, T, H, D] -> [B, KH, R, D], row = t * group + g
+    qg = (
+        q.reshape(B, T, num_kv_heads, group, head_dim)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, num_kv_heads, rows, head_dim)
+    )
+    if R != rows:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, R - rows), (0, 0)))
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    out, k_pool, v_pool = pl.pallas_call(
+        functools.partial(
+            _verify_kernel,
+            page_tokens=page_tokens,
+            pages_per_chunk=C,
+            num_kv_heads=num_kv_heads,
+            group=group,
+            q_tokens=T,
+            sm_scale=sm_scale,
+            sublane=sublane,
+            window=window,
+            quantized=quantized,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, num_kv_heads, R, head_dim), lambda b, *_: (b, 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, T, num_kv_heads, head_dim), lambda b, *_: (b, 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, T, num_kv_heads, head_dim), lambda b, *_: (b, 0, 0, 0)
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, num_kv_heads, R, head_dim), lambda b, *_: (b, 0, 0, 0)
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), k_pool.dtype),
+                pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), v_pool.dtype),
+                pltpu.SemaphoreType.DMA((2, C, 2)),
+                pltpu.VMEM((num_kv_heads, sublane, head_dim), k_pool.dtype),
+                pltpu.VMEM((num_kv_heads, sublane, head_dim), v_pool.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((num_kv_heads, R, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads, R, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads, R, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, num_kv_heads, R, head_dim), q.dtype),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ),
+        # flat inputs incl. 7 scalar-prefetch args: 7=q 8=k_new 9=v_new
+        # 10=k_pool 11=v_pool → outputs 1, 2
+        input_output_aliases={10: 1, 11: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(page_tables, seq_lens, layer_arr, slot_pages, slot_offsets,
+      k_scales, v_scales, qg, k_new, v_new, k_pool, v_pool)
+
+    out = out[:, :, :rows, :]
+    out = (
+        out.reshape(B, num_kv_heads, T, group, head_dim)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, T, num_q_heads, head_dim)
+    )
+    return out, k_pool, v_pool
 
 
 # ---------------------------------------------------------------------------

@@ -299,6 +299,50 @@ class TestMeshEngine:
         assert np.array_equal(reps[0], reps[1]), "dp replicas diverged"
         assert np.max(np.abs(reps[0] - pools_single)) < 1e-4
 
+    def test_hybrid_groups_engine_on_mesh(self):
+        """Hybrid layer groups (full-attn + sliding-window, gpt-oss pattern)
+        served over a dp×tp mesh: per-group page tables shard on the BATCH
+        dim (a P(dp, None) spec would shard the group dim), and the replica
+        equalizer must route each layer's token write through its group's
+        page row.  Staggered finishes force a dp migration mid-serving."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+        from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = HybridConfig.toy(num_layers=4, window=32, dtype="float32")
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(
+            max_batch=4, max_model_len=128, page_tokens=16, decode_horizon=2,
+            prefill_buckets=(16, 32), num_pages=96, interpret=True,
+            kv_dtype="float32",
+        )
+        prompts = [[1, 2, 3], list(range(5, 45)), [7, 8], [9] * 20]
+        new_tokens = [2, 2, 14, 14]  # rows 0-1 finish early -> migration
+
+        def serve(mesh):
+            eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params, mesh=mesh)
+            try:
+                rids = [
+                    eng.add_request(p, SamplingParams(max_new_tokens=n))
+                    for p, n in zip(prompts, new_tokens)
+                ]
+                while eng.has_unfinished():
+                    eng.step()
+                idx = {r: i for i, r in enumerate(rids)}
+                return {idx[o.req_id]: o.output_tokens
+                        for o in eng.finished_outputs}
+            finally:
+                eng.shutdown()
+
+        want = serve(None)
+        got = serve(make_mesh(tp=2, dp=2))
+        assert got == want, "hybrid-group mesh serving diverged"
+
     def test_engine_mesh_validation(self):
         import jax
 
