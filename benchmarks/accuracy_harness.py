@@ -16,6 +16,10 @@ Modes:
 - --ckpt DIR: load a real HF checkpoint (models/hf_loader.py) and compare
   the paged engine against transformers' greedy generate on --prompts
   (a text file, one prompt per line).
+- --ckpt DIR --gsm8k test.jsonl: the reference's GSM8K run itself
+  (few-shot prompts, greedy generation, last-number answer extraction,
+  accuracy + throughput — reference benchmarks/gsm8k/bench_sglang.py flow),
+  served through the elastic paged engine.
 
 Run: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python benchmarks/accuracy_harness.py
 """
@@ -151,12 +155,98 @@ def ckpt_parity(ckpt: str, prompts_file: str | None, max_new: int) -> int:
     return 0 if exact == len(prompts) else 1
 
 
+INVALID = -9999999
+
+
+def extract_answer_value(text: str) -> int | float:
+    """Last number in the generation, GSM8K convention (commas stripped;
+    reference benchmarks/gsm8k/bench_sglang.py get_answer_value)."""
+    import re
+
+    nums = re.findall(r"-?\d+\.?\d*", text.replace(",", ""))
+    if not nums:
+        return INVALID
+    try:
+        v = float(nums[-1])
+        return int(v) if v == int(v) else v
+    except ValueError:
+        return INVALID
+
+
+def build_gsm8k_prompts(lines: list[dict], num_questions: int,
+                        num_shots: int) -> tuple[list[str], list]:
+    """k-shot prompt construction: the first `num_shots` examples (with
+    answers) prefix every question (reference get_few_shot_examples)."""
+    shots = ""
+    for ex in lines[:num_shots]:
+        shots += (f"Question: {ex['question']}\nAnswer: {ex['answer']}\n\n")
+    prompts, golds = [], []
+    for ex in lines[num_shots:num_shots + num_questions]:
+        prompts.append(shots + f"Question: {ex['question']}\nAnswer:")
+        golds.append(extract_answer_value(ex["answer"]))
+    return prompts, golds
+
+
+def gsm8k_eval(ckpt: str, data_path: str, num_questions: int,
+               num_shots: int, max_new: int) -> int:
+    import json
+    import time
+
+    from kvcached_tpu.engine import EngineConfig, SamplingParams
+    from kvcached_tpu.models.hf_loader import HFTokenizer, engine_from_checkpoint
+
+    with open(data_path) as f:
+        lines = [json.loads(ln) for ln in f if ln.strip()]
+    texts, golds = build_gsm8k_prompts(lines, num_questions, num_shots)
+
+    tok = HFTokenizer(ckpt)
+    prompts = [tok.encode(t) for t in texts]
+    eng = engine_from_checkpoint(ckpt, EngineConfig(
+        max_batch=8, max_model_len=2048, page_tokens=64,
+        decode_horizon=8, prefill_buckets=(256, 512, 1024), num_pages=1024,
+        interpret=not ON_TPU,
+    ))
+    try:
+        t0 = time.time()
+        outs = eng.generate(prompts, SamplingParams(max_new_tokens=max_new))
+        dt = time.time() - t0
+    finally:
+        eng.shutdown()
+    correct = invalid = 0
+    toks = 0
+    for o, gold in zip(outs, golds):
+        toks += len(o.output_tokens)
+        text = tok.decode(o.output_tokens)
+        # few-shot format: the answer ends where the model starts the next
+        # question (host-side stop-string truncation, as the reference's
+        # sglang run configures stop=["Question"])
+        for stop in ("Question:", "\n\n"):
+            if stop in text:
+                text = text.split(stop, 1)[0]
+        got = extract_answer_value(text)
+        correct += got == gold
+        invalid += got == INVALID
+    n = len(golds)
+    print(f"GSM8K: {correct}/{n} = {correct / n:.3f} accuracy, "
+          f"{invalid} invalid, {toks / dt:.1f} tok/s "
+          f"({num_shots}-shot, {max_new} max new)")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", help="HF checkpoint dir (default: toy parity)")
     ap.add_argument("--prompts", help="text file, one prompt per line")
+    ap.add_argument("--gsm8k", help="GSM8K test.jsonl (with --ckpt)")
+    ap.add_argument("--num-questions", type=int, default=200)
+    ap.add_argument("--num-shots", type=int, default=5)
     ap.add_argument("--max-new", type=int, default=16)
     args = ap.parse_args()
+    if args.gsm8k:
+        if not args.ckpt:
+            ap.error("--gsm8k requires --ckpt")
+        return gsm8k_eval(args.ckpt, args.gsm8k, args.num_questions,
+                          args.num_shots, args.max_new or 256)
     if args.ckpt:
         return ckpt_parity(args.ckpt, args.prompts, args.max_new)
     return toy_parity(max_new=args.max_new)

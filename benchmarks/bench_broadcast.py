@@ -20,10 +20,13 @@ import numpy as np
 from kvcached_tpu.parallel.ipc import PageTableBroadcaster, WorkerListener
 
 
-def bench(world_size: int, pages_per_msg: int, iters: int = 2000):
+def bench(world_size: int, pages_per_msg: int, iters: int = 2000,
+          tcp: bool = False):
     ipc = f"bench{uuid.uuid4().hex[:6]}"
     tables = [np.zeros(65536, np.int32) for _ in range(world_size)]
-    workers = [WorkerListener(ipc, r, tables[r]) for r in range(world_size)]
+    workers = [
+        WorkerListener(ipc, r, tables[r], tcp=tcp) for r in range(world_size)
+    ]
     bc = PageTableBroadcaster(ipc, world_size)
     try:
         vp = list(range(pages_per_msg))
@@ -33,7 +36,8 @@ def bench(world_size: int, pages_per_msg: int, iters: int = 2000):
         for _ in range(iters):
             bc.broadcast_map(vp, pp)
         dt = (time.perf_counter() - t0) / iters
-        print(f"TP={world_size} pages/msg={pages_per_msg:4d}: "
+        print(f"{'tcp' if tcp else 'uds'} TP={world_size} "
+              f"pages/msg={pages_per_msg:4d}: "
               f"{dt * 1e6:8.1f} us/broadcast  "
               f"({dt / pages_per_msg * 1e6:6.2f} us/page)")
         return dt
@@ -50,6 +54,10 @@ def main():
     print("-- batched --")
     for n in (8, 64, 512):
         bench(4, n, iters=500)
+    print("-- tcp loopback (multi-host plane; real DCN adds wire RTT) --")
+    for world in (1, 4):
+        bench(world, 1, tcp=True)
+    bench(4, 64, iters=500, tcp=True)
 
 
 if __name__ == "__main__":

@@ -57,28 +57,88 @@ def _sample_tokens(logits, temps, top_ks, top_ps, key, *, filters: bool):
     ``filters=False`` compiles the unfiltered fast path (no vocab sorts) —
     the engine picks the variant per dispatch from the batch's params."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    scaled = _filtered_scaled(logits, temps, top_ks, top_ps, filters=filters)
+    sampled = jax.random.categorical(key, scaled).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
+
+
+def _filtered_scaled(logits, temps, top_ks, top_ps, *, filters: bool):
+    """Temperature-scaled logits with rank-based top-k / top-p filtering
+    applied along the last axis (leading axes arbitrary; param arrays must
+    broadcast against them).  RANK-based (not value thresholds): a stable
+    argsort breaks ties by token index exactly like argmax, so top_k=1 is
+    bit-identical to greedy even when bf16-valued logits tie at the max
+    (value thresholds would keep every tied token)."""
+    scaled = logits / jnp.maximum(temps, 1e-6)[..., None]
     if filters:
         V = logits.shape[-1]
-        # RANK-based filtering (not value thresholds): a stable argsort
-        # breaks ties by token index exactly like argmax, so top_k=1 is
-        # bit-identical to greedy even when bf16-valued logits tie at the
-        # max (value thresholds would keep every tied token)
         order = jnp.argsort(-scaled, axis=-1, stable=True)  # desc token ids
         ranks = jnp.argsort(order, axis=-1)  # rank of each token
         k = jnp.where(top_ks > 0, top_ks, V)
-        scaled = jnp.where(ranks >= k[:, None], -jnp.inf, scaled)
+        scaled = jnp.where(ranks >= k[..., None], -jnp.inf, scaled)
         # nucleus: keep the smallest rank-prefix whose exclusive cumulative
         # mass is < top_p (always ≥ 1 token)
         desc = jnp.take_along_axis(scaled, order, axis=-1)
         probs = jax.nn.softmax(desc, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        keep_n = jnp.sum((cum - probs) < top_ps[:, None], axis=-1)
+        keep_n = jnp.sum((cum - probs) < top_ps[..., None], axis=-1)
         scaled = jnp.where(
-            ranks >= jnp.maximum(keep_n, 1)[:, None], -jnp.inf, scaled
+            ranks >= jnp.maximum(keep_n, 1)[..., None], -jnp.inf, scaled
         )
-    sampled = jax.random.categorical(key, scaled).astype(jnp.int32)
-    return jnp.where(temps > 0, sampled, greedy)
+    return scaled
+
+
+def _spec_accept(logits, drafts, temps, top_ks, top_ps, key, *,
+                 filters: bool):
+    """Acceptance rule for speculative decoding with deterministic
+    (prompt-lookup) drafts.  ``logits`` [B, T, V]: position j < gamma=T-1
+    verifies draft j; position gamma emits the bonus token.
+
+    Greedy rows (temp==0): accept iff the draft equals the model's own
+    argmax — token-exact vs plain greedy decode by construction.
+
+    Sampled rows: rejection sampling against the row's
+    temperature/top-k/top-p-filtered target distribution p.  The draft
+    distribution q is a point mass, so ``min(1, p/q)`` reduces to accepting
+    draft d with probability p(d), and the residual ``norm(max(p - q, 0))``
+    reduces to p with d's mass removed — each emitted token is distributed
+    EXACTLY as sequential sampling from p (the standard speculative-sampling
+    guarantee; bit-identity to plain decode is not expected because the
+    RNG draw pattern differs).
+
+    Returns (out [B, T] int32 tokens, a [B] accepted drafts in 0..gamma):
+    the kept tokens of an iteration are out[:, :a+1] — verified drafts,
+    then the bonus (all accepted) or the replacement (first rejection)."""
+    B, T, V = logits.shape
+    gamma = T - 1
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
+    scaled = _filtered_scaled(
+        logits, temps[:, None], top_ks[:, None], top_ps[:, None],
+        filters=filters,
+    )
+    p = jax.nn.softmax(scaled, axis=-1)
+    k_u, k_rep, k_bonus = jax.random.split(key, 3)
+    p_draft = jnp.take_along_axis(
+        p[:, :gamma], drafts[..., None], axis=-1
+    )[..., 0]  # [B, gamma]
+    acc_sampled = jax.random.uniform(k_u, (B, gamma)) < p_draft
+    acc_greedy = greedy[:, :gamma] == drafts
+    is_sampled = temps > 0
+    accept = jnp.where(is_sampled[:, None], acc_sampled, acc_greedy)
+    a = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+    # replacement on rejection: the draft's mass removed, renormalized
+    draft_hot = jax.nn.one_hot(drafts, V, dtype=bool)
+    rep = jax.random.categorical(
+        k_rep, jnp.where(draft_hot, -jnp.inf, scaled[:, :gamma])
+    ).astype(jnp.int32)
+    bonus = jax.random.categorical(k_bonus, scaled[:, gamma]).astype(
+        jnp.int32
+    )
+    out_draft = jnp.where(
+        accept, drafts, jnp.where(is_sampled[:, None], rep, greedy[:, :gamma])
+    )
+    out_bonus = jnp.where(is_sampled, bonus, greedy[:, gamma])
+    return jnp.concatenate([out_draft, out_bonus[:, None]], axis=1), a
 
 
 @dataclass
@@ -161,8 +221,9 @@ class EngineConfig:
     #: speculative decoding via prompt-lookup (n-gram) drafting + a fused
     #: multi-query verify kernel: up to spec_gamma+1 tokens per dispatch,
     #: weights streamed ONCE per dispatch instead of per token.  Greedy
-    #: rows only (temperature 0); token-exact vs plain decode by
-    #: construction.  Ignored for stateful / multi-group families.
+    #: rows are token-exact vs plain decode by construction; temperature>0
+    #: rows are distribution-exact via rejection sampling (_spec_accept).
+    #: Ignored for stateful / multi-group families.
     spec_decode: bool = False
     spec_gamma: int = 4  # draft tokens verified per iteration
     spec_ngram: int = 2  # trailing n-gram matched for prompt lookup
@@ -1254,16 +1315,16 @@ class LLMEngine:
 
     def _spec_ok(self, batch) -> bool:
         """Speculative decoding applies when the adapter has a verify step
-        (Llama-likes incl. sliding window + int8), the family is stateless
-        single-group, and every row is greedy (temperature 0 — acceptance
-        compares the model's own argmax, so outputs are token-exact vs
-        plain decode by construction)."""
+        (Llama-likes incl. sliding window + int8) and the family is
+        stateless single-group.  Greedy rows accept on argmax equality
+        (token-exact vs plain decode); temperature>0 rows use rejection
+        sampling against their filtered target distribution
+        (distribution-exact — see _spec_accept)."""
         return (
             self.cfg.spec_decode
             and self._verify_step_impl is not None
             and not self.has_state
             and self.num_groups == 1
-            and all(s.req.sampling.temperature == 0.0 for s in batch)
         )
 
     def _decode_dispatch(self) -> None:
@@ -1273,16 +1334,20 @@ class LLMEngine:
         else:
             self._do_decode()
 
-    def _build_spec_fn(self, T: int, S: int, W: int):
+    def _build_spec_fn(self, T: int, S: int, W: int, sampled: bool,
+                       filters: bool):
         """Jit one SPEC HORIZON: ``S`` chained verify iterations on device,
         each drafting gamma = T-1 tokens from a device-held ring of the
         last ``W`` tokens (prompt-lookup, vLLM's ngram scheme), verifying
-        them in one fused multi-query forward, and accepting the longest
-        prefix matching the model's own argmax.  Drafting + acceptance stay
-        in-jit, so one HOST DISPATCH nets up to S*T tokens per row — the
-        speculative sibling of the K-step decode horizon (one dispatch per
-        token would drown the win in dispatch overhead: measured 0.37x on
-        the axon tunnel vs 1.116x verify/decode forward cost)."""
+        them in one fused multi-query forward, and accepting per
+        _spec_accept (argmax equality for greedy rows; rejection sampling
+        for temperature>0 rows).  Drafting + acceptance stay in-jit, so one
+        HOST DISPATCH nets up to S*T tokens per row — the speculative
+        sibling of the K-step decode horizon (one dispatch per token would
+        drown the win in dispatch overhead: measured 0.37x on the axon
+        tunnel vs 1.116x verify/decode forward cost).  ``sampled``/
+        ``filters`` are static: all-greedy batches compile the RNG-free
+        token-exact program."""
         ec = self.cfg
         P = ec.page_tokens
         n = ec.spec_ngram
@@ -1291,11 +1356,12 @@ class LLMEngine:
 
         @partial(jax.jit, donate_argnums=(1, 2))
         def spec_multi(params, k_pools, v_pools, ring0, seq_lens0,
-                       page_tables, max_lens):
+                       page_tables, max_lens, temps, top_ks, top_ps,
+                       rng_key):
             """ring0 [B, W]: last W tokens, newest at column W-1 (short rows
             left-padded with -1 — never matches a real n-gram).  seq_lens0
             [B] counts tokens whose KV is already written (= len-1).
-            Returns (outs [S, B, T] argmax tokens, counts [S, B] accepted
+            Returns (outs [S, B, T] emitted tokens, counts [S, B] kept
             per iteration, pools)."""
             B = ring0.shape[0]
             b_idx = jnp.arange(B)[:, None]
@@ -1315,7 +1381,7 @@ class LLMEngine:
                 return jnp.where(found[:, None], cont, rep)  # [B, gamma]
 
             def one(carry, _):
-                ring, seq_lens, k_pools, v_pools = carry
+                ring, seq_lens, k_pools, v_pools, key = carry
                 d = draft(ring)
                 tokens = jnp.concatenate([ring[:, -1:], d], axis=1)  # [B, T]
                 raw_pos = seq_lens[:, None] + jnp.arange(T)[None, :]
@@ -1337,13 +1403,20 @@ class LLMEngine:
                     params, tokens, pos, k_pools, v_pools, page_tables,
                     slot_pages, slot_offsets, kv_lens,
                 )
-                out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
-                # longest accepted prefix: draft j is kept iff all drafts
-                # before it matched the model's own argmax
-                match = (out[:, :gamma] == d).astype(jnp.int32)
-                a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # 0..gamma
-                appended = a + 1  # accepted drafts + the model's next token
-                # roll the accepted tokens into the ring (out[:, :appended])
+                if sampled:
+                    key, sub = jax.random.split(key)
+                    out, a = _spec_accept(
+                        logits, d, temps, top_ks, top_ps, sub,
+                        filters=filters,
+                    )
+                else:
+                    # all-greedy fast path: longest prefix matching the
+                    # model's own argmax; out doubles as the correction
+                    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    match = (out[:, :gamma] == d).astype(jnp.int32)
+                    a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+                appended = a + 1  # accepted drafts + bonus/replacement
+                # roll the kept tokens into the ring (out[:, :appended])
                 cat = jnp.concatenate([ring, out], axis=1)  # [B, W+T]
                 new_ring = jnp.take_along_axis(
                     cat, jnp.arange(W)[None, :] + appended[:, None], axis=1
@@ -1351,10 +1424,15 @@ class LLMEngine:
                 new_seq = jnp.minimum(
                     seq_lens + appended, jnp.maximum(max_lens - 1, 0)
                 )
-                return (new_ring, new_seq, k_pools, v_pools), (out, appended)
+                return (
+                    (new_ring, new_seq, k_pools, v_pools, key),
+                    (out, appended),
+                )
 
-            (_, _, k_pools, v_pools), (outs, counts) = jax.lax.scan(
-                one, (ring0, jnp.maximum(seq_lens0, 0), k_pools, v_pools),
+            (_, _, k_pools, v_pools, _), (outs, counts) = jax.lax.scan(
+                one,
+                (ring0, jnp.maximum(seq_lens0, 0), k_pools, v_pools,
+                 rng_key),
                 None, length=S,
             )
             return outs, counts, k_pools, v_pools
@@ -1363,9 +1441,9 @@ class LLMEngine:
 
     def _do_spec_decode(self) -> None:
         """One speculative horizon: S on-device verify iterations, each
-        drafting + verifying gamma tokens and accepting the matched prefix.
-        Token-exact vs plain greedy decode by construction (acceptance
-        compares the model's own argmax)."""
+        drafting + verifying gamma tokens and keeping the accepted prefix.
+        Greedy rows are token-exact vs plain decode by construction;
+        sampled rows are distribution-exact (rejection sampling)."""
         ec = self.cfg
         B = ec.max_batch
         gamma = ec.spec_gamma
@@ -1393,21 +1471,33 @@ class LLMEngine:
         seq_lens0 = np.zeros(B, np.int32)
         page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
         max_lens = np.zeros(B, np.int32)  # 0 for padded rows: all discarded
+        temps = np.zeros(B, np.float32)
+        top_ks = np.zeros(B, np.int32)
+        top_ps = np.ones(B, np.float32)
         for i, seq in enumerate(batch):
             tail = seq.tokens[-W:]
             ring[i, W - len(tail):] = tail
             seq_lens0[i] = len(seq.tokens) - 1  # KV written so far
             page_tables[i] = self._phys_row(seq)
             max_lens[i] = self._row_cap(seq)
+            sp = seq.req.sampling
+            temps[i] = sp.temperature
+            top_ks[i] = sp.top_k
+            top_ps[i] = sp.top_p
+        sampled = bool((temps > 0).any())
+        filters = sampled and bool((top_ks > 0).any() or (top_ps < 1.0).any())
 
-        key = (T, S, W)
+        key = (T, S, W, sampled, filters)
         fn = self._verify_fns.get(key)
         if fn is None:
-            fn = self._verify_fns[key] = self._build_spec_fn(T, S, W)
+            fn = self._verify_fns[key] = self._build_spec_fn(
+                T, S, W, sampled, filters
+            )
         outs, counts, self.k_pools, self.v_pools = fn(
             self.params, self.k_pools, self.v_pools, jnp.asarray(ring),
             jnp.asarray(seq_lens0), jnp.asarray(page_tables),
-            jnp.asarray(max_lens),
+            jnp.asarray(max_lens), jnp.asarray(temps), jnp.asarray(top_ks),
+            jnp.asarray(top_ps), jax.random.PRNGKey(self._step_count),
         )
         outs = np.asarray(outs)  # [S, B, T]
         counts = np.asarray(counts)  # [S, B]

@@ -19,6 +19,13 @@ error aggregation — tp_ipc_util.py:35-246), with two changes:
   that a page is mapped on **all ranks** before its block ids are handed
   out (map stays off the decode critical path via the prealloc thread,
   which is the broadcast's caller).
+
+Transports: AF_UNIX within a host (the reference's only mode) and TCP with
+TCP_NODELAY across hosts — the multi-host DCN control plane the reference
+lacks (single-node only, SURVEY §2f).  A TCP listener publishes its bound
+``host:port`` as ``w{rank}.addr`` in the same socket dir, so discovery by
+IPC name keeps working on a shared filesystem; otherwise pass explicit
+``endpoints`` to the broadcaster (e.g. from the launch YAML).
 """
 
 from __future__ import annotations
@@ -65,6 +72,12 @@ def socket_path(ipc_name: str, rank: int, pp_rank: int = 0) -> str:
     return path
 
 
+def address_path(ipc_name: str, rank: int, pp_rank: int = 0) -> str:
+    """Published ``host:port`` of a TCP listener (multi-host discovery on a
+    shared filesystem; same dir convention as the unix sockets)."""
+    return os.path.join(socket_dir(ipc_name, pp_rank), f"w{rank}.addr")
+
+
 def _recv_exact(conn: socket.socket, n: int) -> bytes:
     buf = b""
     while len(buf) < n:
@@ -86,19 +99,38 @@ class WorkerListener:
     pp_rank: int = 0
     on_map: Callable[[np.ndarray, np.ndarray], None] | None = None
     on_unmap: Callable[[np.ndarray, np.ndarray], None] | None = None
+    #: bind TCP instead of AF_UNIX (cross-host DCN plane).  port 0 =
+    #: ephemeral; the bound address is published as w{rank}.addr
+    tcp: bool = False
+    host: str = "127.0.0.1"
+    port: int = 0
 
     def __post_init__(self):
         self._ready = threading.Event()
         self._stop = threading.Event()
         d = socket_dir(self.ipc_name, self.pp_rank)
         os.makedirs(d, exist_ok=True)
-        self.path = socket_path(self.ipc_name, self.rank, self.pp_rank)
-        try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
-        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        self._sock.bind(self.path)
+        if self.tcp:
+            self.path = None
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._sock.bind((self.host, self.port))
+            self.address = "%s:%d" % self._sock.getsockname()[:2]
+            self._addr_file = address_path(
+                self.ipc_name, self.rank, self.pp_rank
+            )
+            with open(self._addr_file, "w") as f:
+                f.write(self.address)
+        else:
+            self.address = None
+            self._addr_file = None
+            self.path = socket_path(self.ipc_name, self.rank, self.pp_rank)
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.bind(self.path)
         self._sock.listen(8)
         self._sock.settimeout(0.2)
         self._thread = threading.Thread(
@@ -119,6 +151,8 @@ class WorkerListener:
                 continue
             except OSError:
                 return
+            if self.tcp:
+                conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             threading.Thread(
                 target=self._handle, args=(conn,), daemon=True
             ).start()
@@ -158,10 +192,12 @@ class WorkerListener:
         try:
             self._sock.close()
         finally:
-            try:
-                os.unlink(self.path)
-            except FileNotFoundError:
-                pass
+            for p in (self.path, self._addr_file):
+                if p is not None:
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
 
 
 class PageTableBroadcaster:
@@ -169,12 +205,27 @@ class PageTableBroadcaster:
     (reference broadcast_*, tp_ipc_util.py:173-246: async fan-out measured
     fastest of seq/thread/async).  Errors aggregate per rank and raise."""
 
-    def __init__(self, ipc_name: str, world_size: int, pp_rank: int = 0,
-                 connect_timeout: float = 5.0):
+    def __init__(self, ipc_name: str, world_size: int | None = None,
+                 pp_rank: int = 0, connect_timeout: float = 5.0,
+                 endpoints: Sequence[str] | None = None):
+        """``endpoints`` (multi-host): one per rank, each either a unix
+        socket path or ``host:port``; overrides discovery by IPC name.
+        Without it, rank endpoints resolve to ``w{rank}.sock`` if present,
+        else the published ``w{rank}.addr`` (TCP listener on this or a
+        filesystem-sharing host)."""
+        if world_size is None:
+            if endpoints is None:
+                raise ValueError("need world_size or endpoints")
+            world_size = len(endpoints)
+        if endpoints is not None and len(endpoints) != world_size:
+            raise ValueError(
+                f"{len(endpoints)} endpoints for world_size={world_size}"
+            )
         self.ipc_name = ipc_name
         self.world_size = world_size
         self.pp_rank = pp_rank
         self.connect_timeout = connect_timeout
+        self._endpoints = list(endpoints) if endpoints is not None else None
         self._loop = asyncio.new_event_loop()
         self._loop_thread = threading.Thread(
             target=self._loop.run_forever, name="kvc-bcast-loop", daemon=True
@@ -182,10 +233,33 @@ class PageTableBroadcaster:
         self._loop_thread.start()
         self._conns: dict[int, tuple[asyncio.StreamReader, asyncio.StreamWriter]] = {}
 
+    def _endpoint(self, rank: int) -> str:
+        if self._endpoints is not None:
+            return self._endpoints[rank]
+        path = socket_path(self.ipc_name, rank, self.pp_rank)
+        if os.path.exists(path):
+            return path
+        addr = address_path(self.ipc_name, rank, self.pp_rank)
+        if os.path.exists(addr):
+            with open(addr) as f:
+                return f.read().strip()
+        return path  # report the canonical path in the connect error
+
     async def _conn(self, rank: int):
         if rank not in self._conns:
-            path = socket_path(self.ipc_name, rank, self.pp_rank)
-            reader, writer = await asyncio.open_unix_connection(path)
+            ep = self._endpoint(rank)
+            if "/" not in ep and ":" in ep:
+                host, port = ep.rsplit(":", 1)
+                reader, writer = await asyncio.open_connection(
+                    host, int(port)
+                )
+                sock = writer.get_extra_info("socket")
+                if sock is not None:
+                    sock.setsockopt(
+                        socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+                    )
+            else:
+                reader, writer = await asyncio.open_unix_connection(ep)
             self._conns[rank] = (reader, writer)
         return self._conns[rank]
 

@@ -19,6 +19,20 @@ from kvcached_tpu.parallel.ipc import (
 )
 
 
+def _tcp_mirror_proc(ipc: str, q) -> None:
+    """Spawn-child body for the cross-process TCP test: host a ready TCP
+    mirror, wait for the parent to finish broadcasting, report the table."""
+    table = np.zeros(8, np.int32)
+    w = WorkerListener(ipc, 0, table, tcp=True)
+    try:
+        w.set_ready()
+        q.put("bound")
+        assert q.get(timeout=30) == "done"
+        q.put(table.tolist())
+    finally:
+        w.close()
+
+
 class TestMeshDecode:
     def test_sharded_decode_matches_single_device(self):
         """TP+DP sharded decode step must produce the same logits as the
@@ -162,6 +176,91 @@ class TestPageTableIPC:
             bc.close()
             for w in workers:
                 w.close()
+
+    def test_tcp_transport_mirrors(self):
+        """Multi-host plane: TCP listeners (ephemeral ports) discovered via
+        published w{rank}.addr files; map/unmap mirror exactly as unix."""
+        ipc = f"t{uuid.uuid4().hex[:6]}"
+        world = 3
+        tables = [np.zeros(64, np.int32) for _ in range(world)]
+        workers = [
+            WorkerListener(ipc, r, tables[r], tcp=True) for r in range(world)
+        ]
+        try:
+            assert all(":" in w.address for w in workers)
+            bc = PageTableBroadcaster(ipc, world)  # discovery via .addr
+            try:
+                bc.broadcast_map([2, 7], [21, 22])
+                for t in tables:
+                    assert t[2] == 21 and t[7] == 22
+                bc.broadcast_unmap([2], [21])
+                for t in tables:
+                    assert t[2] == 0 and t[7] == 22
+            finally:
+                bc.close()
+        finally:
+            for w in workers:
+                w.close()
+
+    def test_tcp_explicit_endpoints_and_mixed(self):
+        """Explicit endpoint list (the launch-YAML path) mixing a unix
+        socket and a TCP address; readiness + failed-rank aggregation."""
+        ipc = f"t{uuid.uuid4().hex[:6]}"
+        tables = [np.zeros(16, np.int32) for _ in range(2)]
+        w0 = WorkerListener(ipc, 0, tables[0])  # unix
+        w1 = WorkerListener(ipc, 1, tables[1], tcp=True)
+        try:
+            eps = [socket_path(ipc, 0), w1.address]
+            bc = PageTableBroadcaster(ipc, endpoints=eps)
+            try:
+                assert bc.world_size == 2
+                assert not bc.wait_all_ready(timeout=0.3)
+                w0.set_ready(), w1.set_ready()
+                assert bc.wait_all_ready(timeout=2.0)
+                bc.broadcast_map([1], [9])
+                assert tables[0][1] == 9 and tables[1][1] == 9
+            finally:
+                bc.close()
+            # a dead TCP endpoint must aggregate into the ranks error
+            bad = PageTableBroadcaster(
+                ipc, endpoints=[socket_path(ipc, 0), "127.0.0.1:1"]
+            )
+            try:
+                with pytest.raises(RuntimeError, match="ranks"):
+                    bad.broadcast_map([2], [5])
+            finally:
+                bad.close()
+        finally:
+            w0.close(), w1.close()
+
+    def test_tcp_cross_process(self):
+        """A real second process hosts the TCP mirror (the multi-host
+        shape: one runtime process per host)."""
+        import multiprocessing as mp
+
+        ipc = f"t{uuid.uuid4().hex[:6]}"
+        ctx = mp.get_context("spawn")  # JAX parent is multithreaded
+        q = ctx.Queue()
+        proc = ctx.Process(
+            target=_tcp_mirror_proc, args=(ipc, q), daemon=True
+        )
+        proc.start()
+        try:
+            assert q.get(timeout=30) == "bound"
+            bc = PageTableBroadcaster(ipc, 1)
+            try:
+                assert bc.wait_all_ready(timeout=10.0)
+                bc.broadcast_map([4, 5], [40, 50])
+                bc.broadcast_unmap([4], [40])
+            finally:
+                bc.close()
+            q.put("done")
+            got = q.get(timeout=30)
+            assert got == [0, 0, 0, 0, 0, 50, 0, 0], got
+        finally:
+            proc.join(timeout=10)
+            if proc.is_alive():
+                proc.terminate()
 
     def test_socket_path_stays_under_sun_path_limit(self):
         # long names are hashed+truncated so sun_path never overflows

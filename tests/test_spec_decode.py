@@ -171,20 +171,56 @@ class TestSpecEngine:
         got, _ = serve(cfg, params, PROMPTS, sps, spec_decode=True)
         assert got == want
 
-    def test_sampled_rows_fall_back(self):
-        """A batch with any temperature>0 row uses plain decode (spec
-        acceptance is greedy-only); outputs for the greedy rows must stay
-        deterministic and the engine must not crash."""
+    def test_mixed_batch_greedy_rows_token_exact(self):
+        """Sampled rows ride the spec path via rejection sampling; the
+        greedy rows sharing the batch must remain token-exact vs a plain
+        all-greedy run (their acceptance is argmax equality regardless of
+        neighbours)."""
+        cfg = toy_cfg()
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        greedy_sps = [SamplingParams(max_new_tokens=12)] * 3
+        want, _ = serve(cfg, params, PROMPTS, greedy_sps, spec_decode=False)
+        mixed = [
+            SamplingParams(max_new_tokens=12),
+            SamplingParams(max_new_tokens=12, temperature=0.8, top_k=20),
+            SamplingParams(max_new_tokens=12),
+        ]
+        got, spec = serve(cfg, params, PROMPTS, mixed, spec_decode=True)
+        assert spec["dispatches"] > 0, "spec skipped a sampled batch"
+        assert got[0] == want[0] and got[2] == want[2]
+        assert len(got[1]) == 12
+
+    def test_sampled_spec_reproducible(self):
+        """The spec PRNG keys off the engine step counter: identical
+        request histories reproduce identical sampled outputs."""
         cfg = toy_cfg()
         params = init_llama_params(cfg, jax.random.PRNGKey(0))
         sps = [
-            SamplingParams(max_new_tokens=8),
-            SamplingParams(max_new_tokens=8, temperature=0.8),
-            SamplingParams(max_new_tokens=8),
+            SamplingParams(max_new_tokens=10, temperature=0.7),
+            SamplingParams(max_new_tokens=10, temperature=1.1, top_p=0.9),
+            SamplingParams(max_new_tokens=10),
         ]
-        got, spec = serve(cfg, params, PROMPTS, sps, spec_decode=True)
-        assert spec["dispatches"] == 0, "spec ran on a sampled batch"
-        assert all(len(v) == 8 for v in got.values())
+        a, spec = serve(cfg, params, PROMPTS, sps, spec_decode=True)
+        b, _ = serve(cfg, params, PROMPTS, sps, spec_decode=True)
+        assert a == b, "sampled spec decode not reproducible"
+        assert spec["dispatches"] > 0
+
+    def test_tiny_temperature_collapses_to_greedy(self):
+        """temperature→0 makes the filtered target distribution an exact
+        one-hot in f32, so the rejection rule must emit exactly the greedy
+        tokens — a deterministic end-to-end check of the sampled path."""
+        cfg = toy_cfg()
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        want, _ = serve(cfg, params, PROMPTS,
+                        [SamplingParams(max_new_tokens=16)] * 3,
+                        spec_decode=False)
+        got, spec = serve(
+            cfg, params, PROMPTS,
+            [SamplingParams(max_new_tokens=16, temperature=1e-6)] * 3,
+            spec_decode=True,
+        )
+        assert spec["dispatches"] > 0
+        assert got == want, "tiny-temperature spec diverged from greedy"
 
     def test_prefix_cache_reuse_after_spec(self):
         """Pages cached from a spec-decoded sequence must hold only VALID
@@ -239,6 +275,101 @@ class TestSpecEngine:
         want, _ = serve(cfg, params, PROMPTS, sps, spec_decode=False, **over)
         got, _ = serve(cfg, params, PROMPTS, sps, spec_decode=True, **over)
         assert got == want, "int8 spec decode diverged from int8 plain"
+
+
+class TestSampledAcceptance:
+    """Distribution-exactness of the rejection rule (_spec_accept): with a
+    point-mass draft distribution, each emitted token must be distributed
+    exactly as sequential sampling from the filtered target."""
+
+    def _run_many(self, logits, drafts, temps, top_ks, top_ps, n,
+                  filters=False):
+        from kvcached_tpu.engine.engine import _spec_accept
+
+        keys = jax.random.split(jax.random.PRNGKey(42), n)
+        fn = jax.jit(jax.vmap(
+            lambda k: _spec_accept(
+                logits, drafts, temps, top_ks, top_ps, k, filters=filters
+            )
+        ))
+        outs, accs = fn(keys)
+        return np.asarray(outs), np.asarray(accs)  # [n, B, T], [n, B]
+
+    def test_first_token_marginal_matches_target(self):
+        V, T, n = 6, 3, 40000
+        rng = np.random.default_rng(3)
+        logits = jnp.asarray(rng.normal(size=(1, T, V)), jnp.float32)
+        drafts = jnp.asarray([[2, 4]], jnp.int32)
+        temps = jnp.asarray([1.0], jnp.float32)
+        outs, _ = self._run_many(
+            logits, drafts, temps,
+            jnp.zeros(1, jnp.int32), jnp.ones(1, jnp.float32), n,
+        )
+        # P(first emitted token = x) must equal softmax(logits[0,0])(x):
+        # accept d w.p. p(d) and emit d, else emit rep ~ p\{d} renormalized
+        p = np.asarray(jax.nn.softmax(logits[0, 0]))
+        emp = np.bincount(outs[:, 0, 0], minlength=V) / n
+        assert np.abs(emp - p).max() < 0.012, (emp, p)
+
+    def test_second_token_conditional_matches_target(self):
+        V, T, n = 6, 3, 60000
+        rng = np.random.default_rng(4)
+        logits = jnp.asarray(rng.normal(size=(1, T, V)), jnp.float32)
+        drafts = jnp.asarray([[2, 4]], jnp.int32)
+        temps = jnp.asarray([1.0], jnp.float32)
+        outs, accs = self._run_many(
+            logits, drafts, temps,
+            jnp.zeros(1, jnp.int32), jnp.ones(1, jnp.float32), n,
+        )
+        # conditioned on draft_0 accepted, the second emitted token must
+        # follow softmax(logits[0,1]) (emitted = accepted d_1 or its
+        # replacement)
+        sel = accs[:, 0] >= 1
+        second = outs[sel, 0, 1]
+        p = np.asarray(jax.nn.softmax(logits[0, 1]))
+        emp = np.bincount(second, minlength=V) / len(second)
+        assert np.abs(emp - p).max() < 0.015, (emp, p)
+
+    def test_filtered_target_respects_top_k(self):
+        """With top_k=2 the emitted tokens may only ever be the two
+        highest-logit tokens, and their odds must match the renormalized
+        pair."""
+        V, T, n = 8, 2, 30000
+        rng = np.random.default_rng(5)
+        logits = jnp.asarray(rng.normal(size=(1, T, V)), jnp.float32)
+        drafts = jnp.asarray([[0]], jnp.int32)
+        outs, _ = self._run_many(
+            logits, drafts, jnp.asarray([0.9], jnp.float32),
+            jnp.asarray([2], jnp.int32), jnp.ones(1, jnp.float32), n,
+            filters=True,
+        )
+        scaled = np.asarray(logits[0, 0]) / 0.9
+        top2 = np.argsort(-scaled)[:2]
+        emp = np.bincount(outs[:, 0, 0], minlength=V) / n
+        assert emp[[i for i in range(V) if i not in top2]].sum() == 0
+        pair = np.exp(scaled[top2] - scaled[top2].max())
+        pair /= pair.sum()
+        assert np.abs(emp[top2] - pair).max() < 0.012
+
+    def test_greedy_rows_unaffected_by_rng(self):
+        from kvcached_tpu.engine.engine import _spec_accept
+
+        V, T = 6, 3
+        rng = np.random.default_rng(6)
+        logits = jnp.asarray(rng.normal(size=(2, T, V)), jnp.float32)
+        greedy = np.asarray(jnp.argmax(logits, -1))
+        drafts = jnp.asarray(greedy[:, 1:3], jnp.int32)  # feed own argmax
+        temps = jnp.asarray([0.0, 0.0], jnp.float32)
+        for seed in (0, 1):
+            out, _ = _spec_accept(
+                logits, drafts, temps, jnp.zeros(2, jnp.int32),
+                jnp.ones(2, jnp.float32), jax.random.PRNGKey(seed),
+                filters=False,
+            )
+            # temp=0 rows emit the argmax at every position (accepted
+            # drafts equal it by definition; rejections correct to it),
+            # independent of the RNG key
+            assert np.array_equal(np.asarray(out), greedy)
 
 
 class TestDrafting:
