@@ -149,6 +149,19 @@ class MLAAdapter:
             tp_axis=tp_axis, interpret=interpret,
         )
 
+    def verify_step(self, params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    *, tp_axis=None, interpret=False):
+        """Speculative-decode verification (DeepSeek MTP-style serving:
+        absorbed multi-query attention over the latent buffer)."""
+        from .mla import mla_verify_step
+
+        return mla_verify_step(
+            params, self.cfg, tokens, positions, k_pools, v_pools,
+            page_tables, slot_pages, slot_offsets, seq_lens,
+            tp_axis=tp_axis, interpret=interpret,
+        )
+
     def param_specs(self, tp_axis: str) -> dict:
         # MLA's latent cache has a single kv head — the pool cannot shard on
         # the head axis, so engine-level TP is not offered for this family

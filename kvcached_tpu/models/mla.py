@@ -22,7 +22,11 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ..ops.paged_attention import paged_attention_decode, write_prefill_kv_single
+from ..ops.paged_attention import (
+    paged_attention_decode,
+    paged_attention_verify,
+    write_prefill_kv_single,
+)
 from ..ops.paged_prefill import paged_prefill_attention
 from .llama import _maybe_psum, rms_norm, rope
 
@@ -218,6 +222,70 @@ def mla_decode_step(
         )  # [B, H, cache_dim]; valid value lanes = [:R]
         attn_lat = attn[..., :R]
         attn_out = _out_proj(cfg, lp, attn_lat) @ lp["wo"]
+        x = x + _maybe_psum(attn_out, tp_axis)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        x = x + _maybe_psum(mlp, tp_axis)
+        return (x, k_pools), None
+
+    layers = {"p": params["layers"], "i": jnp.arange(cfg.num_layers)}
+    (x, k_pools), _ = jax.lax.scan(layer_fn, (x, k_pools), layers)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, k_pools, None
+
+
+def mla_verify_step(
+    params: dict,
+    cfg: MLAConfig,
+    tokens: jax.Array,  # [B, T]: [last_token, draft_1 .. draft_{T-1}]
+    positions: jax.Array,  # [B, T]
+    k_pools: jax.Array,  # [L, num_pages, 1, page_tokens, cache_head_dim]
+    v_pools,  # ignored (None)
+    page_tables: jax.Array,
+    slot_pages: jax.Array,  # [B, T] (0 = discard)
+    slot_offsets: jax.Array,  # [B, T]
+    seq_lens: jax.Array,  # [B] INCLUDING all T fed tokens
+    *,
+    tp_axis: str | None = None,
+    interpret: bool = False,
+):
+    """Speculative-decode verification for the MLA family: T tokens per
+    sequence in one absorbed-attention pass over the single latent buffer
+    (the spec-decode flow the reference's MLA pools accommodate,
+    sglang/patches.py:523-702 + :714-956).  Returns
+    (logits [B, T, vocab], k_pools, None)."""
+    B, T = tokens.shape
+    R = cfg.kv_lora_rank
+
+    x = params["embed"][tokens]  # [B, T, E]
+    dummy_v = jnp.zeros((1, 1, 1, 1, 128), k_pools.dtype)
+
+    def layer_fn(carry, layer):
+        x, k_pools = carry
+        lp, l_idx = layer["p"], layer["i"]
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        # the projection helpers are written over a single leading token
+        # axis — flatten (B, T) through them
+        h2 = h.reshape(B * T, -1)
+        pos2 = positions.reshape(B * T)
+        q_eff = _q_effective(cfg, lp, h2, pos2).reshape(
+            B, T, cfg.num_heads, cfg.cache_head_dim
+        )
+        ent = _latent_entry(cfg, lp, h2, pos2).reshape(
+            B, T, 1, cfg.cache_head_dim
+        )
+
+        attn, k_pools, _ = paged_attention_verify(
+            q_eff, k_pools, dummy_v, page_tables, seq_lens, l_idx,
+            ent, ent, slot_pages, slot_offsets,
+            sm_scale=cfg.sm_scale, interpret=interpret, mla_v_dim=R,
+        )  # [B, T, H, cache_dim]; valid value lanes = [:R]
+        attn_lat = attn[..., :R].reshape(B * T, cfg.num_heads, R)
+        attn_out = _out_proj(cfg, lp, attn_lat).reshape(B, T, -1) @ lp["wo"]
         x = x + _maybe_psum(attn_out, tp_axis)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)

@@ -640,7 +640,39 @@ def _paged_attention_impl(
 # ---------------------------------------------------------------------------
 
 
-def _verify_kernel(
+def _verify_write_kernel(
+    page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref,
+    slot_offsets_ref, k_scales_ref, v_scales_ref,
+    q_ref, k_new_ref, v_new_ref, k_pool_in, v_pool_in,
+    o_ref, k_pool_out, v_pool_out,
+    *scratch, **consts,
+):
+    """Standard (MHA/GQA) verify variant: K and V pools aliased outputs."""
+    _verify_body(
+        page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref,
+        slot_offsets_ref, k_scales_ref, v_scales_ref,
+        q_ref, k_new_ref, v_new_ref, k_pool_out, v_pool_out, o_ref,
+        *scratch, **consts,
+    )
+
+
+def _verify_write_kernel_mla(
+    page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref,
+    slot_offsets_ref, k_scales_ref, v_scales_ref,
+    q_ref, k_new_ref, v_new_ref, k_pool_in, v_pool_in,
+    o_ref, k_pool_out,
+    *scratch, **consts,
+):
+    """MLA verify variant: one latent pool, aliased once."""
+    _verify_body(
+        page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref,
+        slot_offsets_ref, k_scales_ref, v_scales_ref,
+        q_ref, k_new_ref, v_new_ref, k_pool_out, k_pool_out, o_ref,
+        *scratch, **consts,
+    )
+
+
+def _verify_body(
     page_tables_ref,  # [B, max_pages] int32 (SMEM)
     seq_lens_ref,  # [B] int32: length INCLUDING the T fed tokens
     layer_ref,  # [1] int32
@@ -651,9 +683,8 @@ def _verify_kernel(
     q_ref,  # [1, KH, R, D] VMEM block; row = t * group + g, padded to R
     k_new_ref,  # [1, T, KH, D] VMEM block (the T fed tokens' K)
     v_new_ref,
-    k_pool_in, v_pool_in,
-    o_ref,  # [1, KH, R, D]
     k_pool_ref, v_pool_ref,  # aliased outputs (HBM)
+    o_ref,  # [1, KH, R, D]
     k_buf, v_buf, sems, win_k, win_v, win_sems, m_scr, l_scr, acc_scr,
     *,
     page_tokens: int,
@@ -665,6 +696,7 @@ def _verify_kernel(
     sublane: int,
     window: int | None,
     quantized: bool,
+    v_head_dim: int | None = None,
 ):
     """Speculative-decode verification: write the T fed tokens' KV into
     their slots, then causal attention of T queries per sequence against
@@ -672,7 +704,10 @@ def _verify_kernel(
     attends tokens ``<= `` its own position — the batched, multi-query
     sibling of the fused decode kernel (reference context: the host
     engines' spec-decode flow, sglang/patches.py:714-956, which the
-    reference's elastic pools must accommodate)."""
+    reference's elastic pools must accommodate).  ``v_head_dim`` set = MLA
+    mode: the single latent buffer serves as both K and V (values are its
+    first v_head_dim lanes), all V-side DMAs skipped."""
+    mla = v_head_dim is not None
     b = pl.program_id(0)
     layer = layer_ref[0]
     T = q_tokens
@@ -719,29 +754,38 @@ def _verify_kernel(
                 )
 
             win_copy(win_k, k_pool_ref, win_sems.at[0]).start()
-            win_copy(win_v, v_pool_ref, win_sems.at[1]).start()
+            if not mla:
+                win_copy(win_v, v_pool_ref, win_sems.at[1]).start()
             win_copy(win_k, k_pool_ref, win_sems.at[0]).wait()
-            win_copy(win_v, v_pool_ref, win_sems.at[1]).wait()
+            if not mla:
+                win_copy(win_v, v_pool_ref, win_sems.at[1]).wait()
             row_ids = jax.lax.broadcasted_iota(
                 jnp.int32, (num_kv_heads, sublane, win_k.shape[-1]), 1
             )
             k_val = k_new_ref[0, j][:, None, :].astype(jnp.float32)
-            v_val = v_new_ref[0, j][:, None, :].astype(jnp.float32)
+            v_val = (
+                None if mla
+                else v_new_ref[0, j][:, None, :].astype(jnp.float32)
+            )
             if quantized:
                 k_val = jnp.clip(
                     jnp.round(k_val / head_scales(k_scales_ref, k_val.shape, 0)),
                     -127, 127,
                 )
-                v_val = jnp.clip(
-                    jnp.round(v_val / head_scales(v_scales_ref, v_val.shape, 0)),
-                    -127, 127,
-                )
+                if not mla:
+                    v_val = jnp.clip(
+                        jnp.round(
+                            v_val / head_scales(v_scales_ref, v_val.shape, 0)
+                        ),
+                        -127, 127,
+                    )
             win_k[...] = jnp.where(
                 row_ids == row, k_val, win_k[...].astype(jnp.float32)
             ).astype(win_k.dtype)
-            win_v[...] = jnp.where(
-                row_ids == row, v_val, win_v[...].astype(jnp.float32)
-            ).astype(win_v.dtype)
+            if not mla:
+                win_v[...] = jnp.where(
+                    row_ids == row, v_val, win_v[...].astype(jnp.float32)
+                ).astype(win_v.dtype)
 
             def win_write(vmem, pool, sem):
                 return pltpu.make_async_copy(
@@ -749,9 +793,11 @@ def _verify_kernel(
                 )
 
             win_write(win_k, k_pool_ref, win_sems.at[0]).start()
-            win_write(win_v, v_pool_ref, win_sems.at[1]).start()
+            if not mla:
+                win_write(win_v, v_pool_ref, win_sems.at[1]).start()
             win_write(win_k, k_pool_ref, win_sems.at[0]).wait()
-            win_write(win_v, v_pool_ref, win_sems.at[1]).wait()
+            if not mla:
+                win_write(win_v, v_pool_ref, win_sems.at[1]).wait()
 
     # ---- 2) causal multi-query attention over the pages -------------------
     def page_dma(chunk, j, slot, kv):
@@ -767,12 +813,14 @@ def _verify_kernel(
     def start_chunk(chunk, slot):
         for j in range(C):
             page_dma(chunk, j, slot, 0).start()
-            page_dma(chunk, j, slot, 1).start()
+            if not mla:
+                page_dma(chunk, j, slot, 1).start()
 
     def wait_chunk(chunk, slot):
         for j in range(C):
             page_dma(chunk, j, slot, 0).wait()
-            page_dma(chunk, j, slot, 1).wait()
+            if not mla:
+                page_dma(chunk, j, slot, 1).wait()
 
     m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -833,18 +881,26 @@ def _verify_kernel(
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s_mat - m_new)
             l_new = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
-            v = (
-                v_buf[slot]
-                .reshape(num_kv_heads, chunk_tokens, head_dim)
-                .astype(mm_dt)
-            )
+            if mla:
+                v = k[:, :, :v_head_dim]
+            else:
+                v = (
+                    v_buf[slot]
+                    .reshape(num_kv_heads, chunk_tokens, head_dim)
+                    .astype(mm_dt)
+                )
             pv = jax.lax.dot_general(
                 p.astype(mm_dt), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             if quantized:
                 pv = pv * head_scales(v_scales_ref, pv.shape, 0)
-            acc_scr[...] = acc_scr[...] * alpha + pv
+            if mla:
+                acc_scr[:, :, :v_head_dim] = (
+                    acc_scr[:, :, :v_head_dim] * alpha + pv
+                )
+            else:
+                acc_scr[...] = acc_scr[...] * alpha + pv
             m_scr[:, :, :1] = m_new
             l_scr[:, :, :1] = l_new
             return 0
@@ -858,7 +914,8 @@ def _verify_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "window"),
+    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "window",
+                     "mla_v_dim"),
     donate_argnums=(1, 2),
 )
 def paged_attention_verify(
@@ -879,12 +936,15 @@ def paged_attention_verify(
     window: int | None = None,
     k_scales: jax.Array | None = None,
     v_scales: jax.Array | None = None,
+    mla_v_dim: int | None = None,
 ):
     """Fused speculative-decode verification step: write T fed tokens' KV
     per sequence, then causal multi-query paged attention.  Token j of row
     b sits at position ``seq_lens[b] - T + j``.  Returns
     (out [B, T, H, D], k_pool, v_pool) with the pools aliased in place —
-    callers must donate them."""
+    callers must donate them.  ``mla_v_dim``: MLA mode — k_pool is the
+    single latent buffer, values are its first mla_v_dim lanes, v_pool is
+    ignored (pass a dummy; None is returned in its place)."""
     B, T, num_q_heads, head_dim = q.shape
     L, _, num_kv_heads, page_tokens, _ = k_pool.shape
     assert num_q_heads % num_kv_heads == 0
@@ -914,69 +974,106 @@ def paged_attention_verify(
     if R != rows:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, R - rows), (0, 0)))
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    mla = mla_v_dim is not None
 
-    out, k_pool, v_pool = pl.pallas_call(
-        functools.partial(
-            _verify_kernel,
-            page_tokens=page_tokens,
-            pages_per_chunk=C,
-            num_kv_heads=num_kv_heads,
-            group=group,
-            q_tokens=T,
-            sm_scale=sm_scale,
-            sublane=sublane,
-            window=window,
-            quantized=quantized,
+    consts = dict(
+        page_tokens=page_tokens,
+        pages_per_chunk=C,
+        num_kv_heads=num_kv_heads,
+        group=group,
+        q_tokens=T,
+        sm_scale=sm_scale,
+        sublane=sublane,
+        window=window,
+        quantized=quantized,
+        v_head_dim=mla_v_dim,
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (1, num_kv_heads, R, head_dim), lambda b, *_: (b, 0, 0, 0)
         ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
-            grid=(B,),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, num_kv_heads, R, head_dim), lambda b, *_: (b, 0, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, T, num_kv_heads, head_dim), lambda b, *_: (b, 0, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, T, num_kv_heads, head_dim), lambda b, *_: (b, 0, 0, 0)
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=(
-                pl.BlockSpec(
-                    (1, num_kv_heads, R, head_dim), lambda b, *_: (b, 0, 0, 0)
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(
+            (1, T, num_kv_heads, head_dim), lambda b, *_: (b, 0, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, T, num_kv_heads, head_dim), lambda b, *_: (b, 0, 0, 0)
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    o_spec = pl.BlockSpec(
+        (1, num_kv_heads, R, head_dim), lambda b, *_: (b, 0, 0, 0)
+    )
+    # in MLA mode the V-side buffers are never touched — allocate minimal
+    v_buf_shape = (
+        (1, 1, 1, 1, 128) if mla
+        else (2, num_kv_heads, C, page_tokens, head_dim)
+    )
+    win_v_shape = (1, 1, 128) if mla else (num_kv_heads, sublane, head_dim)
+    scratch_shapes = [
+        pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), k_pool.dtype),
+        pltpu.VMEM(v_buf_shape, v_pool.dtype),
+        pltpu.SemaphoreType.DMA((2, C, 2)),
+        pltpu.VMEM((num_kv_heads, sublane, head_dim), k_pool.dtype),
+        pltpu.VMEM(win_v_shape, v_pool.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((num_kv_heads, R, 128), jnp.float32),
+        pltpu.VMEM((num_kv_heads, R, 128), jnp.float32),
+        pltpu.VMEM((num_kv_heads, R, head_dim), jnp.float32),
+    ]
+    o_shape = jax.ShapeDtypeStruct((B, num_kv_heads, R, head_dim), q.dtype)
+    args = (page_tables, seq_lens, layer_arr, slot_pages, slot_offsets,
+            k_scales, v_scales, qg, k_new, v_new, k_pool, v_pool)
+
+    if mla:
+        out, k_pool = pl.pallas_call(
+            functools.partial(_verify_write_kernel_mla, **consts),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=7,
+                grid=(B,),
+                in_specs=in_specs,
+                out_specs=(o_spec, pl.BlockSpec(memory_space=pl.ANY)),
+                scratch_shapes=scratch_shapes,
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), k_pool.dtype),
-                pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), v_pool.dtype),
-                pltpu.SemaphoreType.DMA((2, C, 2)),
-                pltpu.VMEM((num_kv_heads, sublane, head_dim), k_pool.dtype),
-                pltpu.VMEM((num_kv_heads, sublane, head_dim), v_pool.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((num_kv_heads, R, 128), jnp.float32),
-                pltpu.VMEM((num_kv_heads, R, 128), jnp.float32),
-                pltpu.VMEM((num_kv_heads, R, head_dim), jnp.float32),
-            ],
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, num_kv_heads, R, head_dim), q.dtype),
-            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
-            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
-        ),
-        # flat inputs incl. 7 scalar-prefetch args: 7=q 8=k_new 9=v_new
-        # 10=k_pool 11=v_pool → outputs 1, 2
-        input_output_aliases={10: 1, 11: 2},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(page_tables, seq_lens, layer_arr, slot_pages, slot_offsets,
-      k_scales, v_scales, qg, k_new, v_new, k_pool, v_pool)
+            out_shape=(
+                o_shape,
+                jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            ),
+            # flat inputs incl. 7 scalar-prefetch args: 10=k_pool → output 1
+            input_output_aliases={10: 1},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*args)
+        v_pool = None
+    else:
+        out, k_pool, v_pool = pl.pallas_call(
+            functools.partial(_verify_write_kernel, **consts),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=7,
+                grid=(B,),
+                in_specs=in_specs,
+                out_specs=(
+                    o_spec,
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ),
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=(
+                o_shape,
+                jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+                jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            ),
+            # flat inputs incl. 7 scalar-prefetch args: 7=q 8=k_new 9=v_new
+            # 10=k_pool 11=v_pool → outputs 1, 2
+            input_output_aliases={10: 1, 11: 2},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*args)
 
     out = out[:, :, :rows, :]
     out = (

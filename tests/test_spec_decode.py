@@ -147,6 +147,70 @@ class TestVerifyKernel:
         assert jnp.allclose(out_v, jnp.stack(outs, 1), atol=1e-5)
 
 
+class TestMLAVerify:
+    def test_mla_verify_matches_sequential_decode(self):
+        """MLA mode (single latent buffer, values = first R lanes): one
+        verify call == T chained absorbed decode steps, outputs and pool
+        bytes identical."""
+        from kvcached_tpu.ops.paged_attention import (
+            paged_attention_decode,
+            paged_attention_verify,
+        )
+
+        L, NP_, PT, D, R = 2, 12, 16, 256, 128
+        H, B, T = 4, 2, 3
+        rng = np.random.default_rng(7)
+        kp_np = rng.normal(size=(L, NP_, 1, PT, D)).astype(np.float32)
+        base = np.array([6, 21])
+        tables = np.zeros((B, 4), np.int32)
+        tables[0, :1] = [1]
+        tables[1, :2] = [2, 3]
+        tables_j = jnp.asarray(tables)
+        q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+        ent = jnp.asarray(rng.normal(size=(B, T, 1, D)), jnp.float32)
+        seq_lens = jnp.asarray(base - 1 + T, jnp.int32)
+        pos = np.stack([base - 1 + j for j in range(T)], 1)
+        slot_pages = jnp.asarray(tables[np.arange(B)[:, None], pos // PT])
+        slot_offsets = jnp.asarray(pos % PT)
+        dummy_v = jnp.zeros((1, 1, 1, 1, 128), jnp.float32)
+
+        out_v, kp_v, none_v = paged_attention_verify(
+            q, jnp.asarray(kp_np), dummy_v, tables_j, seq_lens,
+            0, ent, ent, slot_pages, slot_offsets, interpret=True,
+            mla_v_dim=R,
+        )
+        assert none_v is None
+
+        kp = jnp.asarray(kp_np)
+        outs = []
+        for j in range(T):
+            sl = jnp.asarray(base + j, jnp.int32)
+            p = sl - 1
+            sp = tables_j[jnp.arange(B), p // PT]
+            so = p % PT
+            o, kp, _ = paged_attention_decode(
+                q[:, j], kp, dummy_v, tables_j, sl, 0, ent[:, j], ent[:, j],
+                sp, so, interpret=True, mla_v_dim=R,
+            )
+            outs.append(o)
+        out_seq = jnp.stack(outs, 1)
+        # only the value lanes [:R] are defined output
+        assert jnp.allclose(out_v[..., :R], out_seq[..., :R], atol=1e-5)
+        assert jnp.array_equal(kp_v, kp)
+
+    def test_mla_engine_spec_token_exact(self):
+        from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+
+        cfg = MLAConfig.toy(dtype="float32")
+        params = init_mla_params(cfg, jax.random.PRNGKey(0))
+        sps = [SamplingParams(max_new_tokens=16)] * 3
+        want, _ = serve(cfg, params, PROMPTS, sps, spec_decode=False)
+        got, spec = serve(cfg, params, PROMPTS, sps, spec_decode=True)
+        assert got == want, "MLA spec decode changed greedy outputs"
+        assert spec["dispatches"] > 0
+        assert spec["tokens_per_dispatch"] > 1.0
+
+
 class TestSpecEngine:
     def test_token_exact_vs_plain_decode(self):
         cfg = toy_cfg()
