@@ -229,6 +229,12 @@ class EngineConfig:
     spec_ngram: int = 2  # trailing n-gram matched for prompt lookup
     spec_horizon: int = 4  # on-device verify iterations per dispatch
     spec_window: int = 128  # token ring the device drafts from
+    #: acceptance-driven gamma: walk a power-of-two ladder ≤ spec_gamma on
+    #: an EMA of accepted drafts/iteration, and cool off to plain decode
+    #: when drafting is useless (vLLM's dynamic speculative length idea).
+    #: Off by default — each ladder step compiles its own program, which
+    #: is expensive through the axon tunnel (docs/ROUND2_NOTES.md §perf 4)
+    spec_adaptive: bool = False
 
 
 class LLMEngine:
@@ -452,6 +458,11 @@ class LLMEngine:
         self._verify_fns: dict[int, object] = {}  # per T = gamma+1
         self._spec_dispatches = 0
         self._spec_tokens = 0
+        # adaptive gamma state (spec_adaptive): EMA of accepted drafts per
+        # verify iteration, current ladder rung, plain-decode cooldown
+        self._spec_ema: float | None = None
+        self._spec_gamma_cur = self.cfg.spec_gamma
+        self._spec_cooldown = 0
         self._prefill_fn = self._build_prefill_fn()
 
     def _stable_namespace(self) -> str:
@@ -1329,10 +1340,44 @@ class LLMEngine:
 
     def _decode_dispatch(self) -> None:
         batch = self.running[: self.cfg.max_batch]
-        if batch and self._spec_ok(batch):
+        if batch and self._spec_ok(batch) and not self._spec_cooling():
             self._do_spec_decode()
         else:
             self._do_decode()
+
+    # -- adaptive gamma: acceptance-driven speculation length ---------------
+
+    def _spec_cooling(self) -> bool:
+        """During a cooldown the engine runs plain decode dispatches (the
+        workload isn't drafting well even at the smallest gamma); when it
+        expires, speculation retries with a fresh EMA."""
+        if not self.cfg.spec_adaptive or self._spec_cooldown <= 0:
+            return False
+        self._spec_cooldown -= 1
+        if self._spec_cooldown == 0:
+            self._spec_ema = None  # retry unbiased
+            self._spec_gamma_cur = 2
+        return True
+
+    def _spec_update_gamma(self, drafts_per_iter: float) -> None:
+        """EMA-follow the observed acceptance and walk the power-of-two
+        gamma ladder: shrink when most drafts are rejected (each extra
+        draft token still costs verify bandwidth), grow when the current
+        rung is mostly accepted, and cool off to plain decode when even
+        gamma=2 yields almost nothing (a verify iteration only beats a
+        decode step when it nets extra tokens)."""
+        ema = (
+            drafts_per_iter if self._spec_ema is None
+            else 0.7 * self._spec_ema + 0.3 * drafts_per_iter
+        )
+        self._spec_ema = ema
+        g = self._spec_gamma_cur
+        if ema < 0.15 and g <= 2:
+            self._spec_cooldown = 8
+        elif ema < 0.8 and g > 2:
+            self._spec_gamma_cur = g // 2
+        elif ema > 0.6 * g and g * 2 <= self.cfg.spec_gamma:
+            self._spec_gamma_cur = g * 2
 
     def _build_spec_fn(self, T: int, S: int, W: int, sampled: bool,
                        filters: bool):
@@ -1446,7 +1491,7 @@ class LLMEngine:
         sampled rows are distribution-exact (rejection sampling)."""
         ec = self.cfg
         B = ec.max_batch
-        gamma = ec.spec_gamma
+        gamma = self._spec_gamma_cur if ec.spec_adaptive else ec.spec_gamma
         T = gamma + 1
         S = ec.spec_horizon
         W = max(ec.spec_window, ec.spec_ngram + gamma + 1)
@@ -1502,6 +1547,11 @@ class LLMEngine:
         outs = np.asarray(outs)  # [S, B, T]
         counts = np.asarray(counts)  # [S, B]
         self._spec_dispatches += 1
+        if ec.spec_adaptive:
+            # device counts = accepted drafts + 1; real rows only
+            self._spec_update_gamma(
+                float(counts[:, : len(batch)].mean()) - 1.0
+            )
 
         for i, seq in enumerate(batch):
             appended = 0
@@ -1862,6 +1912,10 @@ class LLMEngine:
                     if self._spec_dispatches else 0.0
                 ),
             }
+            if self.cfg.spec_adaptive:
+                out["spec"]["gamma"] = self._spec_gamma_cur
+                out["spec"]["acceptance_ema"] = self._spec_ema
+                out["spec"]["cooldown"] = self._spec_cooldown
         if self.num_groups > 1:
             out["groups"] = [
                 {

@@ -341,6 +341,60 @@ class TestSpecEngine:
         assert got == want, "int8 spec decode diverged from int8 plain"
 
 
+class TestAdaptiveGamma:
+    def test_outputs_invariant_and_ladder_moves(self):
+        """Adaptive gamma must not change greedy outputs (acceptance is
+        positionwise argmax equality at any gamma) and the ladder must
+        react to observed acceptance."""
+        cfg = toy_cfg()
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        sps = [SamplingParams(max_new_tokens=24)] * 3
+        want, _ = serve(cfg, params, PROMPTS, sps, spec_decode=False)
+        got, spec = serve(cfg, params, PROMPTS, sps, spec_decode=True,
+                          spec_adaptive=True, spec_gamma=8)
+        assert got == want, "adaptive gamma changed greedy outputs"
+        assert spec["dispatches"] > 0
+        assert spec["gamma"] in (2, 4, 8)
+        assert spec["acceptance_ema"] is not None
+
+    def test_ladder_rules(self):
+        """Unit-test the ladder transitions directly (EMA shrink / grow /
+        cooldown thresholds)."""
+        from kvcached_tpu.engine import EngineConfig, LLMEngine
+
+        cfg = toy_cfg()
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        eng = LLMEngine(
+            cfg,
+            EngineConfig(**{**ECFG, "spec_decode": True,
+                            "spec_adaptive": True, "spec_gamma": 8}),
+            params=params,
+        )
+        try:
+            assert eng._spec_gamma_cur == 8
+            eng._spec_update_gamma(0.5)  # poor acceptance: shrink
+            assert eng._spec_gamma_cur == 4
+            eng._spec_update_gamma(0.5)
+            assert eng._spec_gamma_cur == 2
+            # sustained near-zero at the bottom rung: cooldown engages
+            for _ in range(12):
+                eng._spec_update_gamma(0.0)
+                if eng._spec_cooldown:
+                    break
+            assert eng._spec_cooldown > 0
+            # cooldown consumes plain-decode dispatches then retries
+            for _ in range(8):
+                assert eng._spec_cooling()
+            assert not eng._spec_cooling()
+            assert eng._spec_ema is None and eng._spec_gamma_cur == 2
+            # strong acceptance grows the rung back
+            for _ in range(8):
+                eng._spec_update_gamma(4.0)
+            assert eng._spec_gamma_cur == 8
+        finally:
+            eng.shutdown()
+
+
 class TestSampledAcceptance:
     """Distribution-exactness of the rejection rule (_spec_accept): with a
     point-mass draft distribution, each emitted token must be distributed
