@@ -55,6 +55,36 @@ def run(spec: bool):
         eng.shutdown()
 
 
+def run_sampled():
+    """temperature>0 rows ride the same spec path via rejection sampling
+    (distribution-exact, not bit-exact — the RNG draw pattern differs from
+    plain decode); adaptive gamma walks a power-of-two ladder on observed
+    acceptance."""
+    cfg = LlamaConfig.toy(dtype="float32")
+    eng = LLMEngine(cfg, EngineConfig(
+        max_batch=4, max_model_len=256, page_tokens=16,
+        prefill_buckets=(16, 32, 64), num_pages=128,
+        decode_horizon=4, interpret=not ON_TPU,
+        spec_decode=True, spec_gamma=8, spec_adaptive=True,
+    ))
+    try:
+        sps = [
+            SamplingParams(max_new_tokens=32, temperature=0.8, top_p=0.9),
+            SamplingParams(max_new_tokens=32),
+            SamplingParams(max_new_tokens=32, temperature=1.0, top_k=40),
+            SamplingParams(max_new_tokens=32),
+        ]
+        rids = [eng.add_request(list(p), s) for p, s in zip(PROMPTS, sps)]
+        while eng.has_unfinished():
+            eng.step()
+        assert all(
+            len(o.output_tokens) == 32 for o in eng.finished_outputs
+        ), rids
+        return eng.kv_metrics()["spec"]
+    finally:
+        eng.shutdown()
+
+
 def main():
     plain, plain_tps, _ = run(False)
     spec, spec_tps, m = run(True)
@@ -64,6 +94,11 @@ def main():
     print(f"accepted {m['tokens_per_dispatch']:.2f} tokens per verify "
           f"dispatch ({m['tokens']} tokens / {m['dispatches']} dispatches)")
     print("outputs token-exact vs plain greedy decode ✓")
+    sm = run_sampled()
+    print(f"mixed greedy+sampled batch with adaptive gamma: "
+          f"{sm['tokens_per_dispatch']:.2f} tokens/dispatch, "
+          f"settled at gamma={sm['gamma']} "
+          f"(acceptance EMA {sm['acceptance_ema']:.2f})")
 
 
 if __name__ == "__main__":
