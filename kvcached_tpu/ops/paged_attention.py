@@ -709,24 +709,38 @@ def _verify_body(
     first v_head_dim lanes), all V-side DMAs skipped."""
     mla = v_head_dim is not None
     b = pl.program_id(0)
+    batch = pl.num_programs(0)
     layer = layer_ref[0]
     T = q_tokens
-    s = seq_lens_ref[b]
-    # callers may pass an honest s that overhangs a row's cap by < T (the
-    # overflow queries are discarded); clamp the page range to the table
-    # width so the overhang can't read past page_tables in SMEM
-    num_pages = jnp.minimum(
-        pl.cdiv(s, page_tokens), page_tables_ref.shape[1]
-    )
-    base = s - T  # tokens whose KV existed before this step
-    if window is not None:
-        ws0 = jnp.maximum(base + 1 - window, 0)
-        first_page = ws0 // page_tokens
-    else:
-        first_page = jnp.zeros_like(s)
     C = pages_per_chunk
+
+    def row_geometry(row):
+        """(num_pages, first_page, base) for a batch row — used for this
+        row AND to prefetch the next row's first chunk.  The page range is
+        clamped to the table width: callers may pass an honest s that
+        overhangs a row's cap by < T (the overflow queries are discarded),
+        and the overhang must not read past page_tables in SMEM."""
+        s_r = seq_lens_ref[row]
+        n = jnp.minimum(pl.cdiv(s_r, page_tokens), page_tables_ref.shape[1])
+        base_r = s_r - T  # tokens whose KV existed before this step
+        if window is not None:
+            fp = jnp.maximum(base_r + 1 - window, 0) // page_tokens
+        else:
+            fp = jnp.zeros_like(s_r)
+        return n, fp, base_r
+
+    s = seq_lens_ref[b]
+    num_pages, first_page, base = row_geometry(b)
     num_chunks = pl.cdiv(num_pages - first_page, C)
     chunk_tokens = C * page_tokens
+
+    def prefetch_safe(row):
+        """May row's chunk 0 be fetched BEFORE its T RMW token writes?
+        Only if every write page — the pages spanning positions base..s-1,
+        i.e. the row's LAST live pages — lies beyond chunk 0.  Must be
+        computable identically by row-1 (issuer) and row (consumer)."""
+        n, fp, base_r = row_geometry(row)
+        return (jnp.maximum(base_r, 0) // page_tokens) >= fp + C
 
     if quantized:
         # full-rank selects (a scalar stack + reshape trips Mosaic layout
@@ -737,6 +751,34 @@ def _verify_body(
             for h in range(num_kv_heads):
                 sc = jnp.where(h_ids == h, scales_ref[layer, h], sc)
             return sc
+
+    def row_dma(row, n_pages_row, fp_row, chunk, j, slot, kv):
+        page_idx = fp_row + chunk * C + j
+        page_idx = jnp.minimum(page_idx, n_pages_row - 1)  # masked tail
+        page_id = page_tables_ref[row, page_idx]
+        pool = k_pool_ref if kv == 0 else v_pool_ref
+        buf = k_buf if kv == 0 else v_buf
+        return pltpu.make_async_copy(
+            pool.at[layer, page_id], buf.at[slot, :, j], sems.at[slot, j, kv]
+        )
+
+    def start_chunk_row(row, n_pages_row, fp_row, chunk, slot):
+        for j in range(C):
+            row_dma(row, n_pages_row, fp_row, chunk, j, slot, 0).start()
+            if not mla:
+                row_dma(row, n_pages_row, fp_row, chunk, j, slot, 1).start()
+
+    # Cross-row pipelining (same scheme as the fused decode kernel): grid
+    # programs run sequentially and scratch persists, so each program
+    # leaves the NEXT row's chunk 0 in flight — the fetch overlaps this
+    # row's epilogue and the next row's T RMW writes.
+    chunk0_prefetched = (b > 0) & prefetch_safe(b)
+
+    # fetch chunk 0 as early as possible: before the RMW writes whenever
+    # every write page lies beyond chunk 0 (the fetch overlaps the writes)
+    @pl.when((num_pages > 0) & ~chunk0_prefetched & prefetch_safe(b))
+    def _early_chunk0():
+        start_chunk_row(b, num_pages, first_page, 0, 0)
 
     # ---- 1) write the T fed tokens' K/V via aligned RMW windows ----------
     for j in range(T):
@@ -800,38 +842,28 @@ def _verify_body(
                 win_write(win_v, v_pool_ref, win_sems.at[1]).wait()
 
     # ---- 2) causal multi-query attention over the pages -------------------
-    def page_dma(chunk, j, slot, kv):
-        page_idx = first_page + chunk * C + j
-        page_idx = jnp.minimum(page_idx, num_pages - 1)  # masked tail
-        page_id = page_tables_ref[b, page_idx]
-        pool = k_pool_ref if kv == 0 else v_pool_ref
-        buf = k_buf if kv == 0 else v_buf
-        return pltpu.make_async_copy(
-            pool.at[layer, page_id], buf.at[slot, :, j], sems.at[slot, j, kv]
-        )
-
     def start_chunk(chunk, slot):
-        for j in range(C):
-            page_dma(chunk, j, slot, 0).start()
-            if not mla:
-                page_dma(chunk, j, slot, 1).start()
+        start_chunk_row(b, num_pages, first_page, chunk, slot)
 
     def wait_chunk(chunk, slot):
         for j in range(C):
-            page_dma(chunk, j, slot, 0).wait()
+            row_dma(b, num_pages, first_page, chunk, j, slot, 0).wait()
             if not mla:
-                page_dma(chunk, j, slot, 1).wait()
+                row_dma(b, num_pages, first_page, chunk, j, slot, 1).wait()
 
     m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # chunk 0 starts only after the RMW writes (the write pages are the
-    # sequence's last pages, which small sequences reach in chunk 0)
-    @pl.when(num_pages > 0)
-    def _():
+    # chunk 0 was started by the early fetch, the previous grid program
+    # (cross-row prefetch), or — when a write page is inside chunk 0 —
+    # must start only now, after the RMW writes landed
+    @pl.when((num_pages > 0) & ~chunk0_prefetched & ~prefetch_safe(b))
+    def _late_chunk0():
         start_chunk(0, 0)
 
+    @pl.when(num_pages > 0)
+    def _():
         def body(c, _):
             slot = jax.lax.rem(c, 2)
             next_slot = jax.lax.rem(c + 1, 2)
@@ -906,6 +938,15 @@ def _verify_body(
             return 0
 
         jax.lax.fori_loop(0, num_chunks, body, 0, unroll=False)
+
+    # leave the NEXT row's chunk 0 in flight (slot 0, safe: all of this
+    # row's slot reads completed above) — consumed by the next grid program
+    nxt = jnp.minimum(b + 1, batch - 1)  # clamp: no OOB SMEM read on last row
+
+    @pl.when((b + 1 < batch) & prefetch_safe(nxt))
+    def _prefetch_next_row():
+        n_n, fp_n, _ = row_geometry(nxt)
+        start_chunk_row(nxt, n_n, fp_n, 0, 0)
 
     l = l_scr[:, :, :1]
     l_safe = jnp.where(l == 0.0, 1.0, l)

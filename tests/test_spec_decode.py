@@ -102,6 +102,59 @@ class TestVerifyKernel:
         assert jnp.array_equal(kp_v, kp)
         assert jnp.array_equal(vp_v, vp)
 
+    def test_verify_cross_row_prefetch_long_sequences(self):
+        """Long rows (write pages beyond chunk 0) take the cross-row
+        chunk-0 prefetch path; mixed with short rows that must defer the
+        fetch until after their RMW writes.  pages_per_chunk=1 so the
+        safety predicate flips between rows."""
+        from kvcached_tpu.ops.paged_attention import (
+            paged_attention_decode,
+            paged_attention_verify,
+        )
+
+        L, NP_, KH, PT, D = 1, 24, 2, 16, 128
+        H, B, T = 4, 4, 3
+        rng = np.random.default_rng(9)
+        kp_np = rng.normal(size=(L, NP_, KH, PT, D)).astype(np.float32)
+        vp_np = rng.normal(size=(L, NP_, KH, PT, D)).astype(np.float32)
+        # base lens: rows 0/2 long (prefetch-safe), rows 1/3 short (unsafe)
+        base = np.array([70, 9, 55, 14])
+        tables = np.zeros((B, 5), np.int32)
+        tables[0] = [1, 2, 3, 4, 5]
+        tables[1, :1] = [6]
+        tables[2, :4] = [7, 8, 9, 10]
+        tables[3, :2] = [11, 12]
+        tables_j = jnp.asarray(tables)
+        q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+        k_new = jnp.asarray(rng.normal(size=(B, T, KH, D)), jnp.float32)
+        v_new = jnp.asarray(rng.normal(size=(B, T, KH, D)), jnp.float32)
+        seq_lens = jnp.asarray(base - 1 + T, jnp.int32)
+        pos = np.stack([base - 1 + j for j in range(T)], 1)
+        slot_pages = jnp.asarray(tables[np.arange(B)[:, None], pos // PT])
+        slot_offsets = jnp.asarray(pos % PT)
+
+        out_v, kp_v, vp_v = paged_attention_verify(
+            q, jnp.asarray(kp_np), jnp.asarray(vp_np), tables_j, seq_lens,
+            0, k_new, v_new, slot_pages, slot_offsets, interpret=True,
+            pages_per_chunk=1,
+        )
+
+        kp, vp = jnp.asarray(kp_np), jnp.asarray(vp_np)
+        outs = []
+        for j in range(T):
+            sl = jnp.asarray(base + j, jnp.int32)
+            p = sl - 1
+            sp = tables_j[jnp.arange(B), p // PT]
+            so = p % PT
+            o, kp, vp = paged_attention_decode(
+                q[:, j], kp, vp, tables_j, sl, 0, k_new[:, j], v_new[:, j],
+                sp, so, interpret=True,
+            )
+            outs.append(o)
+        assert jnp.allclose(out_v, jnp.stack(outs, 1), atol=1e-5)
+        assert jnp.array_equal(kp_v, kp)
+        assert jnp.array_equal(vp_v, vp)
+
     def test_verify_sliding_window(self):
         """Per-query window masking: each fed token sees its own trailing
         window, matching chained decode steps with the same window."""
