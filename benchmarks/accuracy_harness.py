@@ -240,7 +240,8 @@ def main() -> int:
     ap.add_argument("--gsm8k", help="GSM8K test.jsonl (with --ckpt)")
     ap.add_argument("--num-questions", type=int, default=200)
     ap.add_argument("--num-shots", type=int, default=5)
-    ap.add_argument("--max-new", type=int, default=16)
+    ap.add_argument("--max-new", type=int, default=None,
+                    help="default: 16 (parity modes), 256 (gsm8k)")
     args = ap.parse_args()
     if args.gsm8k:
         if not args.ckpt:
@@ -248,8 +249,8 @@ def main() -> int:
         return gsm8k_eval(args.ckpt, args.gsm8k, args.num_questions,
                           args.num_shots, args.max_new or 256)
     if args.ckpt:
-        return ckpt_parity(args.ckpt, args.prompts, args.max_new)
-    return toy_parity(max_new=args.max_new)
+        return ckpt_parity(args.ckpt, args.prompts, args.max_new or 16)
+    return toy_parity(max_new=args.max_new or 16)
 
 
 if __name__ == "__main__":

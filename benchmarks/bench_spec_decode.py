@@ -19,10 +19,13 @@ Usage: python benchmarks/bench_spec_decode.py [gamma]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 
 import jax
 import jax.numpy as jnp

@@ -95,10 +95,11 @@ def main():
           f"dispatch ({m['tokens']} tokens / {m['dispatches']} dispatches)")
     print("outputs token-exact vs plain greedy decode ✓")
     sm = run_sampled()
+    ema = sm["acceptance_ema"]  # None right after a cooldown expires
     print(f"mixed greedy+sampled batch with adaptive gamma: "
           f"{sm['tokens_per_dispatch']:.2f} tokens/dispatch, "
           f"settled at gamma={sm['gamma']} "
-          f"(acceptance EMA {sm['acceptance_ema']:.2f})")
+          f"(acceptance EMA {'n/a' if ema is None else f'{ema:.2f}'})")
 
 
 if __name__ == "__main__":

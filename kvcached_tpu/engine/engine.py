@@ -664,32 +664,24 @@ class LLMEngine:
                         page_tables, slot_pages, slot_offsets, seq_lens,
                         tp_axis="tp", interpret=ec.interpret, **kw,
                     )
-                # dp>1: same replica equalization as decode, with the
-                # (row, token) pairs flattened into writer rows
-                from ..ops.paged_attention import write_decode_tokens
-
+                # dp>1: flatten the (row, token) pairs into writer rows and
+                # reuse the decode path's replica equalizer (verify is gated
+                # to single-group stateless families, so its group branch
+                # never triggers here)
                 logits, k_pools, v_pools, (ks, vs) = adapter.verify_step(
                     params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
                     tp_axis="tp", interpret=ec.interpret, collect_kv=True,
                     **kw,
                 )
-                ks = jax.lax.all_gather(ks, dp, axis=1, tiled=True)
-                vs = jax.lax.all_gather(vs, dp, axis=1, tiled=True)
-                sp = jax.lax.all_gather(slot_pages, dp, axis=0, tiled=True)
-                so = jax.lax.all_gather(slot_offsets, dp, axis=0, tiled=True)
-                Lk, Bg, Tt = ks.shape[0], sp.shape[0], sp.shape[1]
-                ks = ks.reshape(Lk, Bg * Tt, *ks.shape[3:])
-                vs = vs.reshape(Lk, Bg * Tt, *vs.shape[3:])
-                sp_l = jnp.broadcast_to(
-                    sp.reshape(1, Bg * Tt), (Lk, Bg * Tt)
-                )
-                k_pools, v_pools = write_decode_tokens(
-                    k_pools, v_pools, ks, vs,
-                    jnp.arange(Lk, dtype=jnp.int32), sp_l,
-                    so.reshape(Bg * Tt), interpret=ec.interpret,
-                    k_scales=scales[0] if scales else None,
-                    v_scales=scales[1] if scales else None,
+                Lk = ks.shape[0]
+                Bl, Tt = slot_pages.shape
+                k_pools, v_pools = _equalize_kv(
+                    k_pools, v_pools,
+                    ks.reshape(Lk, Bl * Tt, *ks.shape[3:]),
+                    vs.reshape(Lk, Bl * Tt, *vs.shape[3:]),
+                    slot_pages.reshape(Bl * Tt),
+                    slot_offsets.reshape(Bl * Tt), scales,
                 )
                 return logits, k_pools, v_pools
 
@@ -1356,7 +1348,7 @@ class LLMEngine:
         self._spec_cooldown -= 1
         if self._spec_cooldown == 0:
             self._spec_ema = None  # retry unbiased
-            self._spec_gamma_cur = 2
+            self._spec_gamma_cur = min(2, self.cfg.spec_gamma)
         return True
 
     def _spec_update_gamma(self, drafts_per_iter: float) -> None:
@@ -1432,7 +1424,13 @@ class LLMEngine:
                 raw_pos = seq_lens[:, None] + jnp.arange(T)[None, :]
                 cap = jnp.maximum(max_lens[:, None] - 1, 0)
                 pos = jnp.clip(raw_pos, 0, cap)
-                overflow = raw_pos > cap  # incl. padded rows (max_lens 0)
+                # >= cap, not > cap: position cap (the final token's slot)
+                # is never consumed, and plain decode leaves it unwritten —
+                # writing it here would let a SATURATED row (seq_lens
+                # pinned at cap by the carry clamp) overwrite the slot with
+                # a discarded post-cap token's KV on later iterations.
+                # Queries at >= cap produce garbage outputs, all discarded.
+                overflow = raw_pos >= cap  # incl. padded rows (max_lens 0)
                 slot_pages = jnp.where(
                     overflow, 0, page_tables[b_idx, pos // P]
                 )
@@ -1496,6 +1494,17 @@ class LLMEngine:
         S = ec.spec_horizon
         W = max(ec.spec_window, ec.spec_ngram + gamma + 1)
         batch = self.running[:B]
+        # adaptive horizon (same knob as decode): every iteration advances
+        # a row by >= 1 token, so when the batch's nearest cap is close,
+        # iterations past it only produce discarded outputs — shrink S to
+        # the next power of two (bounding compiled variants)
+        if ec.adaptive_horizon and batch:
+            needed = min(
+                max(1, self._row_cap(s) - len(s.tokens)) for s in batch
+            )
+            if needed < S:
+                S = max(1, 1 << (needed.bit_length() - 1))
+                S = min(S, ec.spec_horizon)
         # worst case a dispatch advances a row by S*T tokens (capped at the
         # row's own cap); reserve pages up front, preempting on pressure
         i = 0

@@ -44,6 +44,19 @@ def _sublane_for(dtype) -> int:
     return 32 if jnp.dtype(dtype).itemsize == 1 else 8
 
 
+def _select_head_scales(scales_ref, layer, num_kv_heads, shape, iota_dim):
+    """int8 per-head scale tensor for in-kernel (de)quantization,
+    materialized with FULL-RANK selects against a head-id iota: the
+    obvious scalar stack + reshape (e.g. to [KH, 1, 1]) trips Mosaic
+    layout inference whenever KH < 8 (a single sublane tile).  Shared by
+    the fused decode/prefill/verify kernels and the slot-level writer."""
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, shape, iota_dim)
+    sc = jnp.ones(shape, jnp.float32)
+    for h in range(num_kv_heads):
+        sc = jnp.where(h_ids == h, scales_ref[layer, h], sc)
+    return sc
+
+
 def _decode_write_kernel(
     page_tables_ref, seq_lens_ref, layer_ref, slot_pages_ref, slot_offsets_ref,
     k_scales_ref, v_scales_ref,
@@ -144,20 +157,13 @@ def _attn_body(
     if quantized:
         # int8 KV: dequantization is per-kv-head, so it folds into the
         # SCORES (k) and the weighted-value OUTPUT (v) — one [KH] multiply
-        # instead of rescaling whole K/V chunks.  Built with full-rank
-        # selects: a scalar stack + reshape to [KH,1,1] trips Mosaic layout
-        # inference when KH < 8 (one sublane tile).
-        def _head_scales(scales_ref):
-            h_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (num_kv_heads, 1, 1), 0
-            )
-            sc = jnp.ones((num_kv_heads, 1, 1), jnp.float32)
-            for h in range(num_kv_heads):
-                sc = jnp.where(h_ids == h, scales_ref[layer, h], sc)
-            return sc
-
-        k_sc = _head_scales(k_scales_ref)
-        v_sc = _head_scales(v_scales_ref)
+        # instead of rescaling whole K/V chunks
+        k_sc = _select_head_scales(
+            k_scales_ref, layer, num_kv_heads, (num_kv_heads, 1, 1), 0
+        )
+        v_sc = _select_head_scales(
+            v_scales_ref, layer, num_kv_heads, (num_kv_heads, 1, 1), 0
+        )
     C = pages_per_chunk
 
     def row_geometry(row):
@@ -743,14 +749,10 @@ def _verify_body(
         return (jnp.maximum(base_r, 0) // page_tokens) >= fp + C
 
     if quantized:
-        # full-rank selects (a scalar stack + reshape trips Mosaic layout
-        # inference in this kernel shape — see write_decode_tokens)
         def head_scales(scales_ref, shape, iota_dim):
-            h_ids = jax.lax.broadcasted_iota(jnp.int32, shape, iota_dim)
-            sc = jnp.ones(shape, jnp.float32)
-            for h in range(num_kv_heads):
-                sc = jnp.where(h_ids == h, scales_ref[layer, h], sc)
-            return sc
+            return _select_head_scales(
+                scales_ref, layer, num_kv_heads, shape, iota_dim
+            )
 
     def row_dma(row, n_pages_row, fp_row, chunk, j, slot, kv):
         page_idx = fp_row + chunk * C + j
@@ -1333,15 +1335,13 @@ def _decode_tokens_write_kernel(
         v_val = v_new_ref[0][:, None, :].astype(jnp.float32)
         if quantized:
             # same formula as the fused kernel's quantize-on-write, so
-            # rewriting a slot it already wrote is bit-identical.  The
-            # per-head scale tensor is built with full-rank selects — a
-            # scalar stack + reshape trips Mosaic layout inference here.
-            h_ids = jax.lax.broadcasted_iota(jnp.int32, k_val.shape, 0)
-            k_sc = jnp.ones_like(k_val)
-            v_sc = jnp.ones_like(v_val)
-            for h in range(num_kv_heads):
-                k_sc = jnp.where(h_ids == h, k_scales_ref[layer, h], k_sc)
-                v_sc = jnp.where(h_ids == h, v_scales_ref[layer, h], v_sc)
+            # rewriting a slot it already wrote is bit-identical
+            k_sc = _select_head_scales(
+                k_scales_ref, layer, num_kv_heads, k_val.shape, 0
+            )
+            v_sc = _select_head_scales(
+                v_scales_ref, layer, num_kv_heads, v_val.shape, 0
+            )
             k_val = jnp.clip(jnp.round(k_val / k_sc), -127, 127)
             v_val = jnp.clip(jnp.round(v_val / v_sc), -127, 127)
         win_k[...] = jnp.where(

@@ -67,20 +67,14 @@ def _prefill_kernel(
     tile = pl.program_id(0)
     layer = layer_ref[0]
     if quantized:
-        # full-rank selects: a scalar stack + reshape to [KH,1,1] trips
-        # Mosaic layout inference when KH < 8 (paged_attention.py has the
-        # same construction)
-        def _head_scales(scales_ref):
-            h_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (num_kv_heads, 1, 1), 0
-            )
-            sc = jnp.ones((num_kv_heads, 1, 1), jnp.float32)
-            for h in range(num_kv_heads):
-                sc = jnp.where(h_ids == h, scales_ref[layer, h], sc)
-            return sc
+        from .paged_attention import _select_head_scales
 
-        k_sc = _head_scales(k_scales_ref)
-        v_sc = _head_scales(v_scales_ref)
+        k_sc = _select_head_scales(
+            k_scales_ref, layer, num_kv_heads, (num_kv_heads, 1, 1), 0
+        )
+        v_sc = _select_head_scales(
+            v_scales_ref, layer, num_kv_heads, (num_kv_heads, 1, 1), 0
+        )
     q_start = meta_ref[0]
     kv_len = meta_ref[1]
     C = pages_per_chunk

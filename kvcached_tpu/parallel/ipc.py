@@ -78,6 +78,29 @@ def address_path(ipc_name: str, rank: int, pp_rank: int = 0) -> str:
     return os.path.join(socket_dir(ipc_name, pp_rank), f"w{rank}.addr")
 
 
+def _advertise_host(bind_host: str) -> str:
+    """Routable address to publish for a TCP listener.  A specific bind
+    host is its own advertisement; a wildcard bind resolves to
+    $KVCACHED_ADVERTISE_HOST, else the host's outbound-route IP (UDP
+    connect trick — no packet is sent), else a hostname lookup, else
+    loopback (single-host fallback)."""
+    if bind_host not in ("0.0.0.0", ""):
+        return bind_host
+    env = os.environ.get("KVCACHED_ADVERTISE_HOST")
+    if env:
+        return env
+    try:
+        with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+            s.connect(("8.8.8.8", 80))
+            return s.getsockname()[0]
+    except OSError:
+        pass
+    try:
+        return socket.gethostbyname(socket.gethostname())
+    except OSError:
+        return "127.0.0.1"
+
+
 def _recv_exact(conn: socket.socket, n: int) -> bytes:
     buf = b""
     while len(buf) < n:
@@ -100,10 +123,15 @@ class WorkerListener:
     on_map: Callable[[np.ndarray, np.ndarray], None] | None = None
     on_unmap: Callable[[np.ndarray, np.ndarray], None] | None = None
     #: bind TCP instead of AF_UNIX (cross-host DCN plane).  port 0 =
-    #: ephemeral; the bound address is published as w{rank}.addr
+    #: ephemeral.  Binds 0.0.0.0 (all interfaces) unless ``host`` narrows
+    #: it; publishes ``advertise_host:port`` as w{rank}.addr — a loopback
+    #: bind would publish an unroutable address to remote brokers
     tcp: bool = False
-    host: str = "127.0.0.1"
+    host: str = "0.0.0.0"
     port: int = 0
+    #: address other hosts should dial (defaults: $KVCACHED_ADVERTISE_HOST,
+    #: else this host's outbound-route IP, else hostname lookup)
+    advertise_host: str | None = None
 
     def __post_init__(self):
         self._ready = threading.Event()
@@ -115,7 +143,9 @@ class WorkerListener:
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
             self._sock.bind((self.host, self.port))
-            self.address = "%s:%d" % self._sock.getsockname()[:2]
+            port = self._sock.getsockname()[1]
+            adv = self.advertise_host or _advertise_host(self.host)
+            self.address = f"{adv}:{port}"
             self._addr_file = address_path(
                 self.ipc_name, self.rank, self.pp_rank
             )

@@ -339,6 +339,40 @@ class TestSpecEngine:
         assert spec["dispatches"] > 0
         assert got == want, "tiny-temperature spec diverged from greedy"
 
+    def test_pools_match_plain_decode_at_saturation(self):
+        """Rows finishing exactly at their cap must leave the pools
+        IDENTICAL to plain decode.  Regression: once a row's seq_lens
+        pinned at cap, later verify iterations re-fed a discarded
+        post-cap token whose KV overwrote slot cap (plain decode leaves
+        the final token's slot unwritten — a token's KV is written only
+        when consumed); overflow must trigger at raw_pos >= cap."""
+        cfg = toy_cfg()
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6]]
+        sp = [SamplingParams(max_new_tokens=24)]
+
+        def pools(spec):
+            eng = LLMEngine(
+                cfg, EngineConfig(**{**ECFG, "spec_decode": spec,
+                                     "enable_prefix_caching": False}),
+                params=params,
+            )
+            try:
+                rid = eng.add_request(list(prompts[0]), sp[0])
+                while eng.has_unfinished():
+                    eng.step()
+                out = [o.output_tokens for o in eng.finished_outputs
+                       if o.req_id == rid][0]
+                return out, np.asarray(eng.k_pools), np.asarray(eng.v_pools)
+            finally:
+                eng.shutdown()
+
+        out_p, kp_p, vp_p = pools(False)
+        out_s, kp_s, vp_s = pools(True)
+        assert out_s == out_p
+        np.testing.assert_array_equal(kp_s, kp_p)
+        np.testing.assert_array_equal(vp_s, vp_p)
+
     def test_prefix_cache_reuse_after_spec(self):
         """Pages cached from a spec-decoded sequence must hold only VALID
         KV (rejected drafts write garbage past the accepted point, but
