@@ -665,9 +665,9 @@ class LLMEngine:
                         tp_axis="tp", interpret=ec.interpret, **kw,
                     )
                 # dp>1: flatten the (row, token) pairs into writer rows and
-                # reuse the decode path's replica equalizer (verify is gated
-                # to single-group stateless families, so its group branch
-                # never triggers here)
+                # reuse the decode path's replica equalizer — multi-group
+                # slot_pages [G, B, T] flatten to the [G, rows] shape its
+                # group branch expects
                 logits, k_pools, v_pools, (ks, vs) = adapter.verify_step(
                     params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
@@ -675,19 +675,29 @@ class LLMEngine:
                     **kw,
                 )
                 Lk = ks.shape[0]
-                Bl, Tt = slot_pages.shape
+                Bl, Tt = slot_offsets.shape
+                sp_flat = (
+                    slot_pages.reshape(self.num_groups, Bl * Tt)
+                    if self.num_groups > 1 else slot_pages.reshape(Bl * Tt)
+                )
                 k_pools, v_pools = _equalize_kv(
                     k_pools, v_pools,
                     ks.reshape(Lk, Bl * Tt, *ks.shape[3:]),
                     vs.reshape(Lk, Bl * Tt, *vs.shape[3:]),
-                    slot_pages.reshape(Bl * Tt),
-                    slot_offsets.reshape(Bl * Tt), scales,
+                    sp_flat, slot_offsets.reshape(Bl * Tt), scales,
                 )
                 return logits, k_pools, v_pools
 
+            # hybrid groups: page_tables [G, B, pages] / slot_pages
+            # [G, B, T] shard on the BATCH dim (dim 1), never on groups
+            if self.num_groups > 1:
+                vsp_p = P(None, dp, None) if dp else P()
+            else:
+                vsp_p = bd2
             v_sharded = jax.shard_map(
                 vstep, mesh=self.mesh,
-                in_specs=(pspecs, bd2, bd2, pool_p, pool_p, b2, bd2, bd2, bd)
+                in_specs=(pspecs, bd2, bd2, pool_p, pool_p, tbl_p, vsp_p,
+                          bd2, bd)
                 + ((sc_p, sc_p) if qs else ()),
                 out_specs=(bd, pool_p, pool_p),
                 check_vma=False,
@@ -1318,16 +1328,15 @@ class LLMEngine:
 
     def _spec_ok(self, batch) -> bool:
         """Speculative decoding applies when the adapter has a verify step
-        (Llama-likes incl. sliding window + int8) and the family is
-        stateless single-group.  Greedy rows accept on argmax equality
-        (token-exact vs plain decode); temperature>0 rows use rejection
-        sampling against their filtered target distribution
+        (Llama-likes incl. sliding window + int8, MLA, hybrid layer
+        groups) and the family is stateless.  Greedy rows accept on argmax
+        equality (token-exact vs plain decode); temperature>0 rows use
+        rejection sampling against their filtered target distribution
         (distribution-exact — see _spec_accept)."""
         return (
             self.cfg.spec_decode
             and self._verify_step_impl is not None
             and not self.has_state
-            and self.num_groups == 1
         )
 
     def _decode_dispatch(self) -> None:
@@ -1431,9 +1440,15 @@ class LLMEngine:
                 # a discarded post-cap token's KV on later iterations.
                 # Queries at >= cap produce garbage outputs, all discarded.
                 overflow = raw_pos >= cap  # incl. padded rows (max_lens 0)
-                slot_pages = jnp.where(
-                    overflow, 0, page_tables[b_idx, pos // P]
-                )
+                if page_tables.ndim == 3:  # [G, B, max_pages] hybrid groups
+                    slot_pages = jnp.where(
+                        overflow[None], 0,
+                        page_tables[:, b_idx, pos // P],
+                    )
+                else:
+                    slot_pages = jnp.where(
+                        overflow, 0, page_tables[b_idx, pos // P]
+                    )
                 slot_offsets = pos % P
                 # UNclamped: the kernel derives each query's position as
                 # (kv_lens - T) + j, so clamping at a row's cap would shift
@@ -1523,7 +1538,12 @@ class LLMEngine:
 
         ring = np.full((B, W), -1, np.int32)  # -1 pad: matches no n-gram
         seq_lens0 = np.zeros(B, np.int32)
-        page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        if self.num_groups > 1:
+            page_tables = np.zeros(
+                (self.num_groups, B, self.max_pages_per_seq), np.int32
+            )
+        else:
+            page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
         max_lens = np.zeros(B, np.int32)  # 0 for padded rows: all discarded
         temps = np.zeros(B, np.float32)
         top_ks = np.zeros(B, np.int32)
@@ -1532,7 +1552,10 @@ class LLMEngine:
             tail = seq.tokens[-W:]
             ring[i, W - len(tail):] = tail
             seq_lens0[i] = len(seq.tokens) - 1  # KV written so far
-            page_tables[i] = self._phys_row(seq)
+            if self.num_groups > 1:
+                page_tables[:, i] = self._phys_rows(seq)
+            else:
+                page_tables[i] = self._phys_row(seq)
             max_lens[i] = self._row_cap(seq)
             sp = seq.req.sampling
             temps[i] = sp.temperature

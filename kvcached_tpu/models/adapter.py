@@ -213,6 +213,19 @@ class HybridAdapter:
             tp_axis=tp_axis, interpret=interpret,
         )
 
+    def verify_step(self, params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    *, tp_axis=None, interpret=False, collect_kv=False):
+        """Speculative-decode verification across layer groups (each group
+        verifies with its own static window)."""
+        from .hybrid import hybrid_verify_step
+
+        return hybrid_verify_step(
+            params, self.cfg, tokens, positions, k_pools, v_pools,
+            page_tables, slot_pages, slot_offsets, seq_lens,
+            tp_axis=tp_axis, interpret=interpret, collect_kv=collect_kv,
+        )
+
     def param_specs(self, tp_axis: str) -> dict:
         from ..parallel.mesh import llama_param_specs
 

@@ -36,7 +36,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
+from ..ops.paged_attention import (
+    paged_attention_decode,
+    paged_attention_verify,
+    write_prefill_kv,
+)
 from ..ops.paged_prefill import paged_prefill_attention
 from .llama import init_llama_params, lm_head_logits, rms_norm, rope
 
@@ -214,6 +218,94 @@ def hybrid_decode_step(
     logits = lm_head_logits(x, params["lm_head"], tp_axis)
     if collect_kv:
         return logits, k_pools, v_pools, kv  # per GLOBAL layer [L,B,KH,D]
+    return logits, k_pools, v_pools
+
+
+def hybrid_verify_step(
+    params: dict,
+    cfg: HybridConfig,
+    tokens: jax.Array,  # [B, T]: [last_token, draft_1 .. draft_{T-1}]
+    positions: jax.Array,  # [B, T]
+    k_pools: jax.Array,  # [L_g, pages, KH, P, D] shared arena
+    v_pools: jax.Array,
+    page_tables: jax.Array,  # [G, B, max_pages] PHYSICAL ids per group
+    slot_pages: jax.Array,  # [G, B, T] write page per group (0 = discard)
+    slot_offsets: jax.Array,  # [B, T]
+    seq_lens: jax.Array,  # [B] INCLUDING all T fed tokens
+    *,
+    tp_axis: str | None = None,
+    interpret: bool = False,
+    collect_kv: bool = False,
+):
+    """Speculative-decode verification for hybrid layer groups: each layer
+    verifies T tokens per row through its group's pages with the group's
+    STATIC window (full-attention and sliding-window groups both draft —
+    the per-query window mask in the verify kernel is the multi-token
+    sibling of the decode branch above).  Returns
+    (logits [B, T, vocab], k_pools, v_pools[, (k, v) per global layer])."""
+    B, T = tokens.shape
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if tp_axis:
+        tp = jax.lax.axis_size(tp_axis)
+        H, KH = H // tp, KH // tp
+    windows = cfg.group_windows
+    G = len(windows)
+
+    x = params["embed"][tokens]  # [B, T, E]
+
+    def layer_fn(carry, layer):
+        x, k_pools, v_pools = carry
+        lp = layer["p"]
+        l_in_g = layer["lg"]
+        g_idx = layer["g"]
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q = rope((h @ lp["wq"]).reshape(B, T, H, D), positions,
+                 cfg.rope_theta)
+        k = rope((h @ lp["wk"]).reshape(B, T, KH, D), positions,
+                 cfg.rope_theta)
+        v = (h @ lp["wv"]).reshape(B, T, KH, D)
+
+        def make_branch(g: int):
+            w = windows[g]  # STATIC per branch
+
+            def branch(ops):
+                q, k, v, k_pools, v_pools = ops
+                return paged_attention_verify(
+                    q, k_pools, v_pools,
+                    page_tables[g], seq_lens, l_in_g,
+                    k.astype(k_pools.dtype), v.astype(v_pools.dtype),
+                    slot_pages[g], slot_offsets,
+                    interpret=interpret, window=w,
+                )
+
+            return branch
+
+        attn, k_pools, v_pools = jax.lax.switch(
+            g_idx, [make_branch(g) for g in range(G)],
+            (q, k, v, k_pools, v_pools),
+        )
+        attn_out = attn.reshape(B, T, H * D) @ lp["wo"]
+        x = x + _maybe_psum(attn_out, tp_axis)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        x = x + _maybe_psum(mlp, tp_axis)
+        return (x, k_pools, v_pools), ((k, v) if collect_kv else None)
+
+    layers = {
+        "p": params["layers"],
+        "g": jnp.asarray(cfg.group_index, jnp.int32),
+        "lg": jnp.asarray(cfg.layer_in_group, jnp.int32),
+    }
+    (x, k_pools, v_pools), kv = jax.lax.scan(
+        layer_fn, (x, k_pools, v_pools), layers
+    )
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = lm_head_logits(x, params["lm_head"], tp_axis)
+    if collect_kv:
+        return logits, k_pools, v_pools, kv  # per GLOBAL layer [L,B,T,KH,D]
     return logits, k_pools, v_pools
 
 

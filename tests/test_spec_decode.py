@@ -264,6 +264,39 @@ class TestMLAVerify:
         assert spec["tokens_per_dispatch"] > 1.0
 
 
+class TestHybridSpec:
+    def test_hybrid_engine_spec_token_exact(self):
+        """Hybrid layer groups (full-attn + sliding-window) through the
+        spec path: each layer verifies with its group's static window and
+        writes through its group's page row; token-exact vs plain."""
+        from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+
+        cfg = HybridConfig.toy(num_layers=4, window=32, dtype="float32")
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        sps = [SamplingParams(max_new_tokens=n) for n in (20, 8, 20)]
+        want, _ = serve(cfg, params, PROMPTS, sps, spec_decode=False)
+        got, spec = serve(cfg, params, PROMPTS, sps, spec_decode=True)
+        assert got == want, "hybrid spec decode changed greedy outputs"
+        assert spec["dispatches"] > 0
+
+    def test_hybrid_spec_on_mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = HybridConfig.toy(num_layers=4, window=32, dtype="float32")
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        prompts = PROMPTS + [[9, 9]]
+        sps = [SamplingParams(max_new_tokens=n) for n in (6, 6, 16, 16)]
+        want, _ = serve(cfg, params, prompts, sps, spec_decode=False,
+                        max_batch=4)
+        got, spec = serve(cfg, params, prompts, sps, spec_decode=True,
+                          max_batch=4, mesh=make_mesh(tp=2, dp=2))
+        assert got == want, "hybrid mesh spec decode diverged"
+        assert spec["dispatches"] > 0
+
+
 class TestSpecEngine:
     def test_token_exact_vs_plain_decode(self):
         cfg = toy_cfg()
