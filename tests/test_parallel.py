@@ -262,6 +262,19 @@ class TestPageTableIPC:
             if proc.is_alive():
                 proc.terminate()
 
+    def test_advertise_host_resolution(self, monkeypatch):
+        """A wildcard bind must never publish loopback to remote brokers:
+        env override wins, a specific bind host advertises itself, and the
+        auto path resolves to a routable (non-loopback) address."""
+        from kvcached_tpu.parallel.ipc import _advertise_host
+
+        monkeypatch.setenv("KVCACHED_ADVERTISE_HOST", "10.0.0.7")
+        assert _advertise_host("0.0.0.0") == "10.0.0.7"
+        assert _advertise_host("192.168.1.5") == "192.168.1.5"
+        monkeypatch.delenv("KVCACHED_ADVERTISE_HOST")
+        auto = _advertise_host("0.0.0.0")
+        assert auto and ":" not in auto
+
     def test_socket_path_stays_under_sun_path_limit(self):
         # long names are hashed+truncated so sun_path never overflows
         p = socket_path("x" * 200, 3, pp_rank=7)
