@@ -129,29 +129,29 @@ class MLAAdapter:
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, tp_axis=None, interpret=False):
+                    *, tp_axis=None, interpret=False, quant_scales=None):
         from .mla import mla_decode_step
 
         return mla_decode_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
-            tp_axis=tp_axis, interpret=interpret,
+            tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
         )
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
                      chunk_pages, page_table, q_start, true_len,
-                     *, tp_axis=None, interpret=False):
+                     *, tp_axis=None, interpret=False, quant_scales=None):
         from .mla import mla_prefill_step
 
         return mla_prefill_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             chunk_pages, page_table, q_start, true_len,
-            tp_axis=tp_axis, interpret=interpret,
+            tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
         )
 
     def verify_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, tp_axis=None, interpret=False):
+                    *, tp_axis=None, interpret=False, quant_scales=None):
         """Speculative-decode verification (DeepSeek MTP-style serving:
         absorbed multi-query attention over the latent buffer)."""
         from .mla import mla_verify_step
@@ -159,7 +159,7 @@ class MLAAdapter:
         return mla_verify_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
-            tp_axis=tp_axis, interpret=interpret,
+            tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
         )
 
     def param_specs(self, tp_axis: str) -> dict:

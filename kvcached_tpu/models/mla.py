@@ -198,9 +198,11 @@ def mla_decode_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    quant_scales: tuple | None = None,  # (k_scales, v_scales) [L, 1] f32
 ):
     B = tokens.shape[0]
     R = cfg.kv_lora_rank
+    k_scales, v_scales = quant_scales if quant_scales else (None, None)
 
     x = params["embed"][tokens]
     # tiny dummy: the MLA kernel variant never reads/aliases a V pool, but
@@ -219,6 +221,7 @@ def mla_decode_step(
             q_eff, k_pools, dummy_v, page_tables, seq_lens, l_idx,
             ent, ent, slot_pages, slot_offsets,
             sm_scale=cfg.sm_scale, interpret=interpret, mla_v_dim=R,
+            k_scales=k_scales, v_scales=v_scales,
         )  # [B, H, cache_dim]; valid value lanes = [:R]
         attn_lat = attn[..., :R]
         attn_out = _out_proj(cfg, lp, attn_lat) @ lp["wo"]
@@ -251,6 +254,7 @@ def mla_verify_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    quant_scales: tuple | None = None,
 ):
     """Speculative-decode verification for the MLA family: T tokens per
     sequence in one absorbed-attention pass over the single latent buffer
@@ -259,6 +263,7 @@ def mla_verify_step(
     (logits [B, T, vocab], k_pools, None)."""
     B, T = tokens.shape
     R = cfg.kv_lora_rank
+    k_scales, v_scales = quant_scales if quant_scales else (None, None)
 
     x = params["embed"][tokens]  # [B, T, E]
     dummy_v = jnp.zeros((1, 1, 1, 1, 128), k_pools.dtype)
@@ -283,6 +288,7 @@ def mla_verify_step(
             q_eff, k_pools, dummy_v, page_tables, seq_lens, l_idx,
             ent, ent, slot_pages, slot_offsets,
             sm_scale=cfg.sm_scale, interpret=interpret, mla_v_dim=R,
+            k_scales=k_scales, v_scales=v_scales,
         )  # [B, T, H, cache_dim]; valid value lanes = [:R]
         attn_lat = attn[..., :R].reshape(B * T, cfg.num_heads, R)
         attn_out = _out_proj(cfg, lp, attn_lat).reshape(B, T, -1) @ lp["wo"]
@@ -315,10 +321,12 @@ def mla_prefill_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    quant_scales: tuple | None = None,
 ):
     T = tokens.shape[0]
     R = cfg.kv_lora_rank
     kv_len = q_start + true_len
+    k_scales, v_scales = quant_scales if quant_scales else (None, None)
 
     x = params["embed"][tokens]
     dummy_v = jnp.zeros((1, 1, 1, 1, 128), k_pools.dtype)
@@ -334,10 +342,12 @@ def mla_prefill_step(
         k_pools = write_prefill_kv_single(
             k_pools, ent.transpose(1, 0, 2), chunk_pages, l_idx,
             interpret=interpret,
+            scale=k_scales[l_idx] if k_scales is not None else None,
         )
         attn = paged_prefill_attention(
             q_eff, k_pools, dummy_v, page_table, q_start, kv_len, l_idx,
             sm_scale=cfg.sm_scale, interpret=interpret, mla_v_dim=R,
+            k_scales=k_scales, v_scales=v_scales,
         )  # [T, H, cache_dim]
         attn_lat = attn[..., :R]
         attn_out = _out_proj(cfg, lp, attn_lat) @ lp["wo"]

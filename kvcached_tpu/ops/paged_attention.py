@@ -367,7 +367,9 @@ def _attn_body(
                 preferred_element_type=jnp.float32,
             )  # [KH, q_pad, v_dim]
             if quantized:
-                pv = pv * v_sc  # dequantize V via the output
+                # dequantize V via the output; MLA values come from the K
+                # buffer (quantized with the K scales)
+                pv = pv * (k_sc if mla else v_sc)
             if mla:
                 acc_scr[:, :, :v_head_dim] = (
                     acc_scr[:, :, :v_head_dim] * alpha + pv
@@ -928,7 +930,10 @@ def _verify_body(
                 preferred_element_type=jnp.float32,
             )
             if quantized:
-                pv = pv * head_scales(v_scales_ref, pv.shape, 0)
+                # MLA values come from the K buffer (K scales apply)
+                pv = pv * head_scales(
+                    k_scales_ref if mla else v_scales_ref, pv.shape, 0
+                )
             if mla:
                 acc_scr[:, :, :v_head_dim] = (
                     acc_scr[:, :, :v_head_dim] * alpha + pv
@@ -1258,13 +1263,22 @@ def write_prefill_kv_single(
     layer: jax.Array | int,
     *,
     interpret: bool = False,
+    scale: jax.Array | None = None,  # [KH] f32: int8 per-head scales
 ) -> jax.Array:
-    """Single-buffer prefill writer (MLA latent pool)."""
+    """Single-buffer prefill writer (MLA latent pool).  int8 pools
+    quantize on write with the given per-head scales (the K scales — the
+    latent buffer serves as both K and V)."""
     L, num_pages, num_kv_heads, page_tokens, head_dim = k_pool.shape
     T = k_new.shape[1]
     assert T % page_tokens == 0
     n = T // page_tokens
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    if jnp.dtype(k_pool.dtype) == jnp.int8:
+        assert scale is not None, "int8 pools need per-head scales"
+        k_new = jnp.clip(
+            jnp.round(k_new.astype(jnp.float32) / scale[:, None, None]),
+            -127, 127,
+        )
     (k_pool,) = pl.pallas_call(
         _prefill_write_single_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

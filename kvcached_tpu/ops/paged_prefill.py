@@ -187,7 +187,8 @@ def _prefill_kernel(
                 preferred_element_type=jnp.float32,
             )
             if quantized:
-                pv = pv * v_sc
+                # MLA values come from the K buffer (K scales apply)
+                pv = pv * (k_sc if mla else v_sc)
             if mla:
                 acc_scr[:, :, :v_head_dim] = (
                     acc_scr[:, :, :v_head_dim] * alpha + pv

@@ -138,6 +138,38 @@ class TestInt8Engine:
             b.shutdown()
             ref.shutdown()
 
+    def test_int8_mla_engine(self):
+        """int8 latent pool for the MLA family: the single buffer is
+        quantized with the K scales (values come from the same buffer).
+        Deterministic; first token agrees with the f32 engine; spec decode
+        stays token-exact vs int8 plain decode."""
+        from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+
+        cfg = MLAConfig.toy(dtype="float32")
+        params = init_mla_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [9] * 5]
+        sp = SamplingParams(max_new_tokens=10)
+        ecfg = dict(max_batch=2, max_model_len=128, page_tokens=32,
+                    decode_horizon=4, prefill_buckets=(32, 64), num_pages=32,
+                    interpret=True, kv_dtype="int8", kv_scale=0.02)
+
+        def run(**over):
+            eng = LLMEngine(cfg, EngineConfig(**{**ecfg, **over}),
+                            params=params)
+            try:
+                return [o.output_tokens for o in eng.generate(prompts, sp)]
+            finally:
+                eng.shutdown()
+
+        a = run()
+        assert a == run(), "int8 MLA generation not deterministic"
+        ref = run(kv_dtype="float32")
+        assert [t[0] for t in a] == [t[0] for t in ref], (
+            "first tokens diverged beyond quantization tolerance"
+        )
+        spec = run(spec_decode=True, spec_gamma=3)
+        assert spec == a, "int8 MLA spec decode diverged from int8 plain"
+
     def test_int8_pool_halves_memory(self, toy):
         cfg, params = toy
         e8 = self.make(cfg, params)
