@@ -406,6 +406,20 @@ class TestSpecEngine:
         np.testing.assert_array_equal(kp_s, kp_p)
         np.testing.assert_array_equal(vp_s, vp_p)
 
+    def test_spec_interleaves_with_chunked_prefill(self):
+        """A long prompt (beyond the largest bucket) chunk-prefills while
+        running sequences keep spec-decoding on alternate scheduler steps;
+        everything must stay token-exact vs plain decode."""
+        cfg = toy_cfg()
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        long_prompt = [((3 * j) % 120) + 1 for j in range(80)]  # > bucket 32
+        prompts = [PROMPTS[0], long_prompt, PROMPTS[2]]
+        sps = [SamplingParams(max_new_tokens=n) for n in (20, 10, 16)]
+        want, _ = serve(cfg, params, prompts, sps, spec_decode=False)
+        got, spec = serve(cfg, params, prompts, sps, spec_decode=True)
+        assert got == want, "spec + chunked prefill diverged"
+        assert spec["dispatches"] > 0
+
     def test_prefix_cache_reuse_after_spec(self):
         """Pages cached from a spec-decoded sequence must hold only VALID
         KV (rejected drafts write garbage past the accepted point, but
