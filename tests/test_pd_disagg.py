@@ -76,6 +76,41 @@ class TestInProcessHandoff:
             prefiller.shutdown()
             decoder.shutdown()
 
+    def test_spec_decoder_continues_import_exactly(self):
+        """A decode engine running SPECULATIVE decoding continues an
+        imported prefill token-exactly: the drafting ring seeds from the
+        handoff tokens and verify reads the imported pages.  (float32
+        weights AND pools: in bf16 the verify forward rounds differently
+        than the decode forward, so a greedy near-tie argmax could flip —
+        the documented spec-decode caveat, not a PD bug.)"""
+        cfg = LlamaConfig.toy(dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ecfg = {**ECFG, "kv_dtype": "float32"}
+        want = local_reference(cfg, params, ecfg)
+
+        prefiller = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        decoder = LLMEngine(
+            cfg, EngineConfig(**{**ecfg, "spec_decode": True,
+                                 "spec_gamma": 3}),
+            params=params,
+        )
+        try:
+            rid = prefiller.add_request(
+                PROMPT, SamplingParams(max_new_tokens=MAX_NEW)
+            )
+            prefiller.step()  # prefill only
+            new_id = decoder.import_sequence(prefiller.export_sequence(rid))
+            while decoder.has_unfinished():
+                decoder.step()
+            out = next(
+                o for o in decoder.finished_outputs if o.req_id == new_id
+            )
+            assert out.output_tokens == want, "spec PD continuation diverged"
+            assert decoder.kv_metrics()["spec"]["dispatches"] > 0
+        finally:
+            prefiller.shutdown()
+            decoder.shutdown()
+
     def test_wire_roundtrip(self, toy):
         from kvcached_tpu.parallel.pd import SeqHandoff
 
