@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
               interpret=True, model_cfg=None, page_tokens=16,
-              adaptive_horizon=True, max_model_len=256, hold_frac=0.125):
+              adaptive_horizon=True, max_model_len=256, hold_frac=0.125,
+              max_batch=None):
     import jax
 
     from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
@@ -38,7 +39,7 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
     cfg = model_cfg or LlamaConfig.toy()
     params = init_llama_params(cfg, jax.random.PRNGKey(0))
     ec = dict(
-        max_batch=4 if interpret else 8,
+        max_batch=max_batch or (4 if interpret else 8),
         max_model_len=max_model_len, page_tokens=page_tokens,
         decode_horizon=4, prefill_buckets=(64,), num_pages=num_pages,
         interpret=interpret, enable_prefix_caching=False,
@@ -115,6 +116,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--burst", type=int, default=12)
+    ap.add_argument("--max-batch", type=int, default=None)
     args = ap.parse_args()
 
     kw = {}
@@ -137,8 +139,10 @@ def main():
                       num_kv_heads=4, intermediate_size=2816))
 
     print("== latency benefit: elastic shared pool vs static partition ==")
-    static = run_burst(elastic=False, burst=args.burst, **kw)
-    elastic = run_burst(elastic=True, burst=args.burst, **kw)
+    static = run_burst(elastic=False, burst=args.burst,
+                       max_batch=args.max_batch, **kw)
+    elastic = run_burst(elastic=True, burst=args.burst,
+                        max_batch=args.max_batch, **kw)
     for name, r in (("static", static), ("elastic", elastic)):
         print(f"{name:8}: mean TTFT {r['mean_ttft_s']*1e3:8.1f} ms  "
               f"p99 {r['p99_ttft_s']*1e3:8.1f} ms  "
