@@ -75,7 +75,11 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
         a.add_request(
             [i + 2] * (32 + 16 * (i % 4)),
             SamplingParams(
-                max_new_tokens=max(16, max_new - 24 * (i % 5))
+                # clamp so prompt+max_new fits max_model_len at any i
+                max_new_tokens=min(
+                    max(16, max_new - 24 * (i % 5)),
+                    max_model_len - (32 + 16 * (i % 4)),
+                )
             ),
         )
         for i in range(burst)
@@ -121,6 +125,14 @@ def main():
 
     kw = {}
     if args.tpu:
+        # Scale the prealloc reserve to this bench's deliberately tiny pool
+        # (44 pages).  The reference keeps 5-10 pre-mapped pages warm on an
+        # 80 GB pool (thousands of pages, <1%); 5-10 of 44 would withhold up
+        # to 23% of the pool from serving and distort the utilization
+        # numerator for BOTH runs.  1-2 pages preserves the same
+        # map-off-critical-path behavior at the production ratio.
+        os.environ.setdefault("KVCACHED_MIN_RESERVED_PAGES", "1")
+        os.environ.setdefault("KVCACHED_MAX_RESERVED_PAGES", "2")
         from kvcached_tpu.models.llama import LlamaConfig
 
         # memory-pressured pool: burst demand ≈ pool size, so the static
