@@ -154,6 +154,10 @@ def engine_wallclock(gamma: int):
             max_batch=8, max_model_len=2048, page_tokens=64,
             decode_horizon=8, prefill_buckets=(64, 128),
             num_pages=1024, adaptive_horizon=False,
+            # identical prompts every rep: prefix caching would let reps
+            # 2-3 skip prefill, so the median would select warm-cache
+            # throughput instead of filtering tunnel noise (ADVICE r2)
+            enable_prefix_caching=False,
             # match the decode horizon: per-token host-dispatch overhead
             # (~30 ms on the axon tunnel) must be amortized over the same
             # number of on-device iterations for a fair wall-clock race

@@ -1,0 +1,367 @@
+"""Real-chip validation queue for interpret-only kernels (round-3 task 1).
+
+Round 2 ended in an axon-tunnel outage, leaving the verify kernel's
+cross-row chunk-0 prefetch, MLA verify, hybrid-group verify and int8-MLA
+modes tested only in Pallas interpret mode.  Interpret mode has already
+hidden two Mosaic bug classes (rank-4 VMEM blocks, scalar stack+reshape),
+so each of those kernels counts as unvalidated until it runs on the v5e.
+
+This script ports the exact tests from tests/test_spec_decode.py (which
+hardcode interpret=True for CPU) onto the real chip with interpret=False,
+plus engine-level token-exactness smokes for the MLA / hybrid spec paths.
+
+Run:  python benchmarks/realchip_validate.py [case ...]
+Prints one PASS/FAIL line per case and exits nonzero on any failure.
+
+Reference analogue: every kvcached number is measured on hardware
+(/root/reference/benchmarks/*/README.md); this is the TPU build's
+equivalent hardware gate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# The f32 equivalence checks compare two reduction orders (verify vs
+# chained decode) at tight tolerances; on TPU f32 matmuls default to bf16
+# MXU operands, so those cases force full precision.  The override must be
+# scoped PER CASE: a global "highest" makes Mosaic emit
+# contract_precision<fp32> for bf16 MXU dots, which fails to compile
+# ("Bad lhs type") — bf16/int8 cases run at production default precision
+# with correspondingly looser output tolerances (pool writes are bit-exact
+# either way).
+F32_CASES = frozenset({
+    "verify_basic", "verify_prefetch_mixed", "verify_window", "verify_mla",
+    "engine_spec_llama", "engine_spec_mla", "engine_spec_hybrid",
+})
+
+
+def _mk_case(rng, L, NP_, KH, PT, D, H, B, T, base, table_rows,
+             dtype=np.float32):
+    kp = rng.normal(size=(L, NP_, KH, PT, D)).astype(dtype)
+    vp = rng.normal(size=(L, NP_, KH, PT, D)).astype(dtype)
+    tables = np.zeros((B, max(len(r) for r in table_rows) + 1), np.int32)
+    for i, r in enumerate(table_rows):
+        tables[i, : len(r)] = r
+    q = rng.normal(size=(B, T, H, D)).astype(dtype)
+    k_new = rng.normal(size=(B, T, KH, D)).astype(dtype)
+    v_new = rng.normal(size=(B, T, KH, D)).astype(dtype)
+    base = np.asarray(base)
+    seq_lens = jnp.asarray(base - 1 + T, jnp.int32)
+    pos = np.stack([base - 1 + j for j in range(T)], 1)
+    slot_pages = jnp.asarray(tables[np.arange(B)[:, None], pos // PT])
+    slot_offsets = jnp.asarray(pos % PT)
+    return (jnp.asarray(q), kp, vp, jnp.asarray(tables), seq_lens,
+            jnp.asarray(k_new), jnp.asarray(v_new), slot_pages,
+            slot_offsets, base)
+
+
+def _verify_vs_chain(name, *, KH=2, PT=16, D=128, H=4, base, table_rows,
+                     T=3, NP_=24, L=2, dtype="float32", window=None,
+                     pages_per_chunk=None, kv_scale=None, atol=1e-5):
+    """Run verify once and T chained decode steps; outputs within atol,
+    pool bytes identical."""
+    from kvcached_tpu.ops.paged_attention import (
+        paged_attention_decode,
+        paged_attention_verify,
+    )
+
+    B = len(base)
+    rng = np.random.default_rng(hash(name) % 2**32)
+    (q, kp_np, vp_np, tables, seq_lens, k_new, v_new, sp_t, so_t,
+     base) = _mk_case(rng, L, NP_, KH, PT, D, H, B, T, base, table_rows)
+
+    jdt = jnp.dtype(dtype)
+    scales = None
+    if jdt == jnp.int8:
+        # int8 pools: pre-quantized content + per-head scales; new tokens
+        # arrive unquantized (f32) and are quantized in-kernel on write
+        scales = jnp.full((L, KH), kv_scale, jnp.float32)
+        kp0 = jnp.clip(jnp.round(jnp.asarray(kp_np) / kv_scale), -127, 127
+                       ).astype(jnp.int8)
+        vp0 = jnp.clip(jnp.round(jnp.asarray(vp_np) / kv_scale), -127, 127
+                       ).astype(jnp.int8)
+    else:
+        kp0 = jnp.asarray(kp_np, jdt)
+        vp0 = jnp.asarray(vp_np, jdt)
+        q = q.astype(jdt)
+        k_new = k_new.astype(jdt)
+        v_new = v_new.astype(jdt)
+
+    kw = {}
+    if window is not None:
+        kw["window"] = window
+    if pages_per_chunk is not None:
+        kw["pages_per_chunk"] = pages_per_chunk
+    if scales is not None:
+        kw["k_scales"] = scales
+        kw["v_scales"] = scales
+
+    # both kernels donate their pool args — give each path its own copy
+    kp, vp = jnp.array(kp0), jnp.array(vp0)
+    out_v, kp_v, vp_v = paged_attention_verify(
+        q, kp0, vp0, tables, seq_lens, 0, k_new, v_new, sp_t, so_t, **kw)
+    outs = []
+    for j in range(T):
+        sl = jnp.asarray(base + j, jnp.int32)
+        p = sl - 1
+        sp = tables[jnp.arange(B), p // PT]
+        so = p % PT
+        dkw = dict(kw)
+        dkw.pop("pages_per_chunk", None)
+        o, kp, vp = paged_attention_decode(
+            q[:, j], kp, vp, tables, sl, 0, k_new[:, j], v_new[:, j],
+            sp, so, **dkw)
+        outs.append(o)
+    out_seq = jnp.stack(outs, 1)
+
+    assert jnp.allclose(out_v, out_seq, atol=atol), (
+        f"out mismatch: max diff {jnp.abs(out_v - out_seq).max()}")
+    assert jnp.array_equal(kp_v, kp), "k_pool bytes diverged"
+    assert jnp.array_equal(vp_v, vp), "v_pool bytes diverged"
+
+
+def case_verify_basic():
+    _verify_vs_chain("basic", base=[5, 17, 30],
+                     table_rows=[[1], [2, 3], [4, 5, 6]], T=4, NP_=16)
+
+
+def case_verify_prefetch_mixed():
+    """Cross-row chunk-0 prefetch: pages_per_chunk=1 so the prefetch-safety
+    predicate flips between long (safe) and short (unsafe) rows."""
+    _verify_vs_chain(
+        "prefetch", base=[70, 9, 55, 14],
+        table_rows=[[1, 2, 3, 4, 5], [6], [7, 8, 9, 10], [11, 12]],
+        T=3, NP_=24, L=1, pages_per_chunk=1)
+
+
+def case_verify_window():
+    _verify_vs_chain("window", base=[40, 18], table_rows=[[1, 2, 3], [4, 5]],
+                     T=3, NP_=16, L=1, window=24)
+
+
+def case_verify_bf16():
+    _verify_vs_chain("bf16", base=[5, 17, 30],
+                     table_rows=[[1], [2, 3], [4, 5, 6]], T=4, NP_=16,
+                     dtype="bfloat16", atol=0.05)
+
+
+def case_verify_int8():
+    _verify_vs_chain("int8", base=[5, 17, 30],
+                     table_rows=[[1], [2, 3], [4, 5, 6]], T=4, NP_=16,
+                     dtype="int8", kv_scale=0.05, atol=0.05)
+
+
+def _mla_verify(dtype, kv_scale=None, atol=1e-5):
+    from kvcached_tpu.ops.paged_attention import (
+        paged_attention_decode,
+        paged_attention_verify,
+    )
+
+    L, NP_, PT, D, R = 2, 12, 16, 256, 128
+    H, B, T = 4, 2, 3
+    rng = np.random.default_rng(7)
+    kp_np = rng.normal(size=(L, NP_, 1, PT, D)).astype(np.float32)
+    base = np.array([6, 21])
+    tables = np.zeros((B, 4), np.int32)
+    tables[0, :1] = [1]
+    tables[1, :2] = [2, 3]
+    tables_j = jnp.asarray(tables)
+    jdt = jnp.dtype(dtype)
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    ent = jnp.asarray(rng.normal(size=(B, T, 1, D)), jnp.float32)
+    kw = {}
+    if jdt == jnp.int8:
+        scales = jnp.full((L, 1), kv_scale, jnp.float32)
+        kp0 = jnp.clip(jnp.round(jnp.asarray(kp_np) / kv_scale), -127, 127
+                       ).astype(jnp.int8)
+        kw["k_scales"] = scales
+        kw["v_scales"] = scales
+        dummy_v = jnp.zeros((1, 1, 1, 1, 128), jnp.int8)
+    else:
+        kp0 = jnp.asarray(kp_np, jdt)
+        q = q.astype(jdt)
+        ent = ent.astype(jdt)
+        dummy_v = jnp.zeros((1, 1, 1, 1, 128), jdt)
+    seq_lens = jnp.asarray(base - 1 + T, jnp.int32)
+    pos = np.stack([base - 1 + j for j in range(T)], 1)
+    slot_pages = jnp.asarray(tables[np.arange(B)[:, None], pos // PT])
+    slot_offsets = jnp.asarray(pos % PT)
+
+    kp = jnp.array(kp0)  # both kernels donate the latent pool
+    out_v, kp_v, none_v = paged_attention_verify(
+        q, kp0, jnp.array(dummy_v), tables_j, seq_lens, 0, ent, ent,
+        slot_pages, slot_offsets, mla_v_dim=R, **kw)
+    assert none_v is None
+    outs = []
+    for j in range(T):
+        sl = jnp.asarray(base + j, jnp.int32)
+        p = sl - 1
+        sp = tables_j[jnp.arange(B), p // PT]
+        so = p % PT
+        o, kp, _ = paged_attention_decode(
+            q[:, j], kp, jnp.array(dummy_v), tables_j, sl, 0,
+            ent[:, j], ent[:, j], sp, so, mla_v_dim=R, **kw)
+        outs.append(o)
+    out_seq = jnp.stack(outs, 1)
+    d = jnp.abs(out_v[..., :R] - out_seq[..., :R]).max()
+    assert jnp.allclose(out_v[..., :R], out_seq[..., :R], atol=atol), (
+        f"MLA out mismatch: max diff {d}")
+    assert jnp.array_equal(kp_v, kp), "MLA latent pool bytes diverged"
+
+
+def case_verify_mla():
+    _mla_verify("float32")
+
+
+def case_verify_mla_bf16():
+    _mla_verify("bfloat16", atol=0.05)
+
+
+def case_verify_mla_int8():
+    _mla_verify("int8", kv_scale=0.05, atol=0.05)
+
+
+# --- engine-level smokes: spec decode must be token-exact vs plain ------
+
+_PROMPTS = [[1, 2, 3, 1, 2, 3, 1, 2], list(range(40, 60)), [7] * 5]
+
+
+def _serve(cfg, params, prompts, sps, **over):
+    from kvcached_tpu.engine import EngineConfig, LLMEngine
+
+    ecfg = dict(
+        max_batch=3, max_model_len=192, page_tokens=16, decode_horizon=4,
+        prefill_buckets=(16, 32), num_pages=64, kv_dtype="float32",
+        adaptive_horizon=False,
+    )
+    ecfg.update(over)
+    eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+    try:
+        rids = [eng.add_request(list(p), s) for p, s in zip(prompts, sps)]
+        while eng.has_unfinished():
+            eng.step()
+        idx = {r: i for i, r in enumerate(rids)}
+        outs = {idx[o.req_id]: o.output_tokens for o in eng.finished_outputs}
+        return outs, eng.kv_metrics().get("spec")
+    finally:
+        eng.shutdown()
+
+
+def case_engine_spec_llama():
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=2, head_dim=128,
+                      intermediate_size=256, dtype="float32")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    sps = [SamplingParams(max_new_tokens=16)] * 3
+    want, _ = _serve(cfg, params, _PROMPTS, sps, spec_decode=False)
+    got, spec = _serve(cfg, params, _PROMPTS, sps, spec_decode=True)
+    assert got == want, "llama spec decode changed greedy outputs"
+    assert spec["dispatches"] > 0 and spec["tokens_per_dispatch"] > 1.0
+
+
+def case_engine_spec_mla():
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+
+    cfg = MLAConfig.toy(dtype="float32")
+    params = init_mla_params(cfg, jax.random.PRNGKey(0))
+    sps = [SamplingParams(max_new_tokens=16)] * 3
+    want, _ = _serve(cfg, params, _PROMPTS, sps, spec_decode=False)
+    got, spec = _serve(cfg, params, _PROMPTS, sps, spec_decode=True)
+    assert got == want, "MLA spec decode changed greedy outputs"
+    assert spec["dispatches"] > 0
+
+
+def case_engine_spec_hybrid():
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+
+    cfg = HybridConfig.toy(num_layers=4, window=32, dtype="float32")
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+    sps = [SamplingParams(max_new_tokens=n) for n in (20, 8, 20)]
+    want, _ = _serve(cfg, params, _PROMPTS, sps, spec_decode=False)
+    got, spec = _serve(cfg, params, _PROMPTS, sps, spec_decode=True)
+    assert got == want, "hybrid spec decode changed greedy outputs"
+    assert spec["dispatches"] > 0
+
+
+def case_engine_spec_int8():
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=2, head_dim=128,
+                      intermediate_size=256, dtype="float32")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    sps = [SamplingParams(max_new_tokens=12)] * 3
+    over = dict(kv_dtype="int8", kv_scale=0.05, page_tokens=32,
+                prefill_buckets=(32, 64))
+    want, _ = _serve(cfg, params, _PROMPTS, sps, spec_decode=False, **over)
+    got, _ = _serve(cfg, params, _PROMPTS, sps, spec_decode=True, **over)
+    assert got == want, "int8 spec decode diverged from int8 plain"
+
+
+CASES = {
+    "verify_basic": case_verify_basic,
+    "verify_prefetch_mixed": case_verify_prefetch_mixed,
+    "verify_window": case_verify_window,
+    "verify_bf16": case_verify_bf16,
+    "verify_int8": case_verify_int8,
+    "verify_mla": case_verify_mla,
+    "verify_mla_bf16": case_verify_mla_bf16,
+    "verify_mla_int8": case_verify_mla_int8,
+    "engine_spec_llama": case_engine_spec_llama,
+    "engine_spec_mla": case_engine_spec_mla,
+    "engine_spec_hybrid": case_engine_spec_hybrid,
+    "engine_spec_int8": case_engine_spec_int8,
+}
+
+
+def _nullcontext():
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
+def main():
+    names = sys.argv[1:] or list(CASES)
+    plat = jax.devices()[0].platform
+    print(f"platform={plat} devices={jax.devices()}", flush=True)
+    if plat != "tpu":
+        print("WARNING: not running on TPU — this validates nothing",
+              flush=True)
+    failures = []
+    for name in names:
+        t0 = time.monotonic()
+        prec = "highest" if name in F32_CASES else None
+        try:
+            with jax.default_matmul_precision(prec) if prec else (
+                    _nullcontext()):
+                CASES[name]()
+            dt = time.monotonic() - t0
+            print(f"PASS {name} ({dt:.1f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            dt = time.monotonic() - t0
+            print(f"FAIL {name} ({dt:.1f}s): {type(e).__name__}: {e}",
+                  flush=True)
+            failures.append(name)
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed", flush=True)
+    if failures:
+        print("failed:", ", ".join(failures), flush=True)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -229,6 +229,15 @@ class EngineConfig:
     spec_ngram: int = 2  # trailing n-gram matched for prompt lookup
     spec_horizon: int = 4  # on-device verify iterations per dispatch
     spec_window: int = 128  # token ring the device drafts from
+    #: batched prefill: stack up to this many waiting prompts into ONE
+    #: padded (bucket × batch) prefill dispatch — the weights stream once
+    #: for N prompts and the host pays one dispatch instead of N (the
+    #: dominant TTFT cost under bursty colocation, where each dispatch
+    #: carries ~30 ms of tunnel overhead).  Token-exact vs serial prefill
+    #: (rows are independent in the kernel).  1 = off.  Applies to
+    #: single-group stateless families with a prefill_batch_step adapter;
+    #: long prompts beyond the largest bucket keep the chunked serial path.
+    prefill_batch: int = 1
     #: acceptance-driven gamma: walk a power-of-two ladder ≤ spec_gamma on
     #: an EMA of accepted drafts/iteration, and cool off to plain decode
     #: when drafting is useless (vLLM's dynamic speculative length idea).

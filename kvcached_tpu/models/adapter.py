@@ -88,6 +88,21 @@ class LlamaAdapter:
             tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
         )
 
+    def prefill_batch_step(self, params, tokens, positions, k_pools,
+                           v_pools, chunk_pages, page_tables, q_starts,
+                           true_lens, *, tp_axis=None, interpret=False,
+                           quant_scales=None):
+        """Batched prefill: N chunks in one dispatch, bit-identical to N
+        serial prefill_step calls (adapters without this method prefill
+        serially)."""
+        from .llama import llama_prefill_batch_step
+
+        return llama_prefill_batch_step(
+            params, self.cfg, tokens, positions, k_pools, v_pools,
+            chunk_pages, page_tables, q_starts, true_lens,
+            tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
+        )
+
     def verify_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
                     *, tp_axis=None, interpret=False, quant_scales=None,

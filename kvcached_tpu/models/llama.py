@@ -32,7 +32,10 @@ from ..ops.paged_attention import (
     paged_attention_verify,
     write_prefill_kv,
 )
-from ..ops.paged_prefill import paged_prefill_attention
+from ..ops.paged_prefill import (
+    paged_prefill_attention,
+    paged_prefill_attention_batch,
+)
 
 
 @dataclass(frozen=True)
@@ -402,5 +405,89 @@ def llama_prefill_step(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     last = x[jnp.maximum(true_len - 1, 0)]
+    logits = lm_head_logits(last, params["lm_head"], tp_axis)
+    return logits, k_pools, v_pools
+
+
+def llama_prefill_batch_step(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [N, T] int32: N chunks padded to a shared bucket
+    positions: jax.Array,  # [N, T] int32 = q_starts[:, None] + arange(T)
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    chunk_pages: jax.Array,  # [N, T // page_tokens] int32 (0 = discard)
+    page_tables: jax.Array,  # [N, max_pages] int32 full-sequence pages
+    q_starts: jax.Array,  # [N] int32 global position of tokens[:, 0]
+    true_lens: jax.Array,  # [N] int32 real new tokens per row (0 = pad row)
+    *,
+    tp_axis: str | None = None,
+    interpret: bool = False,
+    quant_scales: tuple | None = None,  # (k_scales, v_scales) [L, KH] f32
+):
+    """Prefill N sequences' chunks in ONE forward pass: the weights stream
+    through HBM once for all N prompts and the host pays one dispatch
+    instead of N (the reference's host engines batch prefills the same
+    way).  Rows are independent — each writes through its own chunk_pages
+    and masks with its own (q_start, true_len) — so the result is
+    bit-identical to N serial :func:`llama_prefill_step` calls.  Padding
+    rows (true_len 0, chunk_pages 0) write to the zero page and produce
+    discarded logits.  Returns (logits_last [N, vocab], k_pools, v_pools).
+    """
+    N, T = tokens.shape
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if tp_axis:
+        tp = jax.lax.axis_size(tp_axis)
+        H, KH = H // tp, KH // tp
+    kv_lens = q_starts + true_lens
+
+    x = params["embed"][tokens]  # [N, T, E]
+
+    def layer_fn(carry, layer):
+        x, k_pools, v_pools = carry
+        lp, l_idx = layer["p"], layer["i"]
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q = (h @ lp["wq"]).reshape(N, T, H, D)
+        k = (h @ lp["wk"]).reshape(N, T, KH, D)
+        v = (h @ lp["wv"]).reshape(N, T, KH, D)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+
+        k_sc, v_sc = (
+            (quant_scales[0][l_idx], quant_scales[1][l_idx])
+            if quant_scales else (None, None)
+        )
+        # page writes don't care which sequence a page belongs to: flatten
+        # the batch into one [KH, N*T, D] stream over [N * T/P] pages and
+        # reuse the single-sequence writer kernel unchanged
+        k_pools, v_pools = write_prefill_kv(
+            k_pools, v_pools,
+            k.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
+            v.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
+            chunk_pages.reshape(-1), l_idx,
+            interpret=interpret,
+            k_scale=k_sc, v_scale=v_sc,
+        )
+
+        attn = paged_prefill_attention_batch(
+            q, k_pools, v_pools, page_tables, q_starts, kv_lens, l_idx,
+            interpret=interpret, window=cfg.sliding_window,
+            k_scales=quant_scales[0] if quant_scales else None,
+            v_scales=quant_scales[1] if quant_scales else None,
+        )  # [N, T, H, D]
+        attn_out = attn.reshape(N, T, H * D) @ lp["wo"]
+        x = x + _maybe_psum(attn_out, tp_axis)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        x = x + _maybe_psum(mlp, tp_axis)
+        return (x, k_pools, v_pools), None
+
+    layers = {"p": params["layers"], "i": jnp.arange(cfg.num_layers)}
+    (x, k_pools, v_pools), _ = jax.lax.scan(layer_fn, (x, k_pools, v_pools), layers)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    last = x[jnp.arange(N), jnp.maximum(true_lens - 1, 0)]  # [N, E]
     logits = lm_head_logits(last, params["lm_head"], tp_axis)
     return logits, k_pools, v_pools

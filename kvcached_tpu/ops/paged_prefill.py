@@ -34,8 +34,8 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _prefill_kernel(
     # scalar prefetch
-    page_table_ref,  # [max_pages] int32 physical ids for THIS sequence
-    meta_ref,  # [2] int32: (q_start, kv_len)
+    page_table_ref,  # [N, max_pages] int32 physical ids per sequence
+    meta_ref,  # [N, 2] int32: (q_start, kv_len) per sequence
     layer_ref,  # [1] int32
     k_scales_ref,  # [L, KH] f32: int8 per-head scales (ones if unused)
     v_scales_ref,
@@ -64,7 +64,8 @@ def _prefill_kernel(
     quantized: bool = False,
 ):
     mla = v_head_dim is not None
-    tile = pl.program_id(0)
+    b = pl.program_id(0)  # sequence within the prefill batch
+    tile = pl.program_id(1)
     layer = layer_ref[0]
     if quantized:
         from .paged_attention import _select_head_scales
@@ -75,8 +76,8 @@ def _prefill_kernel(
         v_sc = _select_head_scales(
             v_scales_ref, layer, num_kv_heads, (num_kv_heads, 1, 1), 0
         )
-    q_start = meta_ref[0]
-    kv_len = meta_ref[1]
+    q_start = meta_ref[b, 0]
+    kv_len = meta_ref[b, 1]
     C = pages_per_chunk
     chunk_tokens = C * page_tokens
 
@@ -94,7 +95,7 @@ def _prefill_kernel(
 
     def page_dma(chunk, j, slot, kv):
         page_idx = jnp.minimum(first_page + chunk * C + j, num_pages - 1)
-        page_id = page_table_ref[page_idx]
+        page_id = page_table_ref[b, page_idx]
         pool = k_pool_ref if kv == 0 else v_pool_ref
         buf = k_buf if kv == 0 else v_buf
         return pltpu.make_async_copy(
@@ -238,8 +239,59 @@ def paged_prefill_attention(
 ) -> jax.Array:
     """Causal attention of a prefill chunk against its sequence's pages.
     Returns [T, num_q_heads, head_dim].  KV for the chunk must already be
-    written to the pages (write_prefill_kv runs first)."""
-    T, num_q_heads, head_dim = q.shape
+    written to the pages (write_prefill_kv runs first).  This is the N=1
+    view of :func:`paged_prefill_attention_batch`."""
+    out = paged_prefill_attention_batch(
+        q[None],
+        k_pool,
+        v_pool,
+        page_table[None],
+        jnp.asarray(q_start, jnp.int32)[None],
+        jnp.asarray(kv_len, jnp.int32)[None],
+        layer,
+        sm_scale=sm_scale,
+        interpret=interpret,
+        pages_per_chunk=pages_per_chunk,
+        q_tile=q_tile,
+        mla_v_dim=mla_v_dim,
+        window=window,
+        k_scales=k_scales,
+        v_scales=v_scales,
+    )
+    return out[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "interpret", "pages_per_chunk", "q_tile",
+                     "mla_v_dim", "window"),
+)
+def paged_prefill_attention_batch(
+    q: jax.Array,  # [N, T, num_q_heads, head_dim] (N independent chunks)
+    k_pool: jax.Array,  # [L, num_pages, num_kv_heads, page_tokens, head_dim]
+    v_pool: jax.Array,
+    page_tables: jax.Array,  # [N, max_pages] int32 physical pages per seq
+    q_starts: jax.Array,  # [N] global position of each row's q[:, 0]
+    kv_lens: jax.Array,  # [N] total valid tokens (q_start + true chunk len)
+    layer: jax.Array | int = 0,
+    *,
+    sm_scale: float | None = None,
+    interpret: bool = False,
+    pages_per_chunk: int | None = None,
+    q_tile: int = 128,
+    mla_v_dim: int | None = None,
+    window: int | None = None,
+    k_scales: jax.Array | None = None,  # [L, KH] f32 (int8 pools)
+    v_scales: jax.Array | None = None,
+) -> jax.Array:
+    """Batched prefill attention: N sequences' chunks in ONE dispatch
+    (grid (N, tiles)); each grid row masks with its own (q_start, kv_len)
+    and streams its own page table.  Rows are independent, so this is
+    bit-identical to N serial :func:`paged_prefill_attention` calls while
+    streaming the weights once and paying one dispatch.  Rows whose
+    ``kv_len`` is 0 (padding rows in a fixed-size batch) produce zeros.
+    Returns [N, T, num_q_heads, head_dim]."""
+    N, T, num_q_heads, head_dim = q.shape
     _, _, num_kv_heads, page_tokens, _ = k_pool.shape
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
@@ -249,22 +301,23 @@ def paged_prefill_attention(
     assert T % q_tile == 0, f"T={T} must be a multiple of q_tile={q_tile}"
     num_tiles = T // q_tile
     rows = q_tile * group
-    max_pages = page_table.shape[0]
+    max_pages = page_tables.shape[1]
     C = pages_per_chunk or _pick_chunk(
         num_kv_heads, page_tokens, head_dim, jnp.dtype(k_pool.dtype).itemsize,
         max_pages,
     )
 
-    # [T, QH, D] -> [KH, T*group, D] with row r = t*group + g
+    # [N, T, QH, D] -> [N, KH, T*group, D] with row r = t*group + g
     qg = (
-        q.reshape(T, num_kv_heads, group, head_dim)
-        .transpose(1, 0, 2, 3)
-        .reshape(1, num_kv_heads, T * group, head_dim)
+        q.reshape(N, T, num_kv_heads, group, head_dim)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(N, num_kv_heads, T * group, head_dim)
     )
 
     meta = jnp.stack(
-        [jnp.asarray(q_start, jnp.int32), jnp.asarray(kv_len, jnp.int32)]
-    )
+        [jnp.asarray(q_starts, jnp.int32), jnp.asarray(kv_lens, jnp.int32)],
+        axis=1,
+    )  # [N, 2]
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     quantized = jnp.dtype(k_pool.dtype) == jnp.int8
     L = k_pool.shape[0]
@@ -288,18 +341,18 @@ def paged_prefill_attention(
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
-            grid=(num_tiles,),
+            grid=(N, num_tiles),
             in_specs=[
                 pl.BlockSpec(
                     (1, num_kv_heads, rows, head_dim),
-                    lambda t, *_: (0, 0, t, 0),
+                    lambda b, t, *_: (b, 0, t, 0),
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, num_kv_heads, rows, head_dim),
-                lambda t, *_: (0, 0, t, 0),
+                lambda b, t, *_: (b, 0, t, 0),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, num_kv_heads, C, page_tokens, head_dim), k_pool.dtype),
@@ -316,18 +369,18 @@ def paged_prefill_attention(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (1, num_kv_heads, T * group, head_dim), q.dtype
+            (N, num_kv_heads, T * group, head_dim), q.dtype
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table, meta, layer_arr, k_scales, v_scales, qg, k_pool, v_pool)
+    )(page_tables, meta, layer_arr, k_scales, v_scales, qg, k_pool, v_pool)
 
-    # [1, KH, T*group, D] -> [T, QH, D]
+    # [N, KH, T*group, D] -> [N, T, QH, D]
     out = (
-        out.reshape(num_kv_heads, T, group, head_dim)
-        .transpose(1, 0, 2, 3)
-        .reshape(T, num_q_heads, head_dim)
+        out.reshape(N, num_kv_heads, T, group, head_dim)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(N, T, num_q_heads, head_dim)
     )
     return out
