@@ -462,6 +462,7 @@ class LLMEngine:
         # dispatches near a sequence's cap use a shorter scan, avoiding
         # wasted post-cap steps)
         self._verify_step_impl = None  # set by _build_step_impls if supported
+        self._prefill_batch_step_impl = None  # ditto (batched prefill)
         self._build_step_impls()
         self._decode_fns: dict[int, object] = {}
         self._verify_fns: dict[int, object] = {}  # per T = gamma+1
@@ -473,6 +474,18 @@ class LLMEngine:
         self._spec_gamma_cur = self.cfg.spec_gamma
         self._spec_cooldown = 0
         self._prefill_fn = self._build_prefill_fn()
+        self._prefill_batch_fn = (
+            self._build_prefill_batch_fn()
+            if self._batched_prefill_enabled() else None
+        )
+
+    def _batched_prefill_enabled(self) -> bool:
+        return (
+            self.cfg.prefill_batch > 1
+            and self._prefill_batch_step_impl is not None
+            and not self.has_state
+            and self.num_groups == 1
+        )
 
     def _stable_namespace(self) -> str:
         """Prefix-cache namespace isolating models that share one physical
@@ -523,6 +536,10 @@ class LLMEngine:
         self._decode_fns.clear()
         self._verify_fns.clear()
         self._prefill_fn = self._build_prefill_fn()
+        self._prefill_batch_fn = (
+            self._build_prefill_batch_fn()
+            if self._batched_prefill_enabled() else None
+        )
 
     def _build_step_impls(self, reset_scales: bool = True) -> None:
         """Single-device or shard-mapped model step callables.  Under a
@@ -551,6 +568,12 @@ class LLMEngine:
             self._prefill_step_impl = lambda *a: adapter.prefill_step(
                 *a, interpret=ec.interpret, **extra
             )
+            if hasattr(adapter, "prefill_batch_step"):
+                self._prefill_batch_step_impl = (
+                    lambda *a: adapter.prefill_batch_step(
+                        *a, interpret=ec.interpret, **extra
+                    )
+                )
             if hasattr(adapter, "verify_step"):
                 self._verify_step_impl = lambda *a: adapter.verify_step(
                     *a, interpret=ec.interpret, **extra
@@ -734,6 +757,31 @@ class LLMEngine:
         self._prefill_step_impl = (
             (lambda *a: p_sharded(*a, *qs)) if qs else p_sharded
         )
+
+        if hasattr(adapter, "prefill_batch_step"):
+            # batched prefill replicates the batch over dp like the
+            # single-sequence path (prefill is weight-streaming-bound; dp
+            # sharding the tiny N would buy nothing and complicate writes)
+            def pbstep(params, tokens, positions, k_pools, v_pools,
+                       chunk_pages, page_tables, q_starts, true_lens,
+                       *scales):
+                return adapter.prefill_batch_step(
+                    params, tokens, positions, k_pools, v_pools,
+                    chunk_pages, page_tables, q_starts, true_lens,
+                    tp_axis="tp", interpret=ec.interpret,
+                    **({"quant_scales": scales} if scales else {}),
+                )
+
+            pb_sharded = jax.shard_map(
+                pbstep, mesh=self.mesh,
+                in_specs=(pspecs, rep, rep, pool_p, pool_p, rep, rep, rep,
+                          rep) + ((sc_p, sc_p) if qs else ()),
+                out_specs=(rep, pool_p, pool_p),
+                check_vma=False,
+            )
+            self._prefill_batch_step_impl = (
+                (lambda *a: pb_sharded(*a, *qs)) if qs else pb_sharded
+            )
 
         if not self.has_state:
             return
@@ -929,6 +977,21 @@ class LLMEngine:
             return (greedy, logits), k_pools, v_pools
 
         return prefill
+
+    def _build_prefill_batch_fn(self):
+        prefill_batch_step = self._prefill_batch_step_impl
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def prefill_batch(params, k_pools, v_pools, tokens, positions,
+                          chunk_pages, page_tables, q_starts, true_lens):
+            logits, k_pools, v_pools = prefill_batch_step(
+                params, tokens, positions, k_pools, v_pools,
+                chunk_pages, page_tables, q_starts, true_lens,
+            )
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [N]
+            return (greedy, logits), k_pools, v_pools
+
+        return prefill_batch
 
     def _build_prefill_fn_stateful(self):
         prefill_step = self._prefill_state_impl
@@ -1208,6 +1271,73 @@ class LLMEngine:
         seq.num_prefilled = plen
         self.running.append(seq)
         return True
+
+    def _collect_prefill_batch(self) -> list[Sequence]:
+        """Pop a contiguous FIFO prefix of the waiting queue whose prompts
+        each fit ONE prefill bucket, admitting (page-allocating) each; stop
+        at the first long prompt (head-of-line order preserved — it takes
+        the chunked serial path), admission failure, or capacity.  The
+        returned sequences are BEGUN: their pages are allocated and any
+        prefix-cache hits taken."""
+        ec = self.cfg
+        if self._prefill_batch_fn is None:
+            return []
+        cap = min(ec.prefill_batch, ec.max_batch - len(self.running))
+        if cap < 2 or len(self.waiting) < 2:
+            return []
+        max_bucket = max(ec.prefill_buckets)
+        batch: list[Sequence] = []
+        while self.waiting and len(batch) < cap:
+            seq = self.waiting[0]
+            if seq.prompt_len > max_bucket:
+                break
+            if not (self._can_admit(seq) and self._begin_prefill(seq)):
+                break
+            self.waiting.pop(0)
+            batch.append(seq)
+        return batch
+
+    def _prefill_chunk_batch(self, seqs: list[Sequence]) -> None:
+        """One batched prefill dispatch for N begun sequences whose
+        remaining prompts share a bucket: the weights stream once for all
+        N and the host pays one dispatch instead of N.  Rows are padded to
+        (N_pow2, shared bucket) — pad rows carry true_len 0 and zero-page
+        chunk tables, so their writes discard and their logits are never
+        read.  Token-exact vs serial _prefill_chunk by kernel construction
+        (tests/test_engine.py::TestBatchedPrefill)."""
+        P = self.cfg.page_tokens
+        T = self._bucket_len(max(s.prompt_len - s.num_prefilled for s in seqs))
+        N = 1 << (len(seqs) - 1).bit_length()  # pad to pow2: bounded compiles
+        tokens = np.zeros((N, T), np.int32)
+        positions = np.tile(np.arange(T, dtype=np.int32), (N, 1))
+        chunk_pages = np.zeros((N, T // P), np.int32)
+        page_tables = np.zeros((N, self.max_pages_per_seq), np.int32)
+        q_starts = np.zeros(N, np.int32)
+        true_lens = np.zeros(N, np.int32)
+        for i, seq in enumerate(seqs):
+            q_start = seq.num_prefilled  # page-aligned (prefix-cache hits)
+            this_len = seq.prompt_len - q_start
+            tokens[i, :this_len] = seq.req.prompt[q_start:]
+            positions[i] += q_start
+            phys = self._phys_row(seq)
+            start_page = q_start // P
+            n_real = -(-this_len // P)
+            chunk_pages[i, :n_real] = phys[start_page : start_page + n_real]
+            page_tables[i] = phys
+            q_starts[i] = q_start
+            true_lens[i] = this_len
+        (greedy, logits), self.k_pools, self.v_pools = self._prefill_batch_fn(
+            self.params, self.k_pools, self.v_pools,
+            jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(chunk_pages), jnp.asarray(page_tables),
+            jnp.asarray(q_starts), jnp.asarray(true_lens),
+        )
+        for i, seq in enumerate(seqs):
+            seq.num_prefilled = seq.prompt_len
+            seq.tokens.append(
+                self._sample_first_token(seq, (greedy[i], logits[i]))
+            )
+            self.running.append(seq)
 
     def _sample_first_token(self, seq: Sequence, out) -> int:
         """Sample the prefill's token with the request's own params (the
@@ -1672,6 +1802,16 @@ class LLMEngine:
                 self._decode_dispatch()
             return
         if self.waiting and len(self.running) < self.cfg.max_batch:
+            batch = self._collect_prefill_batch()
+            if len(batch) >= 2:
+                self._prefill_chunk_batch(batch)
+                return
+            if len(batch) == 1:
+                # begun but alone (queue drained / neighbour inadmissible):
+                # its remaining prompt fits one bucket, so the serial chunk
+                # completes it in one dispatch
+                self._prefill_chunk(batch[0])
+                return
             seq = self.waiting[0]
             if self._can_admit(seq) and self._begin_prefill(seq):
                 self.waiting.pop(0)

@@ -213,3 +213,131 @@ class TestOperatorLimitDuringServing:
             assert [o.output_tokens for o in out1] == [o.output_tokens for o in out2]
         finally:
             eng.shutdown()
+
+
+class TestBatchedPrefill:
+    """prefill_batch > 1: N waiting prompts stack into ONE padded prefill
+    dispatch.  Rows are independent in the kernel, so outputs must be
+    token-exact vs the serial path (prefill_batch=1)."""
+
+    def _serve(self, cfg, params, prompts, max_new=12, **kw):
+        eng = make_engine(cfg, params, **kw)
+        try:
+            sp = SamplingParams(max_new_tokens=max_new)
+            rids = [eng.add_request(list(p), sp) for p in prompts]
+            while eng.has_unfinished():
+                eng.step()
+            idx = {r: i for i, r in enumerate(rids)}
+            return {idx[o.req_id]: o.output_tokens
+                    for o in eng.finished_outputs}
+        finally:
+            eng.shutdown()
+
+    def test_token_exact_vs_serial(self, toy):
+        cfg, params = toy
+        prompts = [[1, 2, 3, 4, 5], list(range(40, 70)), [7] * 3,
+                   [9, 8, 7, 6] * 4]
+        want = self._serve(cfg, params, prompts, prefill_batch=1)
+        got = self._serve(cfg, params, prompts, prefill_batch=4)
+        assert got == want, "batched prefill changed outputs"
+
+    def test_mixed_lengths_and_padding_rows(self, toy):
+        """3 prompts with prefill_batch=4: one pad row (true_len 0, zero
+        pages) must not perturb anything; different lengths share the
+        largest bucket."""
+        cfg, params = toy
+        prompts = [[5], list(range(1, 64)), [2, 3]]
+        want = self._serve(cfg, params, prompts, prefill_batch=1)
+        got = self._serve(cfg, params, prompts, prefill_batch=4)
+        assert got == want
+
+    def test_long_prompt_keeps_chunked_path(self, toy):
+        """A head-of-line prompt beyond the largest bucket falls back to
+        interleaved chunked prefill; later short prompts still batch."""
+        cfg, params = toy
+        long_prompt = [((3 * j) % 120) + 1 for j in range(100)]  # > bucket 64
+        prompts = [long_prompt, [1, 2, 3], [4, 5, 6, 7]]
+        want = self._serve(cfg, params, prompts, prefill_batch=1, max_new=8)
+        got = self._serve(cfg, params, prompts, prefill_batch=4, max_new=8)
+        assert got == want
+
+    def test_prefix_cache_hits_inside_batch(self, toy):
+        """Requests extending a cached prefix batch with fresh requests:
+        cache-hit rows start at q_start > 0 inside the same dispatch."""
+        cfg, params = toy
+
+        def two_rounds(pb):
+            eng = make_engine(cfg, params, prefill_batch=pb)
+            try:
+                sp = SamplingParams(max_new_tokens=10)
+                first = [5, 6, 7, 8] * 8  # 32 tokens: full pages cached
+                out1 = eng.generate([first], sp)[0].output_tokens
+                follow = [list(first) + out1[:4], [1, 2, 3], [9] * 5]
+                outs = eng.generate(follow, sp)
+                return out1, [o.output_tokens for o in outs]
+            finally:
+                eng.shutdown()
+
+        assert two_rounds(4) == two_rounds(1)
+
+    def test_sampled_first_token_reproducible(self, toy):
+        """Sampled rows draw their first token from their own row logits;
+        identical histories reproduce identical outputs."""
+        cfg, params = toy
+        eng_kw = dict(prefill_batch=4)
+        prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9]]
+
+        def run():
+            eng = make_engine(cfg, params, **eng_kw)
+            try:
+                sp = SamplingParams(max_new_tokens=6, temperature=0.8,
+                                    top_k=20)
+                return [o.output_tokens for o in eng.generate(prompts, sp)]
+            finally:
+                eng.shutdown()
+
+        assert run() == run()
+
+    def test_batch_on_mesh(self, toy):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        # f32: TP psum ordering makes bf16 non-bit-identical to
+        # single-device (known caveat) — this test isolates BATCHING, so
+        # compare meshed-serial vs meshed-batched at f32 plus a
+        # single-device cross-check
+        cfg = LlamaConfig.toy(num_heads=8, num_kv_heads=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(1))
+        prompts = [[1, 2, 3, 4], [5, 6], [7, 8, 9], [10] * 6]
+        sp = SamplingParams(max_new_tokens=8)
+
+        def serve(mesh, pb):
+            eng = LLMEngine(
+                cfg,
+                EngineConfig(max_batch=4, max_model_len=256, page_tokens=16,
+                             decode_horizon=4, prefill_buckets=(32, 64),
+                             num_pages=64, interpret=True, prefill_batch=pb,
+                             kv_dtype="float32"),
+                params=params, mesh=mesh,
+            )
+            try:
+                return [o.output_tokens for o in eng.generate(prompts, sp)]
+            finally:
+                eng.shutdown()
+
+        mesh = make_mesh(tp=4, dp=2)
+        want = serve(mesh, 1)
+        got = serve(mesh, 4)
+        assert got == want, "meshed batched prefill diverged from serial"
+        single = serve(None, 1)
+        assert want == single, "meshed serial diverged from single-device"
+
+    def test_int8_kv_batched(self, toy):
+        cfg, params = toy
+        over = dict(kv_dtype="int8", kv_scale=0.05, page_tokens=32,
+                    prefill_buckets=(32, 64), max_model_len=256)
+        prompts = [[1, 2, 3, 4, 5], list(range(40, 60)), [7] * 3]
+        want = self._serve(cfg, params, prompts, prefill_batch=1, **over)
+        got = self._serve(cfg, params, prompts, prefill_batch=4, **over)
+        assert got == want
