@@ -4,19 +4,30 @@ Reference (README.md:112-122): 3 colocated Llama-8B on one A100, bursty ramp
 load → kvcached cuts TTFT 2-28× vs static partitioning, because a bursting
 model can borrow HBM pages the idle models aren't using.
 
-Here: two colocated engines share one physical pool.  Model A receives a
-burst while model B idles.  We compare:
+Here: THREE colocated engines share one physical pool (the reference's
+bench_latency_benefit harness also launches 3 models,
+run_benchmark.sh:14-31).  Model A receives a burst while B and C idle (the
+serverless-colocation scenario).  We compare:
 
-- **elastic**: both draw from the shared pool (B idle → A can use ~all pages)
-- **static**:  each engine's limit is pinned to half the pool (the
+- **elastic**: all three draw from the shared pool (B/C idle → A can use
+  nearly all pages)
+- **static**:  each engine's limit is pinned to a third of the pool (the
   partitioned baseline), enforced through the same `resize` path an
   operator would use via `kvctl limit`.
 
-Metric: mean/p99 time-to-first-token and finish time for A's burst, plus
-preemption counts.  Runs on CPU toy models by default; pass --tpu for the
-real chip.
+Metric: mean/p99 time-to-first-token and finish time for A's burst,
+preemption counts, and aggregate HBM utilization (allocator-exact peak
+in-use pages across all engines / pool pages).
 
-Run: python benchmarks/bench_latency_benefit.py
+Scale: `--tpu` runs a 1B-class model with a **multi-GB pool (1000+ pages)
+at the DEFAULT prealloc knobs** — the reference keeps 5-10 pre-mapped
+pages warm on an 80 GB pool (<1%), and at this scale ours is the same
+ratio, so nothing needs tuning down (round-2's 44-page run needed special
+knobs, which itself said the scale was wrong).  Batched prefill is on:
+the burst's prompts stack into single dispatches instead of paying ~30 ms
+tunnel overhead each.
+
+Run: python benchmarks/bench_latency_benefit.py [--tpu] [--burst N]
 """
 
 import argparse
@@ -27,10 +38,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
+def run_burst(elastic: bool, *, num_pages=96, burst=8, max_new=160,
               interpret=True, model_cfg=None, page_tokens=16,
-              adaptive_horizon=True, max_model_len=256, hold_frac=0.125,
-              max_batch=None):
+              adaptive_horizon=True, max_model_len=256, hold_frac=0.02,
+              max_batch=None, prefill_buckets=(64,), prefill_batch=1,
+              prompt_base=32, prompt_step=16, decode_horizon=4):
     import jax
 
     from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
@@ -39,46 +51,52 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
     cfg = model_cfg or LlamaConfig.toy()
     params = init_llama_params(cfg, jax.random.PRNGKey(0))
     ec = dict(
-        max_batch=max_batch or (4 if interpret else 8),
+        max_batch=max_batch or (4 if interpret else 12),
         max_model_len=max_model_len, page_tokens=page_tokens,
-        decode_horizon=4, prefill_buckets=(64,), num_pages=num_pages,
-        interpret=interpret, enable_prefix_caching=False,
-        adaptive_horizon=adaptive_horizon,
+        decode_horizon=decode_horizon, prefill_buckets=prefill_buckets,
+        num_pages=num_pages, interpret=interpret,
+        enable_prefix_caching=False, adaptive_horizon=adaptive_horizon,
+        prefill_batch=prefill_batch,
     )
+    # three colocated engines over ONE pool and ONE copy of the weights
     a = LLMEngine(cfg, EngineConfig(**ec), params=params)
-    b = LLMEngine(cfg, EngineConfig(**ec), params=params,
+    idle = [
+        LLMEngine(cfg, EngineConfig(**ec), params=params,
                   shared_pool=a.pool, pool_arrays=a.arrays)
+        for _ in range(2)
+    ]
 
     if not elastic:
-        # static partition: pin each model to half the pool
-        half = (num_pages // 2) * a.kv_cfg.page_bytes
-        a.manager.resize(half)
-        b.manager.resize(half)
+        # static partition: pin each model to a third of the pool
+        third = (num_pages // 3) * a.kv_cfg.page_bytes
+        a.manager.resize(third)
+        for e in idle:
+            e.manager.resize(third)
 
-    # model B idles but holds a working set (a long sequence's worth of pages
-    # pinned via try_to_reserve — simulating its steady-state footprint)
-    # B idles with a small steady-state working set (~12% of the pool)
+    # idle models hold a small steady-state working set each
     hold_blocks = int(num_pages * hold_frac) * a.kv_cfg.blocks_per_page
-    b_hold = (
-        b.manager.alloc(min(b.manager.available_size(), hold_blocks))
-        if hold_blocks else None
-    )
+    holds = []
+    for e in idle:
+        if hold_blocks:
+            h = e.manager.alloc(min(e.manager.available_size(), hold_blocks))
+            if h:
+                holds.append((e, h))
 
-    # warm compile on A
-    a.generate([[1] * 48], SamplingParams(max_new_tokens=2))
+    # warm compile on A (prefill + decode programs)
+    a.generate([[1] * prompt_base], SamplingParams(max_new_tokens=2))
 
-    # burst on A: submit all at once, measure TTFT per request
+    # burst on A: submit all at once, measure TTFT per request.
     # staggered request shapes (real traces aren't lockstep): varied prompt
     # and generation lengths so page-boundary crossings spread out in time
     submit_t = time.perf_counter()
     ids = [
         a.add_request(
-            [i + 2] * (32 + 16 * (i % 4)),
+            [i + 2] * (prompt_base + prompt_step * (i % 4)),
             SamplingParams(
                 # clamp so prompt+max_new fits max_model_len at any i
                 max_new_tokens=min(
-                    max(16, max_new - 24 * (i % 5)),
-                    max_model_len - (32 + 16 * (i % 4)),
+                    max(16, max_new - (max_new // 12) * (i % 5)),
+                    max_model_len - (prompt_base + prompt_step * (i % 4)),
                 )
             ),
         )
@@ -98,19 +116,19 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
 
     # utilization = pages that actually SERVED requests (allocator-exact
     # high-water mark of in_use; the prealloc reserve doesn't count)
-    peak_mapped = (
-        a.manager.page_allocator.peak_in_use
-        + b.manager.page_allocator.peak_in_use
+    peak_mapped = sum(
+        e.manager.page_allocator.peak_in_use for e in (a, *idle)
     ) * a.kv_cfg.page_bytes
 
     lat = sorted(ttft.get(i, finish) for i in ids)
     mean = sum(lat) / len(lat)
     p99 = lat[min(len(lat) - 1, int(0.99 * len(lat)))]
     preempts = a._preempt_count
-    if b_hold:
-        b.manager.free(b_hold)
+    for e, h in holds:
+        e.manager.free(h)
     a.shutdown()
-    b.shutdown()
+    for e in idle:
+        e.shutdown()
     return {"mean_ttft_s": mean, "p99_ttft_s": p99,
             "finish_s": finish, "preemptions": preempts,
             "hbm_util": peak_mapped / pool_bytes}
@@ -119,42 +137,49 @@ def run_burst(elastic: bool, *, num_pages=64, burst=8, max_new=160,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true")
-    ap.add_argument("--burst", type=int, default=12)
+    ap.add_argument("--burst", type=int, default=None)
     ap.add_argument("--max-batch", type=int, default=None)
+    ap.add_argument("--num-pages", type=int, default=None)
     args = ap.parse_args()
 
     kw = {}
+    burst = args.burst or 12
     if args.tpu:
-        # Scale the prealloc reserve to this bench's deliberately tiny pool
-        # (44 pages).  The reference keeps 5-10 pre-mapped pages warm on an
-        # 80 GB pool (thousands of pages, <1%); 5-10 of 44 would withhold up
-        # to 23% of the pool from serving and distort the utilization
-        # numerator for BOTH runs.  1-2 pages preserves the same
-        # map-off-critical-path behavior at the production ratio.
-        os.environ.setdefault("KVCACHED_MIN_RESERVED_PAGES", "1")
-        os.environ.setdefault("KVCACHED_MAX_RESERVED_PAGES", "2")
         from kvcached_tpu.models.llama import LlamaConfig
 
-        # memory-pressured pool: burst demand ≈ pool size, so the static
-        # half-partition queues/preempts while elastic absorbs the burst.
-        # adaptive_horizon off: one decode program per engine (tunnel
-        # compiles are minutes each; overflow masking keeps fixed-K exact)
-        # 8 pages/request so the elastic pool genuinely fills while the
-        # static half stays capped (≥1.5x aggregate-utilization target)
-        # B fully idle: the serverless-colocation scenario — static strands
-        # B's half of the pool, elastic lends it to A's burst
-        kw = dict(interpret=False, page_tokens=64, num_pages=44,
-                  adaptive_horizon=False, max_model_len=512, max_new=440,
-                  hold_frac=0.0,
-                  model_cfg=LlamaConfig(
-                      hidden_size=1024, num_layers=8, num_heads=8,
-                      num_kv_heads=4, intermediate_size=2816))
+        # 1B-class model, multi-GB pool, DEFAULT prealloc knobs (5-10
+        # reserved of 1000+ pages ≈ the reference's production ratio on an
+        # 80 GB pool — no special tuning).  Burst demand ≈ 60% of the pool:
+        # far beyond a static third (pressure: queuing/preemption) but
+        # absorbable elastically.  adaptive_horizon off: one decode program
+        # per engine (tunnel compiles are minutes each; overflow masking
+        # keeps fixed-K exact).  Batched prefill: the burst's prompts stack
+        # 8 per dispatch.
+        # Sizing: 16-token pages → 1.44 MB/page × 2200 pages ≈ 3.2 GB pool
+        # (thousands of pages).  Concurrent demand = max_batch 20 × ~100
+        # pages/seq ≈ 2000 pages — far beyond the static third (733) but
+        # inside the elastic pool, so the static run queues/preempts while
+        # elastic absorbs the whole batch.
+        burst = args.burst or 24
+        kw = dict(
+            interpret=False, page_tokens=16,
+            num_pages=args.num_pages or 2200,
+            adaptive_horizon=False, max_model_len=2048, max_new=1400,
+            hold_frac=0.02, prefill_buckets=(512,), prefill_batch=8,
+            prompt_base=256, prompt_step=64, decode_horizon=8,
+            max_batch=args.max_batch or 20,
+            model_cfg=LlamaConfig(
+                vocab_size=32000, hidden_size=2048, num_layers=22,
+                num_heads=16, num_kv_heads=8, head_dim=128,
+                intermediate_size=5632,
+            ),
+        )
+    elif args.max_batch:
+        kw["max_batch"] = args.max_batch
 
     print("== latency benefit: elastic shared pool vs static partition ==")
-    static = run_burst(elastic=False, burst=args.burst,
-                       max_batch=args.max_batch, **kw)
-    elastic = run_burst(elastic=True, burst=args.burst,
-                        max_batch=args.max_batch, **kw)
+    static = run_burst(elastic=False, burst=burst, **kw)
+    elastic = run_burst(elastic=True, burst=burst, **kw)
     for name, r in (("static", static), ("elastic", elastic)):
         print(f"{name:8}: mean TTFT {r['mean_ttft_s']*1e3:8.1f} ms  "
               f"p99 {r['p99_ttft_s']*1e3:8.1f} ms  "

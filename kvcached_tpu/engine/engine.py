@@ -287,10 +287,19 @@ class LLMEngine:
             tp = mesh.shape["tp"]
             dp = mesh.shape["dp"] if self._dp_axis else 1
             if self.adapter.num_kv_heads % tp:
-                raise ValueError(
-                    f"num_kv_heads={self.adapter.num_kv_heads} not divisible "
-                    f"by tp={tp}"
-                )
+                if self.adapter.num_kv_heads == 1:
+                    # MLA-class: ONE shared kv head — the latent pool
+                    # REPLICATES across tp and every shard writes identical
+                    # entries (the reference's MLA-under-TP shape,
+                    # sglang/patches.py:523-702)
+                    self._pool_pspec = P()
+                else:
+                    raise ValueError(
+                        f"num_kv_heads={self.adapter.num_kv_heads} not "
+                        f"divisible by tp={tp}"
+                    )
+            else:
+                self._pool_pspec = P(None, None, "tp")
             if self.adapter.vocab_size % tp:
                 raise ValueError(
                     f"vocab_size={self.adapter.vocab_size} not divisible by "
@@ -298,7 +307,7 @@ class LLMEngine:
                 )
             if ec.max_batch % dp:
                 raise ValueError(f"max_batch={ec.max_batch} not divisible by dp={dp}")
-            pool_sharding = NamedSharding(mesh, P(None, None, "tp"))
+            pool_sharding = NamedSharding(mesh, self._pool_pspec)
 
         # layer groups (hybrid attention): group g's pages live in a shared
         # arena of layers_per_group layers; plain models have one group
@@ -600,7 +609,8 @@ class LLMEngine:
         from jax.sharding import PartitionSpec as P
 
         pspecs = adapter.param_specs("tp")
-        pool_p = P(None, None, "tp")
+        pool_p = self._pool_pspec  # kv-head sharded, or P() for MLA-class
+        single_kv = self.adapter.num_kv_buffers == 1
         dp = self._dp_axis
         bd = P(dp) if dp else P()
         b2 = P(dp, None) if dp else P()
@@ -614,8 +624,9 @@ class LLMEngine:
             tbl_p, sp_p = b2, bd
 
         # int8: per-head scales shard on the kv-head axis like the pools
+        # (replicated alongside a replicated single-head pool)
         qs = self.quant_scales
-        sc_p = P(None, "tp")
+        sc_p = P(None, "tp") if pool_p else P()
 
         # dp>1: the fused kernel writes only each dp shard's local rows into
         # its pool REPLICA.  Without equalization a sequence whose batch row
@@ -631,10 +642,14 @@ class LLMEngine:
 
         def _equalize_kv(k_pools, v_pools, ks, vs, slot_pages, slot_offsets,
                          scales):
-            from ..ops.paged_attention import write_decode_tokens
+            from ..ops.paged_attention import (
+                write_decode_tokens,
+                write_decode_tokens_single,
+            )
 
             ks = jax.lax.all_gather(ks, dp, axis=1, tiled=True)
-            vs = jax.lax.all_gather(vs, dp, axis=1, tiled=True)
+            if not single_kv:
+                vs = jax.lax.all_gather(vs, dp, axis=1, tiled=True)
             so = jax.lax.all_gather(slot_offsets, dp, axis=0, tiled=True)
             if self.num_groups > 1:
                 sp = jax.lax.all_gather(slot_pages, dp, axis=1, tiled=True)
@@ -645,6 +660,14 @@ class LLMEngine:
                 Lk = ks.shape[0]
                 sp_l = jnp.broadcast_to(sp[None], (Lk, sp.shape[0]))
                 pool_layers = jnp.arange(Lk, dtype=jnp.int32)
+            if single_kv:
+                # MLA latent pool: one combined-KV buffer, k-side only
+                k_pools = write_decode_tokens_single(
+                    k_pools, ks, pool_layers, sp_l, so,
+                    interpret=ec.interpret,
+                    k_scales=scales[0] if scales else None,
+                )
+                return k_pools, v_pools
             return write_decode_tokens(
                 k_pools, v_pools, ks, vs, pool_layers, sp_l, so,
                 interpret=ec.interpret,
@@ -715,7 +738,8 @@ class LLMEngine:
                 k_pools, v_pools = _equalize_kv(
                     k_pools, v_pools,
                     ks.reshape(Lk, Bl * Tt, *ks.shape[3:]),
-                    vs.reshape(Lk, Bl * Tt, *vs.shape[3:]),
+                    (vs.reshape(Lk, Bl * Tt, *vs.shape[3:])
+                     if vs is not None else None),
                     sp_flat, slot_offsets.reshape(Bl * Tt), scales,
                 )
                 return logits, k_pools, v_pools

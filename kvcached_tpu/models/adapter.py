@@ -144,13 +144,15 @@ class MLAAdapter:
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, tp_axis=None, interpret=False, quant_scales=None):
+                    *, tp_axis=None, interpret=False, quant_scales=None,
+                    collect_kv=False):
         from .mla import mla_decode_step
 
         return mla_decode_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
             tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
+            collect_kv=collect_kv,
         )
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
@@ -166,7 +168,8 @@ class MLAAdapter:
 
     def verify_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, tp_axis=None, interpret=False, quant_scales=None):
+                    *, tp_axis=None, interpret=False, quant_scales=None,
+                    collect_kv=False):
         """Speculative-decode verification (DeepSeek MTP-style serving:
         absorbed multi-query attention over the latent buffer)."""
         from .mla import mla_verify_step
@@ -175,12 +178,18 @@ class MLAAdapter:
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
             tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
+            collect_kv=collect_kv,
         )
 
     def param_specs(self, tp_axis: str) -> dict:
-        # MLA's latent cache has a single kv head — the pool cannot shard on
-        # the head axis, so engine-level TP is not offered for this family
-        raise NotImplementedError("MLA adapter has no TP param sharding")
+        # The single shared kv head can't split, so the LATENT POOL
+        # replicates across tp (every shard writes identical entries); the
+        # per-head projections, MLP, and vocab shard Megatron-style — the
+        # reference runs MLA pools under TP the same way
+        # (sglang/patches.py:523-702).
+        from ..parallel.mesh import mla_param_specs
+
+        return mla_param_specs(tp_axis)
 
 
 @dataclass

@@ -28,7 +28,7 @@ from ..ops.paged_attention import (
     write_prefill_kv_single,
 )
 from ..ops.paged_prefill import paged_prefill_attention
-from .llama import _maybe_psum, rms_norm, rope
+from .llama import _maybe_psum, lm_head_logits, rms_norm, rope
 
 
 def _pad128(x: int) -> int:
@@ -139,15 +139,26 @@ def init_mla_params(cfg: MLAConfig, key: jax.Array) -> dict:
     }
 
 
-def _q_effective(cfg: MLAConfig, lp: dict, h: jax.Array, positions: jax.Array):
+def _local_heads(cfg: MLAConfig, tp_axis: str | None) -> int:
+    """Per-shard head count: under TP the q/uk/uv/wo projections shard on
+    the head axis (the latent path and pool stay replicated — one shared
+    kv head can't split)."""
+    H = cfg.num_heads
+    if tp_axis:
+        H //= jax.lax.axis_size(tp_axis)
+    return H
+
+
+def _q_effective(cfg: MLAConfig, lp: dict, h: jax.Array, positions: jax.Array,
+                 H: int | None = None):
     """Project hidden states to absorbed queries [T, H, cache_head_dim]."""
     T = h.shape[0]
-    H, NP, RP, R = (
-        cfg.num_heads,
+    NP, RP, R = (
         cfg.qk_nope_head_dim,
         cfg.qk_rope_head_dim,
         cfg.kv_lora_rank,
     )
+    H = cfg.num_heads if H is None else H
     q = (h @ lp["wq"]).reshape(T, H, NP + RP)
     q_nope, q_rope = q[..., :NP], q[..., NP:]
     q_rope = rope(q_rope, positions, cfg.rope_theta)
@@ -176,12 +187,14 @@ def _latent_entry(cfg: MLAConfig, lp: dict, h: jax.Array, positions: jax.Array):
     return ent[:, None, :]  # kv-head axis of size 1
 
 
-def _out_proj(cfg: MLAConfig, lp: dict, attn_lat: jax.Array) -> jax.Array:
+def _out_proj(cfg: MLAConfig, lp: dict, attn_lat: jax.Array,
+              H: int | None = None) -> jax.Array:
     """attn_lat [T, H, kv_lora_rank] -> [T, H*v_head_dim] via W_UV."""
     o = jnp.einsum("thr,hrv->thv", attn_lat.astype(jnp.float32),
                    lp["w_uv"].astype(jnp.float32))
     T = attn_lat.shape[0]
-    return o.reshape(T, cfg.num_heads * cfg.v_head_dim).astype(attn_lat.dtype)
+    H = cfg.num_heads if H is None else H
+    return o.reshape(T, H * cfg.v_head_dim).astype(attn_lat.dtype)
 
 
 def mla_decode_step(
@@ -199,9 +212,11 @@ def mla_decode_step(
     tp_axis: str | None = None,
     interpret: bool = False,
     quant_scales: tuple | None = None,  # (k_scales, v_scales) [L, 1] f32
+    collect_kv: bool = False,
 ):
     B = tokens.shape[0]
     R = cfg.kv_lora_rank
+    H = _local_heads(cfg, tp_axis)
     k_scales, v_scales = quant_scales if quant_scales else (None, None)
 
     x = params["embed"][tokens]
@@ -214,7 +229,7 @@ def mla_decode_step(
         lp, l_idx = layer["p"], layer["i"]
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q_eff = _q_effective(cfg, lp, h, positions)  # [B, H, cache_dim]
+        q_eff = _q_effective(cfg, lp, h, positions, H)  # [B, H, cache_dim]
         ent = _latent_entry(cfg, lp, h, positions)  # [B, 1, cache_dim]
 
         attn, k_pools, _ = paged_attention_decode(
@@ -224,19 +239,24 @@ def mla_decode_step(
             k_scales=k_scales, v_scales=v_scales,
         )  # [B, H, cache_dim]; valid value lanes = [:R]
         attn_lat = attn[..., :R]
-        attn_out = _out_proj(cfg, lp, attn_lat) @ lp["wo"]
+        attn_out = _out_proj(cfg, lp, attn_lat, H) @ lp["wo"]
         x = x + _maybe_psum(attn_out, tp_axis)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
         x = x + _maybe_psum(mlp, tp_axis)
-        return (x, k_pools), None
+        # the latent entry is the MLA analogue of (k, v) for dp-replica
+        # equalization: it's computed from replicated inputs, so every tp
+        # shard collects identical entries
+        return (x, k_pools), (ent if collect_kv else None)
 
     layers = {"p": params["layers"], "i": jnp.arange(cfg.num_layers)}
-    (x, k_pools), _ = jax.lax.scan(layer_fn, (x, k_pools), layers)
+    (x, k_pools), ents = jax.lax.scan(layer_fn, (x, k_pools), layers)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(x, params["lm_head"], tp_axis)
+    if collect_kv:
+        return logits, k_pools, None, (ents, None)  # [L, B, 1, cache_dim]
     return logits, k_pools, None
 
 
@@ -255,6 +275,7 @@ def mla_verify_step(
     tp_axis: str | None = None,
     interpret: bool = False,
     quant_scales: tuple | None = None,
+    collect_kv: bool = False,
 ):
     """Speculative-decode verification for the MLA family: T tokens per
     sequence in one absorbed-attention pass over the single latent buffer
@@ -263,6 +284,7 @@ def mla_verify_step(
     (logits [B, T, vocab], k_pools, None)."""
     B, T = tokens.shape
     R = cfg.kv_lora_rank
+    H = _local_heads(cfg, tp_axis)
     k_scales, v_scales = quant_scales if quant_scales else (None, None)
 
     x = params["embed"][tokens]  # [B, T, E]
@@ -277,8 +299,8 @@ def mla_verify_step(
         # axis — flatten (B, T) through them
         h2 = h.reshape(B * T, -1)
         pos2 = positions.reshape(B * T)
-        q_eff = _q_effective(cfg, lp, h2, pos2).reshape(
-            B, T, cfg.num_heads, cfg.cache_head_dim
+        q_eff = _q_effective(cfg, lp, h2, pos2, H).reshape(
+            B, T, H, cfg.cache_head_dim
         )
         ent = _latent_entry(cfg, lp, h2, pos2).reshape(
             B, T, 1, cfg.cache_head_dim
@@ -290,20 +312,22 @@ def mla_verify_step(
             sm_scale=cfg.sm_scale, interpret=interpret, mla_v_dim=R,
             k_scales=k_scales, v_scales=v_scales,
         )  # [B, T, H, cache_dim]; valid value lanes = [:R]
-        attn_lat = attn[..., :R].reshape(B * T, cfg.num_heads, R)
-        attn_out = _out_proj(cfg, lp, attn_lat).reshape(B, T, -1) @ lp["wo"]
+        attn_lat = attn[..., :R].reshape(B * T, H, R)
+        attn_out = _out_proj(cfg, lp, attn_lat, H).reshape(B, T, -1) @ lp["wo"]
         x = x + _maybe_psum(attn_out, tp_axis)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
         x = x + _maybe_psum(mlp, tp_axis)
-        return (x, k_pools), None
+        return (x, k_pools), (ent if collect_kv else None)
 
     layers = {"p": params["layers"], "i": jnp.arange(cfg.num_layers)}
-    (x, k_pools), _ = jax.lax.scan(layer_fn, (x, k_pools), layers)
+    (x, k_pools), ents = jax.lax.scan(layer_fn, (x, k_pools), layers)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(x, params["lm_head"], tp_axis)
+    if collect_kv:
+        return logits, k_pools, None, (ents, None)  # [L, B, T, 1, cache_dim]
     return logits, k_pools, None
 
 
@@ -325,6 +349,7 @@ def mla_prefill_step(
 ):
     T = tokens.shape[0]
     R = cfg.kv_lora_rank
+    H = _local_heads(cfg, tp_axis)
     kv_len = q_start + true_len
     k_scales, v_scales = quant_scales if quant_scales else (None, None)
 
@@ -336,7 +361,7 @@ def mla_prefill_step(
         lp, l_idx = layer["p"], layer["i"]
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q_eff = _q_effective(cfg, lp, h, positions)  # [T, H, cache_dim]
+        q_eff = _q_effective(cfg, lp, h, positions, H)  # [T, H, cache_dim]
         ent = _latent_entry(cfg, lp, h, positions)  # [T, 1, cache_dim]
 
         k_pools = write_prefill_kv_single(
@@ -350,7 +375,7 @@ def mla_prefill_step(
             k_scales=k_scales, v_scales=v_scales,
         )  # [T, H, cache_dim]
         attn_lat = attn[..., :R]
-        attn_out = _out_proj(cfg, lp, attn_lat) @ lp["wo"]
+        attn_out = _out_proj(cfg, lp, attn_lat, H) @ lp["wo"]
         x = x + _maybe_psum(attn_out, tp_axis)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
@@ -363,5 +388,5 @@ def mla_prefill_step(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     last = x[jnp.maximum(true_len - 1, 0)]
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(last, params["lm_head"], tp_axis)
     return logits, k_pools, None

@@ -1474,6 +1474,119 @@ def write_decode_tokens(
     return k_pool, v_pool
 
 
+def _decode_tokens_write_single_kernel(
+    pool_layers_ref,  # [Lk] int32 (SMEM)
+    slot_pages_ref,  # [Lk, B] int32 (0 = discard)
+    slot_offsets_ref,  # [B] int32
+    k_scales_ref,  # [L_pool, KH] f32 (ones if unused)
+    k_new_ref,  # [1, num_kv_heads, head_dim] VMEM block (layer li, row b)
+    k_pool_in,
+    k_pool_ref,  # aliased output (HBM)
+    win_k,  # [num_kv_heads, sublane, head_dim] VMEM RMW window
+    sems,
+    *,
+    sublane: int,
+    num_kv_heads: int,
+    quantized: bool,
+):
+    li = pl.program_id(0)
+    b = pl.program_id(1)
+    layer = pool_layers_ref[li]
+    page = slot_pages_ref[li, b]
+    off = slot_offsets_ref[b]
+
+    @pl.when(page != 0)
+    def _():
+        win = (off // sublane) * sublane
+        row = off - win
+        cp = pltpu.make_async_copy(
+            k_pool_ref.at[layer, page, :, pl.ds(win, sublane)], win_k,
+            sems.at[0],
+        )
+        cp.start()
+        cp.wait()
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (num_kv_heads, sublane, win_k.shape[-1]), 1
+        )
+        k_val = k_new_ref[0][:, None, :].astype(jnp.float32)
+        if quantized:
+            k_sc = _select_head_scales(
+                k_scales_ref, layer, num_kv_heads, k_val.shape, 0
+            )
+            k_val = jnp.clip(jnp.round(k_val / k_sc), -127, 127)
+        win_k[...] = jnp.where(
+            row_ids == row, k_val, win_k[...].astype(jnp.float32)
+        ).astype(win_k.dtype)
+        wr = pltpu.make_async_copy(
+            win_k, k_pool_ref.at[layer, page, :, pl.ds(win, sublane)],
+            sems.at[0],
+        )
+        wr.start()
+        wr.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def write_decode_tokens_single(
+    k_pool: jax.Array,  # [L, num_pages, num_kv_heads, page_tokens, head_dim]
+    k_new: jax.Array,  # [Lk, B, num_kv_heads, head_dim] UNquantized
+    pool_layers: jax.Array,  # [Lk] int32 pool layer per kv layer
+    slot_pages: jax.Array,  # [Lk, B] int32 physical page (0 = discard)
+    slot_offsets: jax.Array,  # [B] int32 slot within the page
+    *,
+    interpret: bool = False,
+    k_scales: jax.Array | None = None,  # [L, KH] f32 (int8 pools)
+) -> jax.Array:
+    """Single-buffer counterpart of :func:`write_decode_tokens` — the MLA
+    latent pool's dp-replica equalizer (one combined-KV buffer, reference
+    sglang/patches.py:523-702).  Same RMW-window blend, so rewriting a slot
+    the fused kernel already wrote is bit-identical."""
+    L, num_pages, num_kv_heads, page_tokens, head_dim = k_pool.shape
+    Lk, B, _, _ = k_new.shape
+    sublane = _sublane_for(k_pool.dtype)
+    quantized = jnp.dtype(k_pool.dtype) == jnp.int8
+    if quantized:
+        assert k_scales is not None
+    else:
+        k_new = k_new.astype(k_pool.dtype)
+    if k_scales is None:
+        k_scales = jnp.ones((L, num_kv_heads), jnp.float32)
+    k_new = k_new.reshape(Lk * B, num_kv_heads, head_dim)
+
+    (k_pool,) = pl.pallas_call(
+        functools.partial(
+            _decode_tokens_write_single_kernel,
+            sublane=sublane,
+            num_kv_heads=num_kv_heads,
+            quantized=quantized,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(Lk, B),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, num_kv_heads, head_dim),
+                    lambda li, b, *_: (li * B + b, 0, 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
+            scratch_shapes=[
+                pltpu.VMEM((num_kv_heads, sublane, head_dim), k_pool.dtype),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+        ),
+        out_shape=(jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),),
+        # flat inputs: 0=pool_layers 1=slot_pages 2=slot_offsets 3=k_scales
+        # 4=k_new 5=k_pool
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pool_layers, slot_pages, slot_offsets, k_scales, k_new, k_pool)
+    return k_pool
+
+
 # ---------------------------------------------------------------------------
 # Dense XLA reference (tests + non-TPU fallback).
 # ---------------------------------------------------------------------------

@@ -59,6 +59,38 @@ def llama_param_specs(tp_axis: str = "tp") -> dict:
     }
 
 
+def mla_param_specs(tp_axis: str = "tp") -> dict:
+    """PartitionSpecs for the MLA (DeepSeek-class) param tree.
+
+    The latent path (w_dkv, w_kr, kv_norm) is REPLICATED — the cache has a
+    single shared kv head, so the latent pool replicates across tp and
+    every shard writes identical entries (the reference's MLA pools run
+    under TP the same way: one combined-KV buffer per rank,
+    sglang/patches.py:523-702).  The per-head projections (wq, w_uk, w_uv,
+    wo) shard on the head axis; MLP and the vocab-column LM head shard
+    Megatron-style like Llama."""
+    t = tp_axis
+    return {
+        "embed": P(),
+        "layers": {
+            "attn_norm": P(),
+            "wq": P(None, None, t),  # heads packed along columns
+            "w_dkv": P(),
+            "w_kr": P(),
+            "kv_norm": P(),
+            "w_uk": P(None, t, None, None),  # [L, H, NP, R] head axis
+            "w_uv": P(None, t, None, None),  # [L, H, R, V]
+            "wo": P(None, t, None),  # [L, H*V, E] row-sharded + psum
+            "mlp_norm": P(),
+            "w_gate": P(None, None, t),
+            "w_up": P(None, None, t),
+            "w_down": P(None, t, None),
+        },
+        "final_norm": P(),
+        "lm_head": P(None, t),  # vocab-column sharded (lm_head_logits)
+    }
+
+
 def hybrid_linear_param_specs(layer_types, tp_axis: str = "tp") -> dict:
     """PartitionSpecs for the hybrid-linear (attention + mamba) param tree.
 

@@ -566,3 +566,131 @@ class TestMeshInt8:
         finally:
             eng.shutdown()
         assert got == want
+
+
+class TestMeshMLA:
+    """MLA (DeepSeek-class) under TP: the single-kv-head latent pool
+    REPLICATES across tp (every shard writes identical entries); q/uk/uv/wo
+    shard on the head axis, vocab on the LM head — the reference runs MLA
+    pools under TP the same way (sglang/patches.py:523-702)."""
+
+    def _serve(self, cfg, params, prompts, sps, mesh=None, **over):
+        from kvcached_tpu.engine import EngineConfig, LLMEngine
+
+        ecfg = dict(
+            max_batch=4, max_model_len=192, page_tokens=16, decode_horizon=4,
+            prefill_buckets=(16, 32), num_pages=64, interpret=True,
+            kv_dtype="float32",
+        )
+        ecfg.update(over)
+        eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params, mesh=mesh)
+        try:
+            rids = [eng.add_request(list(p), s) for p, s in zip(prompts, sps)]
+            while eng.has_unfinished():
+                eng.step()
+            idx = {r: i for i, r in enumerate(rids)}
+            outs = {idx[o.req_id]: o.output_tokens
+                    for o in eng.finished_outputs}
+            return outs, eng
+        finally:
+            eng.shutdown()
+
+    def test_mla_engine_on_mesh_matches_single_device(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+        from kvcached_tpu.engine import SamplingParams
+
+        cfg = MLAConfig.toy(dtype="float32")
+        params = init_mla_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], list(range(40, 60)), [7] * 5,
+                   [9, 9]]
+        sps = [SamplingParams(max_new_tokens=n) for n in (6, 6, 16, 16)]
+        want, _ = self._serve(cfg, params, prompts, sps)
+        got, eng = self._serve(cfg, params, prompts, sps,
+                               mesh=make_mesh(tp=4, dp=2))
+        assert got == want, "MLA mesh engine diverged from single-device"
+
+    def test_mla_pool_replicated_across_tp(self):
+        """The latent pool must carry a fully-replicated sharding and its
+        replicas must hold identical bytes after serving with dp row
+        migration (short rows finish first)."""
+        import jax
+        import numpy as np
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kvcached_tpu.engine import (
+            EngineConfig, LLMEngine, SamplingParams,
+        )
+        from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = MLAConfig.toy(dtype="float32")
+        params = init_mla_params(cfg, jax.random.PRNGKey(0))
+        eng = LLMEngine(
+            cfg,
+            EngineConfig(max_batch=4, max_model_len=192, page_tokens=16,
+                         decode_horizon=4, prefill_buckets=(16, 32),
+                         num_pages=64, interpret=True, kv_dtype="float32"),
+            params=params, mesh=make_mesh(tp=2, dp=2),
+        )
+        try:
+            sps = [SamplingParams(max_new_tokens=n) for n in (4, 4, 20, 20)]
+            prompts = [[1, 2], [3, 4], [5, 6, 7], [8, 9]]
+            rids = [eng.add_request(p, s) for p, s in zip(prompts, sps)]
+            while eng.has_unfinished():
+                eng.step()
+            assert eng.k_pools.sharding.spec == ()
+            shards = [np.asarray(s.data) for s in
+                      eng.k_pools.addressable_shards]
+            for s in shards[1:]:
+                np.testing.assert_array_equal(
+                    s, shards[0],
+                    err_msg="latent pool replicas diverged across the mesh",
+                )
+        finally:
+            eng.shutdown()
+
+    def test_mla_spec_decode_on_mesh(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+        from kvcached_tpu.engine import SamplingParams
+
+        cfg = MLAConfig.toy(dtype="float32")
+        params = init_mla_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [7] * 5, [9, 9], [4, 5, 6]]
+        sps = [SamplingParams(max_new_tokens=12)] * 4
+        want, _ = self._serve(cfg, params, prompts, sps)
+        got, _ = self._serve(cfg, params, prompts, sps,
+                             mesh=make_mesh(tp=4, dp=2), spec_decode=True)
+        assert got == want, "MLA mesh spec decode diverged"
+
+    def test_mla_int8_on_mesh(self):
+        """int8 latent pool under TP: scales [L, 1] replicate with the
+        pool."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+        from kvcached_tpu.engine import SamplingParams
+
+        cfg = MLAConfig.toy(dtype="float32")
+        params = init_mla_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [6] * 4, [2, 2]]
+        sps = [SamplingParams(max_new_tokens=6)] * 4
+        over = dict(kv_dtype="int8", kv_scale=0.05, page_tokens=32,
+                    prefill_buckets=(32, 64), max_model_len=192)
+        want, _ = self._serve(cfg, params, prompts, sps, **over)
+        got, _ = self._serve(cfg, params, prompts, sps,
+                             mesh=make_mesh(tp=4, dp=2), **over)
+        assert got == want, "MLA int8 mesh diverged"
