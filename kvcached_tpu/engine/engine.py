@@ -263,13 +263,27 @@ class LLMEngine:
         pool_arrays: tuple[jax.Array, jax.Array | None] | None = None,
         seed: int = 0,
         mesh=None,
+        map_hook=None,
+        unmap_hook=None,
+        table_mirror: "np.ndarray | None" = None,
     ):
         """``mesh``: optional jax.sharding.Mesh with a ``tp`` axis (and
         optionally ``dp``).  The engine then serves SHARDED: params
         Megatron-style over tp, KV pools over the kv-head axis, the decode
         batch over dp — with the page table staying host metadata shared by
         every shard (the reference's all-ranks-identical-mapping invariant
-        holds by construction, kv_cache_manager.py:144-169)."""
+        holds by construction, kv_cache_manager.py:144-169).
+
+        ``map_hook``/``unmap_hook``: forwarded to the page allocator — wire
+        a :class:`~kvcached_tpu.parallel.ipc.PageTableBroadcaster` here and
+        every mapping is acknowledged by ALL worker mirrors before block
+        ids are handed out (the reference's all-ranks-atomic invariant,
+        tp_ipc_util.py:173-246; prealloc keeps the broadcast off the decode
+        critical path).  ``table_mirror``: make this engine a CONSUMING
+        mirror — dispatch-time virtual→physical translation reads this
+        array (fed only by the broadcast plane via a WorkerListener)
+        instead of the allocator's own table, proving the plane carries
+        every mapping serving needs, in time."""
         self.adapter = as_adapter(model_cfg)
         self.model_cfg = model_cfg
         self.cfg = engine_cfg or EngineConfig()
@@ -356,6 +370,13 @@ class LLMEngine:
         # one manager per layer group over the SAME physical pool: pages are
         # fungible across groups (shared arena), accounting/limits per group
         # (reference per-group FTensorAllocator multiton + shm _g suffix)
+        if (map_hook or unmap_hook or table_mirror is not None) \
+                and self.num_groups > 1:
+            raise NotImplementedError(
+                "mirror plane hooks cover single-group families; hybrid "
+                "layer groups need one plane per group (_g<id> suffix)"
+            )
+        self.table_mirror = table_mirror
         self.managers = [
             create_kv_cache_manager(
                 self.kv_cfg if g == 0 else
@@ -363,6 +384,8 @@ class LLMEngine:
                 self.pool,
                 ipc_name=ec.ipc_name,
                 reserve_null_block=True,
+                **(dict(map_hook=map_hook, unmap_hook=unmap_hook)
+                   if g == 0 else {}),
             )
             for g in range(self.num_groups)
         ]
@@ -1167,7 +1190,15 @@ class LLMEngine:
         return True
 
     def _phys_row(self, seq: Sequence, g: int = 0) -> np.ndarray:
-        pt = self.managers[g].page_allocator.page_table
+        # consuming-mirror mode: translate through the broadcast-fed mirror,
+        # never the allocator's own table — a mapping the plane hasn't
+        # delivered yet would read the zero page and corrupt output, so
+        # correct serving here PROVES the all-ranks-atomic invariant
+        pt = (
+            self.table_mirror
+            if (self.table_mirror is not None and g == 0)
+            else self.managers[g].page_allocator.page_table
+        )
         row = np.zeros(self.max_pages_per_seq, np.int32)
         for j, b in enumerate(seq.blocks_g[g]):
             # None = page slid out of the attention window and was reclaimed;
