@@ -694,3 +694,150 @@ class TestMeshMLA:
         got, _ = self._serve(cfg, params, prompts, sps,
                              mesh=make_mesh(tp=4, dp=2), **over)
         assert got == want, "MLA int8 mesh diverged"
+
+
+def _remote_mirror_proc(ipc: str, q, done) -> None:
+    """Spawn-child for the consuming-mirror test: stands in for a second
+    HOST — a TCP WorkerListener keeps a page-table mirror that is updated
+    ONLY by the broadcast plane; dumps it when the parent finishes."""
+    table = np.zeros(4096, np.int32)
+    w = WorkerListener(ipc, 1, table, tcp=True)
+    try:
+        w.set_ready()
+        q.put("bound")
+        done.wait(timeout=120)
+        q.put(table.tolist())
+    finally:
+        w.close()
+
+
+class TestConsumingMirror:
+    """Multi-host serving slice (reference all-ranks-atomic invariant,
+    tp_ipc_util.py:173-246): the engine's dispatch-time virtual→physical
+    translation reads a mirror fed ONLY by the broadcast plane, with a
+    second process (standing in for a second host) keeping its own TCP
+    mirror.  Blocks are handed out only after every mirror acks, so if the
+    plane ever lagged the engine would read the zero page and corrupt
+    output."""
+
+    def test_two_process_mirrored_serving_token_exact(self):
+        import multiprocessing as mp
+        import jax
+
+        from kvcached_tpu.engine import (
+            EngineConfig, LLMEngine, SamplingParams,
+        )
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig.toy(dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(
+            max_batch=3, max_model_len=192, page_tokens=16,
+            decode_horizon=4, prefill_buckets=(16, 32), num_pages=64,
+            interpret=True, kv_dtype="float32",
+        )
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], list(range(40, 60)), [7] * 5]
+        sps = [SamplingParams(max_new_tokens=n) for n in (12, 8, 16)]
+
+        def serve(eng):
+            try:
+                rids = [eng.add_request(list(p), s)
+                        for p, s in zip(prompts, sps)]
+                while eng.has_unfinished():
+                    eng.step()
+                idx = {r: i for i, r in enumerate(rids)}
+                return {idx[o.req_id]: o.output_tokens
+                        for o in eng.finished_outputs}
+            finally:
+                eng.shutdown()
+
+        want = serve(LLMEngine(cfg, EngineConfig(**ecfg), params=params))
+
+        ipc = f"mir{uuid.uuid4().hex[:6]}"
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        done = ctx.Event()
+        proc = ctx.Process(
+            target=_remote_mirror_proc, args=(ipc, q, done), daemon=True
+        )
+        proc.start()
+        assert q.get(timeout=60) == "bound"
+
+        local_mirror = np.zeros(4096, np.int32)
+        local_listener = WorkerListener(ipc, 0, local_mirror)
+        bc = PageTableBroadcaster(ipc, 2)
+        try:
+            eng = LLMEngine(
+                cfg, EngineConfig(**ecfg), params=params,
+                map_hook=bc.broadcast_map, unmap_hook=bc.broadcast_unmap,
+                table_mirror=local_mirror,
+            )
+            # snapshot BEFORE shutdown frees everything: the allocator's own
+            # table and the broadcast-fed mirror must agree at serve time
+            rids = [eng.add_request(list(p), s)
+                    for p, s in zip(prompts, sps)]
+            while eng.has_unfinished():
+                eng.step()
+            idx = {r: i for i, r in enumerate(rids)}
+            got = {idx[o.req_id]: o.output_tokens
+                   for o in eng.finished_outputs}
+            alloc_pt = np.array(eng.manager.page_allocator.page_table)
+            mirror_snap = local_mirror[: len(alloc_pt)].copy()
+            eng.shutdown()
+
+            assert got == want, (
+                "serving through the broadcast-fed mirror diverged — the "
+                "plane failed to deliver a mapping before its block was used"
+            )
+            np.testing.assert_array_equal(
+                mirror_snap, alloc_pt,
+                err_msg="local mirror diverged from the allocator table",
+            )
+            done.set()
+            remote = np.asarray(q.get(timeout=60), np.int32)
+            np.testing.assert_array_equal(
+                remote[: len(alloc_pt)], mirror_snap,
+                err_msg="remote (second-host) mirror diverged",
+            )
+        finally:
+            done.set()
+            proc.join(timeout=30)
+            bc.close()
+            local_listener.close()
+
+    def test_stale_mirror_would_corrupt(self):
+        """Negative control: a mirror that misses mappings (no hook wired)
+        must NOT serve correctly — proving the positive test is load-
+        bearing.  All entries stay 0 → every read hits the zero page."""
+        import jax
+
+        from kvcached_tpu.engine import (
+            EngineConfig, LLMEngine, SamplingParams,
+        )
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig.toy(dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(
+            max_batch=2, max_model_len=96, page_tokens=16,
+            decode_horizon=4, prefill_buckets=(16,), num_pages=32,
+            interpret=True, kv_dtype="float32",
+            enable_prefix_caching=False,
+        )
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2]]
+        sps = [SamplingParams(max_new_tokens=12)]
+
+        def serve(**kw):
+            eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params, **kw)
+            try:
+                outs = eng.generate(prompts, sps[0])
+                return [o.output_tokens for o in outs]
+            finally:
+                eng.shutdown()
+
+        want = serve()
+        stale = serve(table_mirror=np.zeros(4096, np.int32))
+        assert stale != want, (
+            "a never-updated mirror served correct output — the consuming "
+            "path isn't actually reading the mirror"
+        )
