@@ -238,6 +238,9 @@ class EngineConfig:
     #: single-group stateless families with a prefill_batch_step adapter;
     #: long prompts beyond the largest bucket keep the chunked serial path.
     prefill_batch: int = 1
+    #: pp placement: decode microbatches per pipeline fill (stages work on
+    #: different microbatches each tick — GPipe-style; 1 = no overlap)
+    pp_microbatches: int = 2
     #: acceptance-driven gamma: walk a power-of-two ladder ≤ spec_gamma on
     #: an EMA of accepted drafts/iteration, and cool off to plain decode
     #: when drafting is useless (vLLM's dynamic speculative length idea).
@@ -290,9 +293,28 @@ class LLMEngine:
         ec = self.cfg
 
         self.mesh = mesh
-        self._tp_axis = self._dp_axis = None
+        self._tp_axis = self._dp_axis = self._pp_axis = None
         pool_sharding = None
-        if mesh is not None:
+        if mesh is not None and "pp" in mesh.axis_names:
+            # PIPELINE STAGE PLACEMENT: stages on disjoint devices, each
+            # owning its layers' weights + KV pool; activations ppermute
+            # stage→stage (parallel/pp_mesh.py).  Per-stage managers keep
+            # independent accounting/limits — pages are NOT fungible across
+            # stages (they live in different chips' HBM), unlike the
+            # colocated layer-group mode.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+                raise NotImplementedError("pp×tp meshes not yet supported")
+            if not hasattr(self.adapter, "layers_per_group"):
+                raise ValueError(
+                    "a 'pp' mesh needs a staged adapter (PPLlamaAdapter)"
+                )
+            if ec.num_pages is None:
+                raise ValueError("pp placement requires an explicit num_pages")
+            self._pp_axis = "pp"
+            pool_sharding = NamedSharding(mesh, P("pp"))
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             assert "tp" in mesh.axis_names, "mesh needs a 'tp' axis"
@@ -345,7 +367,10 @@ class LLMEngine:
             num_kv_buffers=self.adapter.num_kv_buffers,
         )
 
+        self._stage_pools = None
         if shared_pool is not None:
+            if self._pp_axis:
+                raise NotImplementedError("pp placement with a shared pool")
             self.pool = shared_pool
             assert pool_arrays is not None, "shared pool requires shared arrays"
             self.arrays = (
@@ -353,6 +378,21 @@ class LLMEngine:
                 if isinstance(pool_arrays, PoolArrays)
                 else PoolArrays(*pool_arrays)
             )
+        elif self._pp_axis:
+            # one accounting pool PER STAGE (pages live in different chips'
+            # HBM — not fungible), one stacked [S, ...] device arena sharded
+            # on the stage axis
+            S = mesh.shape["pp"]
+            spec = PoolSpec.from_config(self.kv_cfg, num_pages=ec.num_pages)
+            self._stage_pools = [DevicePagePool(spec) for _ in range(S)]
+            self.pool = self._stage_pools[0]
+            k = jax.device_put(
+                jnp.zeros((S, *spec.kv_shape), spec.dtype), pool_sharding
+            )
+            v = jax.device_put(
+                jnp.zeros((S, *spec.kv_shape), spec.dtype), pool_sharding
+            )
+            self.arrays = PoolArrays(k, v)
         else:
             if ec.num_pages is not None:
                 spec = PoolSpec.from_config(self.kv_cfg, num_pages=ec.num_pages)
@@ -381,7 +421,7 @@ class LLMEngine:
             create_kv_cache_manager(
                 self.kv_cfg if g == 0 else
                 KVConfig(**{**self.kv_cfg.__dict__, "group_id": g}),
-                self.pool,
+                self._stage_pools[g] if self._stage_pools else self.pool,
                 ipc_name=ec.ipc_name,
                 reserve_null_block=True,
                 **(dict(map_hook=map_hook, unmap_hook=unmap_hook)
@@ -458,7 +498,15 @@ class LLMEngine:
             if params is not None
             else self.adapter.init_params(jax.random.PRNGKey(seed))
         )
-        if mesh is not None:
+        if self._pp_axis:
+            from ..parallel.mesh import shard_tree
+            from ..parallel.pp_mesh import pp_param_specs, stack_pp_params
+
+            self.params = shard_tree(
+                stack_pp_params(self.params, mesh.shape["pp"]),
+                mesh, pp_param_specs(),
+            )
+        elif mesh is not None:
             from ..parallel.mesh import shard_tree
 
             self.params = shard_tree(
@@ -578,6 +626,17 @@ class LLMEngine:
         mesh, decode shards the batch over dp and heads/pools over tp;
         prefill (one sequence) replicates over dp and shards over tp."""
         adapter, ec = self.adapter, self.cfg
+        if self._pp_axis:
+            if ec.kv_dtype == "int8":
+                raise NotImplementedError("int8 KV under pp placement")
+            from ..parallel.pp_mesh import build_pp_impls
+
+            self.quant_scales = None
+            self._decode_step_impl, self._prefill_step_impl = build_pp_impls(
+                adapter.cfg, self.mesh, adapter.layers_per_group,
+                microbatches=ec.pp_microbatches, interpret=ec.interpret,
+            )
+            return
         if reset_scales:
             if ec.kv_dtype == "int8":
                 L, KH = self.kv_cfg.num_layers, self.adapter.num_kv_heads

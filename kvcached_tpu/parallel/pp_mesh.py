@@ -1,0 +1,258 @@
+"""Pipeline-parallel STAGE PLACEMENT: stages on disjoint devices.
+
+`parallel/pp.py` gives each stage its own elastic pool/manager/shm limit
+but executes every stage on one chip.  This module places the stages on
+disjoint devices of a mesh with a ``pp`` axis — PP's actual purpose
+(models bigger than one device), matching the reference where engines
+really run PP across GPUs with per-stage KV
+(/root/reference/kvcached/integration/vllm/patches.py:654-664,978-1005).
+
+TPU-native form (the standard shard_map pipeline):
+
+- stage ``s`` holds layers ``[s·Lp, (s+1)·Lp)`` — the layer stack reshapes
+  to ``[S, Lp, ...]`` and shards on the ``pp`` mesh axis, so each stage's
+  weights AND its KV pool live only in that stage's device memory;
+- activations flow stage→stage over ICI via ``lax.ppermute``;
+- the decode batch splits into microbatches on a pipeline schedule
+  (tick t: stage s works on microbatch t−s), so stages stay busy instead
+  of idling S−1/S of the time;
+- per-stage page tables/slot pages shard on the stage axis; an INACTIVE
+  tick routes its writes to the zero page (defined-write discard), the
+  same mechanism that protects decode-horizon overflow.
+
+Embedding / final norm / LM head are replicated (bytes are small next to
+the layer stack; stage 0 reads the embedding, the last stage the head —
+XLA keeps the unused copies idle).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..models.llama import lm_head_logits, rms_norm, rope
+from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
+from ..ops.paged_prefill import paged_prefill_attention
+
+
+def pp_param_specs(tp_axis_unused: str = "tp", pp_axis: str = "pp") -> dict:
+    """Specs for the STAGE-STACKED llama tree ([S, Lp, ...] layers)."""
+    s = pp_axis
+    layer = P(s)  # leading stage axis; rest replicated within the stage
+    return {
+        "embed": P(),
+        "layers": {
+            "attn_norm": layer, "wq": layer, "wk": layer, "wv": layer,
+            "wo": layer, "mlp_norm": layer, "w_gate": layer, "w_up": layer,
+            "w_down": layer,
+        },
+        "final_norm": P(),
+        "lm_head": P(),
+    }
+
+
+def stack_pp_params(params: dict, num_stages: int) -> dict:
+    """[L, ...] layer stack -> [S, Lp, ...] (stage-major)."""
+    def stack(a):
+        L = a.shape[0]
+        assert L % num_stages == 0
+        return a.reshape(num_stages, L // num_stages, *a.shape[1:])
+
+    return {
+        "embed": params["embed"],
+        "layers": {k: stack(v) for k, v in params["layers"].items()},
+        "final_norm": params["final_norm"],
+        "lm_head": params["lm_head"],
+    }
+
+
+def _stage_perm(S: int):
+    return [(i, (i + 1) % S) for i in range(S)]
+
+
+def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
+                   microbatches: int = 2, interpret: bool = False,
+                   pp_axis: str = "pp"):
+    """Returns (decode_step_impl, prefill_step_impl) with the engine's
+    standard multi-group signatures, executing the layer stack as a
+    device-placed pipeline.
+
+    decode: page_tables [S, B, max_pages], slot_pages [S, B] (stage axis
+    sharded); tokens/positions/slot_offsets/seq_lens [B] replicated.
+    Token-exact vs the single-device layer walk: each microbatch passes
+    through every stage exactly once, writes its KV into the owning
+    stage's pool, and inactive pipeline ticks discard via the zero page.
+    """
+    S = mesh.shape[pp_axis]
+    Lp = layers_per_stage
+    E = cfg.hidden_size
+    V = cfg.vocab_size
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    perm = _stage_perm(S)
+
+    # ---------------------------------------------------------------- decode
+    def pp_decode(params, tokens, positions, k_pools, v_pools,
+                  page_tables, slot_pages, slot_offsets, seq_lens):
+        # local views under shard_map: leading stage dim of size 1
+        s = jax.lax.axis_index(pp_axis)
+        B = tokens.shape[0]
+        M = min(microbatches, B)
+        while B % M:
+            M -= 1
+        mb = B // M
+        layers = jax.tree.map(lambda a: a[0], params["layers"])  # [Lp, ...]
+        k_pool, v_pool = k_pools[0], v_pools[0]
+        table = page_tables[0]  # [B, max_pages] this stage's rows
+        spages = slot_pages[0]  # [B]
+
+        def stage_layers(x, rows, k_pool, v_pool, active):
+            pos = positions[rows]
+            sl = seq_lens[rows]
+            tbl = table[rows]
+            sp = jnp.where(active, spages[rows], 0)  # inactive → discard
+            so = slot_offsets[rows]
+
+            def layer_fn(carry, layer):
+                x, k_pool, v_pool = carry
+                lp, l_idx = layer["p"], layer["i"]
+                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+                q = rope((h @ lp["wq"]).reshape(mb, H, D)[:, None],
+                         pos[:, None], cfg.rope_theta)[:, 0]
+                k = rope((h @ lp["wk"]).reshape(mb, KH, D)[:, None],
+                         pos[:, None], cfg.rope_theta)[:, 0]
+                v = (h @ lp["wv"]).reshape(mb, KH, D)
+                attn, k_pool, v_pool = paged_attention_decode(
+                    q, k_pool, v_pool, tbl, sl, l_idx,
+                    k.astype(k_pool.dtype), v.astype(v_pool.dtype),
+                    sp, so, interpret=interpret,
+                )
+                x = x + attn.reshape(mb, H * D) @ lp["wo"]
+                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+                x = x + (jax.nn.silu(h @ lp["w_gate"])
+                         * (h @ lp["w_up"])) @ lp["w_down"]
+                return (x, k_pool, v_pool), None
+
+            ls = {"p": layers, "i": jnp.arange(Lp)}
+            (x, k_pool, v_pool), _ = jax.lax.scan(
+                layer_fn, (x, k_pool, v_pool), ls
+            )
+            return x, k_pool, v_pool
+
+        def tick(carry, t):
+            x_buf, k_pool, v_pool, logits_buf = carry
+            m = t - s  # microbatch this stage works on at tick t
+            active = (m >= 0) & (m < M)
+            m_c = jnp.clip(m, 0, M - 1)
+            rows = m_c * mb + jnp.arange(mb)
+            # stage 0 ingests fresh embeddings; later stages consume the
+            # activation ppermute delivered last tick
+            x_in = jnp.where(s == 0, params["embed"][tokens[rows]], x_buf)
+            x_out, k_pool, v_pool = stage_layers(
+                x_in, rows, k_pool, v_pool, active
+            )
+            # last stage: head + accumulate this microbatch's logits
+            xf = rms_norm(x_out, params["final_norm"], cfg.rms_eps)
+            lg = lm_head_logits(xf, params["lm_head"], None)  # [mb, V]
+            write = active & (s == S - 1)
+            old = jax.lax.dynamic_slice(logits_buf, (m_c * mb, 0), (mb, V))
+            logits_buf = jax.lax.dynamic_update_slice(
+                logits_buf, jnp.where(write, lg, old), (m_c * mb, 0)
+            )
+            x_buf = jax.lax.ppermute(x_out, pp_axis, perm)
+            return (x_buf, k_pool, v_pool, logits_buf), None
+
+        carry = (
+            jnp.zeros((mb, E), x_dtype(params)),
+            k_pool, v_pool,
+            jnp.zeros((B, V), jnp.float32),
+        )
+        carry, _ = jax.lax.scan(tick, carry, jnp.arange(M + S - 1))
+        _, k_pool, v_pool, logits = carry
+        # only the last stage wrote logits; make them visible everywhere
+        logits = jax.lax.psum(logits, pp_axis)
+        return logits, k_pool[None], v_pool[None]
+
+    # --------------------------------------------------------------- prefill
+    def pp_prefill(params, tokens, positions, k_pools, v_pools,
+                   chunk_pages, page_table, q_start, true_len):
+        s = jax.lax.axis_index(pp_axis)
+        T = tokens.shape[0]
+        kv_len = q_start + true_len
+        layers = jax.tree.map(lambda a: a[0], params["layers"])
+        k_pool, v_pool = k_pools[0], v_pools[0]
+        table = page_table[0]  # [max_pages]
+        cpages = chunk_pages[0]  # [T // page_tokens]
+
+        def stage_layers(x, k_pool, v_pool, active):
+            cp = jnp.where(active, cpages, 0)
+
+            def layer_fn(carry, layer):
+                x, k_pool, v_pool = carry
+                lp, l_idx = layer["p"], layer["i"]
+                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+                q = rope((h @ lp["wq"]).reshape(T, H, D), positions,
+                         cfg.rope_theta)
+                k = rope((h @ lp["wk"]).reshape(T, KH, D), positions,
+                         cfg.rope_theta)
+                v = (h @ lp["wv"]).reshape(T, KH, D)
+                k_pool, v_pool = write_prefill_kv(
+                    k_pool, v_pool, k.transpose(1, 0, 2),
+                    v.transpose(1, 0, 2), cp, l_idx, interpret=interpret,
+                )
+                attn = paged_prefill_attention(
+                    q, k_pool, v_pool, table, q_start, kv_len, l_idx,
+                    interpret=interpret,
+                )
+                x = x + attn.reshape(T, H * D) @ lp["wo"]
+                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+                x = x + (jax.nn.silu(h @ lp["w_gate"])
+                         * (h @ lp["w_up"])) @ lp["w_down"]
+                return (x, k_pool, v_pool), None
+
+            ls = {"p": layers, "i": jnp.arange(Lp)}
+            (x, k_pool, v_pool), _ = jax.lax.scan(
+                layer_fn, (x, k_pool, v_pool), ls
+            )
+            return x, k_pool, v_pool
+
+        # one chunk = one microbatch: stage s is active exactly at tick s
+        x_buf = jnp.zeros((T, E), x_dtype(params))
+        logits = jnp.zeros((V,), jnp.float32)
+        for t in range(S):  # S is small and static — unrolled
+            active = t == s
+            x_in = jnp.where(s == 0, params["embed"][tokens], x_buf)
+            x_out, k_pool, v_pool = stage_layers(x_in, k_pool, v_pool, active)
+            xf = rms_norm(x_out, params["final_norm"], cfg.rms_eps)
+            last = xf[jnp.maximum(true_len - 1, 0)]
+            lg = lm_head_logits(last, params["lm_head"], None)
+            write = active & (s == S - 1)
+            logits = jnp.where(write, lg, logits)
+            x_buf = jax.lax.ppermute(x_out, pp_axis, perm)
+        logits = jax.lax.psum(logits, pp_axis)
+        return logits, k_pool[None], v_pool[None]
+
+    # ------------------------------------------------------------ shard_map
+    stage = P(pp_axis)
+    stage2 = P(pp_axis, None)
+    stage3 = P(pp_axis, None, None)
+    rep = P()
+    pspecs = pp_param_specs(pp_axis=pp_axis)
+
+    decode_impl = jax.shard_map(
+        pp_decode, mesh=mesh,
+        in_specs=(pspecs, rep, rep, stage, stage, stage3, stage2, rep, rep),
+        out_specs=(rep, stage, stage),
+        check_vma=False,
+    )
+    prefill_impl = jax.shard_map(
+        pp_prefill, mesh=mesh,
+        in_specs=(pspecs, rep, rep, stage, stage, stage2, stage2, rep, rep),
+        out_specs=(rep, stage, stage),
+        check_vma=False,
+    )
+    return decode_impl, prefill_impl
+
+
+def x_dtype(params) -> jnp.dtype:
+    return params["embed"].dtype

@@ -104,3 +104,158 @@ class TestPerStageControl:
             assert len(out[0].output_tokens) == 6
         finally:
             eng.shutdown()
+
+
+class TestPPPlacement:
+    """Stage PLACEMENT on disjoint devices of a 'pp' mesh
+    (parallel/pp_mesh.py): each stage's weights and KV pool live only in
+    that stage's device memory, activations ppermute stage→stage, decode
+    microbatches on a pipeline schedule.  Token-exact vs the plain engine
+    — PP's actual purpose (models bigger than one device), the reference's
+    engines running PP across GPUs (vllm/patches.py:654-664,978-1005)."""
+
+    def _mesh(self, S):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < S:
+            pytest.skip(f"needs {S} virtual devices")
+        return Mesh(np.array(jax.devices()[:S]), ("pp",))
+
+    def _serve(self, cfg, params, prompts, sp, *, stages=None, **over):
+        ecfg = dict(
+            max_batch=4, max_model_len=96, page_tokens=16, decode_horizon=4,
+            prefill_buckets=(16, 32), num_pages=32, interpret=True,
+            kv_dtype="float32",
+        )
+        ecfg.update(over)
+        if stages is None:
+            eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        else:
+            eng = LLMEngine(
+                PPLlamaAdapter(cfg, num_stages=stages),
+                EngineConfig(**ecfg), params=params,
+                mesh=self._mesh(stages),
+            )
+        try:
+            outs = eng.generate(prompts, sp)
+            return [o.output_tokens for o in outs], eng
+        finally:
+            eng.shutdown()
+
+    def test_two_stage_placed_token_exact(self):
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], list(range(7, 27)), [9, 9, 9], [4, 5]]
+        sp = SamplingParams(max_new_tokens=8)
+        want, _ = self._serve(cfg, params, prompts, sp)
+        got, eng = self._serve(cfg, params, prompts, sp, stages=2)
+        assert got == want, "placed 2-stage PP diverged"
+
+    def test_four_stage_with_chunked_prefill(self):
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        long_prompt = [((3 * j) % 120) + 1 for j in range(48)]  # > bucket 32
+        prompts = [long_prompt, [1, 2, 3], [7] * 5, [2, 4, 6, 8]]
+        sp = SamplingParams(max_new_tokens=6)
+        want, _ = self._serve(cfg, params, prompts, sp)
+        got, _ = self._serve(cfg, params, prompts, sp, stages=4)
+        assert got == want, "4-stage PP with chunked prefill diverged"
+
+    def test_stage_pools_actually_placed(self):
+        """Each stage's pool shard must live on that stage's device, and
+        the per-stage accounting pools must be independent objects with
+        their own shm segments (kvctl can limit each stage)."""
+        import numpy as np
+
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        mesh = self._mesh(2)
+        ipc = f"pp{uuid.uuid4().hex[:6]}"
+        eng = LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2),
+            EngineConfig(max_batch=2, max_model_len=96, page_tokens=16,
+                         decode_horizon=2, prefill_buckets=(16, 32),
+                         num_pages=32, interpret=True, kv_dtype="float32",
+                         ipc_name=ipc),
+            params=params, mesh=mesh,
+        )
+        try:
+            eng.generate([[1, 2, 3, 4]], SamplingParams(max_new_tokens=4))
+            shards = sorted(
+                eng.k_pools.addressable_shards, key=lambda s: s.index[0].start
+            )
+            assert len(shards) == 2
+            devs = [s.device for s in shards]
+            assert devs[0] != devs[1], "stages share a device"
+            assert devs == list(mesh.devices.flat), (
+                "stage order does not follow the pp mesh axis"
+            )
+            # independent accounting: different allocator objects, and the
+            # stages' shm segments are distinct (group suffix)
+            a0 = eng.managers[0].page_allocator
+            a1 = eng.managers[1].page_allocator
+            assert a0 is not a1
+            from kvcached_tpu import shm as shm_mod
+
+            i0 = shm_mod.get_kv_cache_info(ipc)
+            i1 = shm_mod.get_kv_cache_info(f"{ipc}_g1")
+            assert i0 is not None and i1 is not None
+        finally:
+            eng.shutdown()
+
+    def test_stage_limit_cut_still_independent(self):
+        """kvctl-style limit cut on stage 1's segment only: stage 0's
+        target unchanged — the reference's per-stage elasticity."""
+        from kvcached_tpu import shm as shm_mod
+
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ipc = f"pp{uuid.uuid4().hex[:6]}"
+        eng = LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2),
+            EngineConfig(max_batch=2, max_model_len=96, page_tokens=16,
+                         decode_horizon=2, prefill_buckets=(16, 32),
+                         num_pages=32, interpret=True, kv_dtype="float32",
+                         ipc_name=ipc),
+            params=params, mesh=self._mesh(2),
+        )
+        try:
+            import time
+
+            page_bytes = eng.kv_cfg.page_bytes
+            shm_mod.update_kv_cache_limit(f"{ipc}_g1", 8 * page_bytes)
+            deadline = time.time() + 5
+            while time.time() < deadline:
+                eng.managers[1].alloc(0)  # pick up the resize target
+                if eng.managers[1].page_allocator.limit_pages <= 8:
+                    break
+                time.sleep(0.05)
+            assert eng.managers[1].page_allocator.limit_pages <= 8
+            assert eng.managers[0].page_allocator.limit_pages > 8
+            # serving still works under the stage limit
+            out = eng.generate([[5, 6, 7]], SamplingParams(max_new_tokens=6))
+            assert len(out[0].output_tokens) == 6
+        finally:
+            eng.shutdown()
+
+    def test_microbatch_one_matches(self):
+        """pp_microbatches=1 (no overlap) must also be exact."""
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3], [4, 5], [6] * 4, [7, 8, 9]]
+        sp = SamplingParams(max_new_tokens=6)
+        want, _ = self._serve(cfg, params, prompts, sp)
+        got, _ = self._serve(cfg, params, prompts, sp, stages=2,
+                             pp_microbatches=1)
+        assert got == want
+
+    def test_microbatch_four_matches(self):
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3], [4, 5], [6] * 4, [7, 8, 9]]
+        sp = SamplingParams(max_new_tokens=6)
+        want, _ = self._serve(cfg, params, prompts, sp)
+        got, _ = self._serve(cfg, params, prompts, sp, stages=2,
+                             pp_microbatches=4)
+        assert got == want
