@@ -208,7 +208,13 @@ def gsm8k_eval(ckpt: str, data_path: str, num_questions: int,
     ))
     try:
         t0 = time.time()
-        outs = eng.generate(prompts, SamplingParams(max_new_tokens=max_new))
+        # few-shot format: the answer ends where the model would start the
+        # next question — the ENGINE's stop-string feature truncates and
+        # frees the sequence early (the reference's sglang run configures
+        # stop=["Question"]), instead of the harness post-processing
+        outs = eng.generate(prompts, SamplingParams(
+            max_new_tokens=max_new, stop=("Question:", "\n\n"),
+        ))
         dt = time.time() - t0
     finally:
         eng.shutdown()
@@ -216,13 +222,8 @@ def gsm8k_eval(ckpt: str, data_path: str, num_questions: int,
     toks = 0
     for o, gold in zip(outs, golds):
         toks += len(o.output_tokens)
-        text = tok.decode(o.output_tokens)
-        # few-shot format: the answer ends where the model starts the next
-        # question (host-side stop-string truncation, as the reference's
-        # sglang run configures stop=["Question"])
-        for stop in ("Question:", "\n\n"):
-            if stop in text:
-                text = text.split(stop, 1)[0]
+        text = (o.output_text if o.output_text is not None
+                else tok.decode(o.output_tokens))
         got = extract_answer_value(text)
         correct += got == gold
         invalid += got == INVALID

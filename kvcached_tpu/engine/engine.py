@@ -49,6 +49,11 @@ class SamplingParams:
     top_p: float = 1.0  # nucleus sampling; 1.0 = disabled
     seed: int = 0
     stop_token_ids: tuple[int, ...] = ()
+    #: stop STRINGS (OpenAI `stop`): generation ends when the decoded
+    #: output contains one; the returned text is truncated before it.
+    #: Needs a tokenizer on the engine (LLMEngine(tokenizer=...) or the
+    #: server attaches its own).
+    stop: tuple[str, ...] = ()
 
 
 def _sample_tokens(logits, temps, top_ks, top_ps, key, *, filters: bool):
@@ -154,6 +159,9 @@ class RequestOutput:
     prompt: list[int]
     output_tokens: list[int]
     finished: bool = True
+    #: decoded output truncated before the earliest stop string (only set
+    #: when a stop string fired; callers without stops decode themselves)
+    output_text: str | None = None
 
 
 class Sequence:
@@ -166,6 +174,8 @@ class Sequence:
         self.num_prefilled = 0
         self.num_cached_pages = 0  # prefix-cache hit pages at admission
         self.state_block: int | None = None  # mamba state slot (stateful models)
+        self.stop_hit = False  # a stop STRING fired (host-side detokenize)
+        self.output_text: str | None = None  # text truncated at the stop
 
     @property
     def blocks(self) -> list[int]:
@@ -185,7 +195,7 @@ class Sequence:
 
     def finished(self) -> bool:
         sp = self.req.sampling
-        if self.num_generated >= sp.max_new_tokens:
+        if self.stop_hit or self.num_generated >= sp.max_new_tokens:
             return True
         return bool(
             sp.stop_token_ids
@@ -269,6 +279,7 @@ class LLMEngine:
         map_hook=None,
         unmap_hook=None,
         table_mirror: "np.ndarray | None" = None,
+        tokenizer=None,
     ):
         """``mesh``: optional jax.sharding.Mesh with a ``tp`` axis (and
         optionally ``dp``).  The engine then serves SHARDED: params
@@ -289,6 +300,9 @@ class LLMEngine:
         every mapping serving needs, in time."""
         self.adapter = as_adapter(model_cfg)
         self.model_cfg = model_cfg
+        #: optional decode() provider for stop-STRING detection (the server
+        #: attaches its own when the engine was built without one)
+        self.tokenizer = tokenizer
         self.cfg = engine_cfg or EngineConfig()
         ec = self.cfg
 
@@ -1384,6 +1398,9 @@ class LLMEngine:
         seq.tokens.append(self._sample_first_token(seq, out))
         seq.num_prefilled = plen
         self.running.append(seq)
+        self._check_stops(seq)
+        if seq.finished():  # stop string in the very first token
+            self._finish_seq(seq)
         return True
 
     def _collect_prefill_batch(self) -> list[Sequence]:
@@ -1452,6 +1469,9 @@ class LLMEngine:
                 self._sample_first_token(seq, (greedy[i], logits[i]))
             )
             self.running.append(seq)
+            self._check_stops(seq)
+            if seq.finished():  # stop string in the very first token
+                self._finish_seq(seq)
 
     def _sample_first_token(self, seq: Sequence, out) -> int:
         """Sample the prefill's token with the request's own params (the
@@ -1569,6 +1589,7 @@ class LLMEngine:
                 seq.tokens.append(int(toks[j, i]))
                 if seq.finished():
                     break
+            self._check_stops(seq)
             self._reclaim_slid_pages(seq)
             if seq.finished():
                 # trim over-generated tokens beyond the stop point
@@ -1849,12 +1870,37 @@ class LLMEngine:
                     if seq.finished():
                         break
             self._spec_tokens += appended
+            self._check_stops(seq)
             self._reclaim_slid_pages(seq)
             if seq.finished():
                 sp = seq.req.sampling
                 keep = min(seq.num_generated, sp.max_new_tokens)
                 seq.tokens = seq.tokens[: seq.prompt_len + keep]
                 self._finish_seq(seq)
+
+    def _check_stops(self, seq: Sequence) -> None:
+        """Stop-STRING detection: decode the generated tail and finish the
+        sequence when any stop string appears, recording the text truncated
+        before its earliest occurrence (OpenAI semantics — the stop itself
+        is excluded).  Runs once per dispatch, so a horizon may generate a
+        few tokens past the stop; truncation is by text position, so the
+        returned output is identical to per-token checking (the same
+        argument real engines use for chunked detokenization)."""
+        sp = seq.req.sampling
+        if (
+            not sp.stop or self.tokenizer is None or seq.stop_hit
+            or seq.num_generated == 0
+        ):
+            return
+        text = self.tokenizer.decode(seq.tokens[seq.prompt_len:])
+        best = None
+        for s in sp.stop:
+            i = text.find(s)
+            if i != -1 and (best is None or i < best):
+                best = i
+        if best is not None:
+            seq.stop_hit = True
+            seq.output_text = text[:best]
 
     def _finish_seq(self, seq: Sequence) -> None:
         self.running.remove(seq)
@@ -1864,6 +1910,7 @@ class LLMEngine:
                 seq.req.req_id,
                 seq.req.prompt,
                 seq.tokens[seq.prompt_len :],
+                output_text=seq.output_text,
             )
         )
 

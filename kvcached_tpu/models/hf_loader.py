@@ -216,12 +216,35 @@ class HFTokenizer:
     def decode(self, tokens: Iterable[int]) -> str:
         return self._tok.decode(list(tokens), skip_special_tokens=True)
 
+    def apply_chat_template(self, messages: list[dict]) -> list[int]:
+        """Render a chat with the model's own template (falls back to a
+        plain role-prefixed transcript when the tokenizer has none) and
+        encode it with the generation prompt appended."""
+        try:
+            return list(
+                self._tok.apply_chat_template(
+                    messages, add_generation_prompt=True, tokenize=True
+                )
+            )
+        except (ValueError, AttributeError):
+            text = "\n".join(
+                f"{m.get('role', 'user')}: {m.get('content', '')}"
+                for m in messages
+            )
+            return self.encode(text + "\nassistant:")
+
 
 def engine_from_checkpoint(
     ckpt_dir: str, engine_cfg=None, dtype: str = "bfloat16", **engine_kw
 ):
-    """One-call serving from a checkpoint directory."""
+    """One-call serving from a checkpoint directory.  Attaches the
+    checkpoint's tokenizer when present (stop-string support)."""
     from ..engine import LLMEngine
 
     cfg, params = params_from_hf(ckpt_dir, dtype=dtype)
+    if "tokenizer" not in engine_kw:
+        try:
+            engine_kw["tokenizer"] = HFTokenizer(ckpt_dir)
+        except Exception:  # noqa: BLE001 — weights-only checkpoint dirs
+            pass
     return LLMEngine(cfg, engine_cfg, params=params, **engine_kw)

@@ -287,21 +287,35 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
             return web.json_response({"error": f"unknown model {model!r}"}, status=404)
         if chat:
             msgs = body.get("messages", [])
-            text = "\n".join(
-                f"{m.get('role', 'user')}: {m.get('content', '')}" for m in msgs
-            )
-            prompt = tok.encode(text + "\nassistant:")
+            if hasattr(tok, "apply_chat_template"):
+                # real chat models: the tokenizer's own template (HFTokenizer)
+                prompt = tok.apply_chat_template(msgs)
+            else:
+                text = "\n".join(
+                    f"{m.get('role', 'user')}: {m.get('content', '')}"
+                    for m in msgs
+                )
+                prompt = tok.encode(text + "\nassistant:")
         elif "prompt_token_ids" in body:
             prompt = [int(t) for t in body["prompt_token_ids"]]
         else:
             prompt = tok.encode(str(body.get("prompt", "")))
         stop_ids = tuple(int(t) for t in body.get("stop_token_ids", ()))
+        stop_raw = body.get("stop", ())
+        stops = (
+            (stop_raw,) if isinstance(stop_raw, str)
+            else tuple(str(s) for s in stop_raw)
+        )
+        if stops and handle.engine.tokenizer is None:
+            # stop strings need detokenization inside the engine
+            handle.engine.tokenizer = tok
         sampling = SamplingParams(
             max_new_tokens=int(body.get("max_tokens", 32)),
             temperature=float(body.get("temperature", 0.0)),
             top_k=int(body.get("top_k", 0)),
             top_p=float(body.get("top_p", 1.0)),
             stop_token_ids=stop_ids,
+            stop=stops,
         )
         if handle.sleeping:
             # wake-on-request: runs on the runner thread (never mid-step)
@@ -331,10 +345,18 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
             return resp
 
         out = await fut
-        text = tok.decode(out.output_tokens)
+        # a fired stop string carries pre-truncated text (OpenAI semantics:
+        # the stop itself is excluded from the response)
+        text = (
+            out.output_text if out.output_text is not None
+            else tok.decode(out.output_tokens)
+        )
         finish = (
             "stop"
-            if stop_ids and out.output_tokens and out.output_tokens[-1] in stop_ids
+            if out.output_text is not None or (
+                stop_ids and out.output_tokens
+                and out.output_tokens[-1] in stop_ids
+            )
             else "length"
         )
         if chat:

@@ -161,3 +161,103 @@ class TestEngineSampling:
         finally:
             eng.shutdown()
         assert got == solo
+
+
+class TestStopStrings:
+    """SamplingParams.stop (OpenAI `stop`): generation ends when the
+    decoded output contains a stop string; the returned output_text is
+    truncated before it (the reference's sglang GSM8K run configures
+    stop=["Question"])."""
+
+    class _Tok:
+        """Token id == character code (deterministic detokenizer)."""
+
+        def decode(self, toks):
+            return "".join(chr(t) for t in toks)
+
+        def encode(self, text):
+            return [ord(c) for c in text]
+
+    def _engine(self, cfg, params, **over):
+        from kvcached_tpu.engine import EngineConfig, LLMEngine
+
+        ecfg = dict(max_batch=2, max_model_len=128, page_tokens=16,
+                    decode_horizon=4, prefill_buckets=(16, 32), num_pages=48,
+                    interpret=True, kv_dtype="float32")
+        ecfg.update(over)
+        return LLMEngine(cfg, EngineConfig(**ecfg), params=params,
+                         tokenizer=self._Tok())
+
+    def test_stop_string_truncates_and_finishes_early(self):
+        from kvcached_tpu.engine import SamplingParams
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig.toy(dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        eng = self._engine(cfg, params)
+        try:
+            # run once unstopped to learn the model's actual output, then
+            # stop on a substring of it
+            base = eng.generate([[65, 66, 67]],
+                                SamplingParams(max_new_tokens=24))[0]
+            text = self._Tok().decode(base.output_tokens)
+            assert base.output_text is None  # no stops configured
+            probe = text[5:8]  # some substring the model provably emits
+            out = eng.generate(
+                [[65, 66, 67]],
+                SamplingParams(max_new_tokens=24, stop=(probe,)),
+            )[0]
+            assert out.output_text is not None, "stop string did not fire"
+            assert probe not in out.output_text
+            assert text.startswith(out.output_text)
+            idx = text.find(probe)
+            assert out.output_text == text[:idx]
+            # finished EARLY: fewer tokens than the unstopped run
+            assert len(out.output_tokens) < len(base.output_tokens)
+        finally:
+            eng.shutdown()
+
+    def test_no_tokenizer_ignores_stops(self):
+        from kvcached_tpu.engine import (
+            EngineConfig, LLMEngine, SamplingParams,
+        )
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig.toy(dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        eng = LLMEngine(
+            cfg,
+            EngineConfig(max_batch=1, max_model_len=64, page_tokens=16,
+                         decode_horizon=4, prefill_buckets=(16,),
+                         num_pages=32, interpret=True, kv_dtype="float32"),
+            params=params,
+        )
+        try:
+            out = eng.generate(
+                [[1, 2, 3]], SamplingParams(max_new_tokens=8, stop=("x",))
+            )[0]
+            assert len(out.output_tokens) == 8
+            assert out.output_text is None
+        finally:
+            eng.shutdown()
+
+    def test_stop_with_spec_decode(self):
+        from kvcached_tpu.engine import SamplingParams
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig.toy(dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        eng = self._engine(cfg, params, spec_decode=True)
+        plain = self._engine(cfg, params)
+        try:
+            base = plain.generate([[65, 66, 67, 65, 66, 67]],
+                                  SamplingParams(max_new_tokens=20))[0]
+            text = self._Tok().decode(base.output_tokens)
+            probe = text[4:7]
+            sp = SamplingParams(max_new_tokens=20, stop=(probe,))
+            out = eng.generate([[65, 66, 67, 65, 66, 67]], sp)[0]
+            want = plain.generate([[65, 66, 67, 65, 66, 67]], sp)[0]
+            assert out.output_text == want.output_text == text[:text.find(probe)]
+        finally:
+            eng.shutdown()
+            plain.shutdown()
