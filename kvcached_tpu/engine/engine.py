@@ -450,14 +450,12 @@ class LLMEngine:
         # arena — state cells and KV pages have different byte geometry so
         # they are not fungible, but limits/accounting/prealloc are shared
         # machinery.  Slot 0 (physical page 0) is the null slot.
+        # int8 KV covers stateful (mamba) models too: the ATTENTION layers'
+        # pools quantize with per-head scales exactly like the plain
+        # families; the mamba STATE pool stays f32 (states are recurrent
+        # accumulators, not paged KV — the reference's quantized pools also
+        # only cover KV buffers).
         self.has_state = bool(getattr(self.adapter, "has_state", False))
-        if self.has_state and ec.kv_dtype == "int8":
-            # the stateful step impls don't thread per-head scales; a direct
-            # bf16->int8 cast would silently destroy KV precision
-            raise ValueError(
-                "int8 KV with per-head scales is not supported for stateful "
-                "(mamba) models; use bfloat16 or float8_e4m3fn"
-            )
         self.state_manager = None
         self.states = None
         if self.has_state:
@@ -689,7 +687,7 @@ class LLMEngine:
                     adapter.decode_step(
                         params, t, p, k, v, pt, sp, so, sl,
                         states=states, state_slots=ss,
-                        interpret=ec.interpret,
+                        interpret=ec.interpret, **extra,
                     )
                 )
                 self._prefill_state_impl = (
@@ -697,7 +695,7 @@ class LLMEngine:
                     adapter.prefill_step(
                         params, t, p, k, v, cp, pt, qs, tl,
                         states=states, state_slot=slot,
-                        interpret=ec.interpret,
+                        interpret=ec.interpret, **extra,
                     )
                 )
             return
@@ -916,7 +914,8 @@ class LLMEngine:
         #   States are tiny next to KV, so the per-step psum is noise.
         def dstep_state(params, tokens, positions, k_pools, v_pools,
                         page_tables, slot_pages, slot_offsets, seq_lens,
-                        states, state_slots):
+                        states, state_slots, *scales):
+            kw = {"quant_scales": scales} if scales else {}
             if equalize:
                 logits, k_pools, v_pools, new_states, (ks, vs) = (
                     adapter.decode_step(
@@ -924,51 +923,60 @@ class LLMEngine:
                         page_tables, slot_pages, slot_offsets, seq_lens,
                         states=states, state_slots=state_slots,
                         tp_axis="tp", interpret=ec.interpret, collect_kv=True,
+                        **kw,
                     )
                 )
                 # same replica-equalization as the stateless path: the KV
                 # pools carry dp-local writes that must be replayed on every
                 # shard (the states are handled by the delta psum below)
                 k_pools, v_pools = _equalize_kv(
-                    k_pools, v_pools, ks, vs, slot_pages, slot_offsets, ()
+                    k_pools, v_pools, ks, vs, slot_pages, slot_offsets,
+                    scales,
                 )
             else:
                 logits, k_pools, v_pools, new_states = adapter.decode_step(
                     params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
                     states=states, state_slots=state_slots,
-                    tp_axis="tp", interpret=ec.interpret,
+                    tp_axis="tp", interpret=ec.interpret, **kw,
                 )
             if dp:
                 new_states = states + jax.lax.psum(new_states - states, dp)
             return logits, k_pools, v_pools, new_states
 
-        self._decode_state_impl = jax.shard_map(
+        ds_sharded = jax.shard_map(
             dstep_state, mesh=self.mesh,
             in_specs=(pspecs, bd, bd, pool_p, pool_p, b2, bd, bd, bd,
-                      rep, bd),
+                      rep, bd) + ((sc_p, sc_p) if qs else ()),
             out_specs=(bd, pool_p, pool_p, rep),
             check_vma=False,
+        )
+        self._decode_state_impl = (
+            (lambda *a: ds_sharded(*a, *qs)) if qs else ds_sharded
         )
 
         # prefill runs ONE sequence replicated over dp: every shard computes
         # the same state update, so no merge is needed.
         def pstep_state(params, tokens, positions, k_pools, v_pools,
                         chunk_pages, page_table, q_start, true_len,
-                        states, state_slot):
+                        states, state_slot, *scales):
             return adapter.prefill_step(
                 params, tokens, positions, k_pools, v_pools,
                 chunk_pages, page_table, q_start, true_len,
                 states=states, state_slot=state_slot,
                 tp_axis="tp", interpret=ec.interpret,
+                **({"quant_scales": scales} if scales else {}),
             )
 
-        self._prefill_state_impl = jax.shard_map(
+        ps_sharded = jax.shard_map(
             pstep_state, mesh=self.mesh,
             in_specs=(pspecs, rep, rep, pool_p, pool_p, rep, rep, rep, rep,
-                      rep, rep),
+                      rep, rep) + ((sc_p, sc_p) if qs else ()),
             out_specs=(rep, pool_p, pool_p, rep),
             check_vma=False,
+        )
+        self._prefill_state_impl = (
+            (lambda *a: ps_sharded(*a, *qs)) if qs else ps_sharded
         )
 
     def _decode_fn_for(self, K: int, filters: bool = False):

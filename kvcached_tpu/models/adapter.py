@@ -289,24 +289,26 @@ class HybridLinearAdapter:
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
                     *, states, state_slots, tp_axis=None, interpret=False,
-                    collect_kv=False):
+                    collect_kv=False, quant_scales=None):
         from .mamba import hybrid_linear_decode_step
 
         return hybrid_linear_decode_step(
             params, self.cfg, tokens, positions, k_pools, v_pools, states,
             page_tables, slot_pages, slot_offsets, seq_lens, state_slots,
             tp_axis=tp_axis, interpret=interpret, collect_kv=collect_kv,
+            quant_scales=quant_scales,
         )
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
                      chunk_pages, page_table, q_start, true_len,
-                     *, states, state_slot, tp_axis=None, interpret=False):
+                     *, states, state_slot, tp_axis=None, interpret=False,
+                     quant_scales=None):
         from .mamba import hybrid_linear_prefill_step
 
         return hybrid_linear_prefill_step(
             params, self.cfg, tokens, positions, k_pools, v_pools, states,
             chunk_pages, page_table, q_start, true_len, state_slot,
-            tp_axis=tp_axis, interpret=interpret,
+            tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
         )
 
     def param_specs(self, tp_axis: str) -> dict:

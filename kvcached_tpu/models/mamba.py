@@ -288,9 +288,12 @@ def hybrid_linear_decode_step(
     tp_axis: str | None = None,
     interpret: bool = False,
     collect_kv: bool = False,
+    quant_scales: tuple | None = None,  # (k_scales, v_scales) [L_attn, KH]
 ):
     B = tokens.shape[0]
     kv_collected = []
+    int8_kv = jnp.dtype(k_pools.dtype) == jnp.int8
+    k_scales, v_scales = quant_scales if quant_scales else (None, None)
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     # TP sharding (under shard_map): attention layers are Megatron-sharded
     # like the Llama family; mamba mixers run REPLICATED — the state cells
@@ -315,8 +318,10 @@ def hybrid_linear_decode_step(
                 kv_collected.append((k, v))
             attn, k_pools, v_pools = paged_attention_decode(
                 q, k_pools, v_pools, page_tables, seq_lens, attn_i,
-                k.astype(k_pools.dtype), v.astype(v_pools.dtype),
+                k if int8_kv else k.astype(k_pools.dtype),
+                v if int8_kv else v.astype(v_pools.dtype),
                 slot_pages, slot_offsets, interpret=interpret,
+                k_scales=k_scales, v_scales=v_scales,
             )
             x = x + _maybe_psum(attn.reshape(B, H * D) @ lp["wo"], tp_axis)
             h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
@@ -363,6 +368,7 @@ def hybrid_linear_prefill_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    quant_scales: tuple | None = None,  # (k_scales, v_scales) [L_attn, KH]
 ):
     """Prefill ONE chunk.  NOTE: mamba state is recomputed from position 0,
     so chunked prefill requires q_start==0 chunks to carry state — the
@@ -373,6 +379,7 @@ def hybrid_linear_prefill_step(
     if tp_axis:  # attention sharded, mixers replicated (see decode step)
         tp = jax.lax.axis_size(tp_axis)
         H, KH = H // tp, KH // tp
+    k_scales, v_scales = quant_scales if quant_scales else (None, None)
     x = params["embed"][tokens]
 
     attn_i = mamba_i = 0
@@ -387,10 +394,13 @@ def hybrid_linear_prefill_step(
             k_pools, v_pools = write_prefill_kv(
                 k_pools, v_pools, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
                 chunk_pages, attn_i, interpret=interpret,
+                k_scale=k_scales[attn_i] if k_scales is not None else None,
+                v_scale=v_scales[attn_i] if v_scales is not None else None,
             )
             attn = paged_prefill_attention(
                 q, k_pools, v_pools, page_table, q_start, q_start + true_len,
                 attn_i, interpret=interpret,
+                k_scales=k_scales, v_scales=v_scales,
             )
             x = x + _maybe_psum(attn.reshape(T, H * D) @ lp["wo"], tp_axis)
             h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)

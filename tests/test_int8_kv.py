@@ -196,3 +196,96 @@ class TestInt8Engine:
             assert out1[0].output_tokens != out2[0].output_tokens
         finally:
             eng.shutdown()
+
+
+class TestInt8Stateful:
+    """int8 KV for stateful (mamba/hybrid-linear) models: the attention
+    layers' pools quantize on write with per-head scales exactly like the
+    plain families; the mamba STATE pool stays f32 (recurrent accumulators,
+    not paged KV).  Closes the round-2 carve-out (the reference's quantized
+    pools don't exclude mamba)."""
+
+    def _make(self, cfg, params, mesh=None, **kw):
+        d = dict(max_batch=2, max_model_len=128, page_tokens=32,
+                 decode_horizon=4, prefill_buckets=(32, 64), num_pages=32,
+                 interpret=True, kv_dtype="int8", kv_scale=0.05)
+        d.update(kw)
+        return LLMEngine(cfg, EngineConfig(**d), params=params, mesh=mesh)
+
+    def test_hybrid_linear_int8_deterministic_and_close(self):
+        from kvcached_tpu.models.mamba import (
+            HybridLinearConfig,
+            init_hybrid_linear_params,
+        )
+
+        cfg = HybridLinearConfig.toy(num_layers=4, dtype="float32")
+        params = init_hybrid_linear_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+        sp = SamplingParams(max_new_tokens=8)
+        a = self._make(cfg, params)
+        b = self._make(cfg, params)
+        ref = self._make(cfg, params, kv_dtype="float32")
+        try:
+            out_a = [o.output_tokens for o in a.generate(prompts, sp)]
+            out_b = [o.output_tokens for o in b.generate(prompts, sp)]
+            out_r = [o.output_tokens for o in ref.generate(prompts, sp)]
+            assert out_a == out_b, "int8 stateful generation nondeterministic"
+            # quantized KV may drift later; the first token (prefill logits,
+            # least accumulated error) must agree with full precision
+            assert [t[0] for t in out_a] == [t[0] for t in out_r]
+            assert str(a.k_pools.dtype) == "int8"
+            assert a.states.dtype == jnp.float32  # state pool unquantized
+        finally:
+            a.shutdown()
+            b.shutdown()
+            ref.shutdown()
+
+    def test_hybrid_linear_int8_chunked_prefill(self):
+        """A prompt beyond the largest bucket: int8 chunk writes + state
+        resume must stay deterministic."""
+        from kvcached_tpu.models.mamba import (
+            HybridLinearConfig,
+            init_hybrid_linear_params,
+        )
+
+        cfg = HybridLinearConfig.toy(num_layers=4, dtype="float32")
+        params = init_hybrid_linear_params(cfg, jax.random.PRNGKey(0))
+        long_prompt = [((5 * j) % 120) + 1 for j in range(96)]  # > bucket 64
+        sp = SamplingParams(max_new_tokens=6)
+        a = self._make(cfg, params)
+        b = self._make(cfg, params)
+        try:
+            out_a = a.generate([long_prompt], sp)[0].output_tokens
+            out_b = b.generate([long_prompt], sp)[0].output_tokens
+            assert out_a == out_b
+            assert len(out_a) == 6
+        finally:
+            a.shutdown()
+            b.shutdown()
+
+    def test_hybrid_linear_int8_on_mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kvcached_tpu.models.mamba import (
+            HybridLinearConfig,
+            init_hybrid_linear_params,
+        )
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = HybridLinearConfig.toy(
+            num_layers=4, num_heads=4, num_kv_heads=2,
+            intermediate_size=256, dtype="float32",
+        )
+        params = init_hybrid_linear_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [6] * 4, [2, 2]]
+        sp = SamplingParams(max_new_tokens=6)
+        single = self._make(cfg, params, max_batch=4)
+        meshed = self._make(cfg, params, max_batch=4,
+                            mesh=make_mesh(tp=2, dp=2))
+        try:
+            want = [o.output_tokens for o in single.generate(prompts, sp)]
+            got = [o.output_tokens for o in meshed.generate(prompts, sp)]
+            assert got == want, "int8 stateful mesh diverged"
+        finally:
+            single.shutdown()
+            meshed.shutdown()
