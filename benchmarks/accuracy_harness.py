@@ -155,6 +155,76 @@ def ckpt_parity(ckpt: str, prompts_file: str | None, max_new: int) -> int:
     return 0 if exact == len(prompts) else 1
 
 
+def addition_eval(ckpt: str, n: int, max_new: int = 6) -> int:
+    """Real-weights accuracy gate on the committed TRAINED checkpoint
+    (benchmarks/train_tiny_add.py): score the held-out addition set through
+    the FULL paged engine and through transformers' own generate — the
+    scores must MATCH (the reference's GSM8K-parity shape: serving through
+    the elastic pool changes nothing), and the engine must be token-exact
+    per example."""
+    import json
+    import os
+    import time
+
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from kvcached_tpu.engine import EngineConfig, SamplingParams
+    from kvcached_tpu.models.hf_loader import (
+        HFTokenizer,
+        engine_from_checkpoint,
+    )
+
+    with open(os.path.join(ckpt, "heldout.json")) as f:
+        held = json.load(f)["examples"][:n]
+    tok = HFTokenizer(ckpt)
+    prompts = [tok.encode(ex.split("=")[0] + "=") for ex in held]
+    # the '.' terminator is the eos token — decode(skip_special_tokens)
+    # strips it on both sides, so score on the digits
+    answers = [ex.split("=")[1].rstrip(".") for ex in held]
+    eos = tok.eos_token_id
+
+    eng = engine_from_checkpoint(ckpt, EngineConfig(
+        max_batch=8, max_model_len=32, page_tokens=16,
+        decode_horizon=2, prefill_buckets=(16,), num_pages=128,
+        interpret=not ON_TPU, kv_dtype="float32", adaptive_horizon=False,
+    ), dtype="float32")
+    try:
+        t0 = time.time()
+        outs = eng.generate(prompts, SamplingParams(
+            max_new_tokens=max_new, stop_token_ids=(eos,),
+        ))
+        dt = time.time() - t0
+    finally:
+        eng.shutdown()
+    eng_correct = 0
+    eng_toks = []
+    for o, ans in zip(outs, answers):
+        text = tok.decode(o.output_tokens)
+        eng_toks.append(o.output_tokens)
+        eng_correct += text == ans
+
+    hf = AutoModelForCausalLM.from_pretrained(ckpt).eval()
+    hf_correct = parity = 0
+    with torch.no_grad():
+        for p, ans, et in zip(prompts, answers, eng_toks):
+            want = hf.generate(
+                torch.tensor([p]), max_new_tokens=max_new, do_sample=False,
+                eos_token_id=hf.config.eos_token_id,
+                pad_token_id=hf.config.pad_token_id,
+            )[0][len(p):].tolist()
+            hf_correct += tok.decode(want) == ans
+            parity += et[: len(want)] == want
+    n = len(held)
+    print(f"addition eval (real trained weights, n={n}): "
+          f"engine {eng_correct}/{n} = {eng_correct / n:.3f}, "
+          f"transformers {hf_correct}/{n} = {hf_correct / n:.3f}, "
+          f"token parity {parity}/{n}, {sum(len(t) for t in eng_toks) / dt:.0f} tok/s")
+    ok = eng_correct == hf_correct and parity == n
+    print("PARITY GATE:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 INVALID = -9999999
 
 
@@ -243,7 +313,15 @@ def main() -> int:
     ap.add_argument("--num-shots", type=int, default=5)
     ap.add_argument("--max-new", type=int, default=None,
                     help="default: 16 (parity modes), 256 (gsm8k)")
+    ap.add_argument("--addition-eval", action="store_true",
+                    help="held-out accuracy + parity on the committed "
+                         "trained checkpoint (with --ckpt)")
     args = ap.parse_args()
+    if args.addition_eval:
+        if not args.ckpt:
+            ap.error("--addition-eval requires --ckpt")
+        return addition_eval(args.ckpt, args.num_questions,
+                             args.max_new or 6)
     if args.gsm8k:
         if not args.ckpt:
             ap.error("--gsm8k requires --ckpt")

@@ -1,6 +1,7 @@
 """GSM8K harness helpers (reference: benchmarks/gsm8k/bench_sglang.py —
 few-shot prompt construction + last-number answer extraction)."""
 
+import os
 import sys
 from pathlib import Path
 
@@ -53,3 +54,54 @@ class TestPromptConstruction:
     def test_question_count_clamped_by_data(self):
         prompts, golds = build_gsm8k_prompts(self.LINES, 100, num_shots=5)
         assert len(prompts) == 1 and golds == [50]
+
+
+class TestRealWeights:
+    """The committed TRAINED checkpoint (benchmarks/train_tiny_add.py):
+    held-out task accuracy through the full paged engine must equal
+    transformers' own score, token-exactly — the GSM8K-parity gate on
+    real (non-random) weights."""
+
+    CKPT = os.path.join(os.path.dirname(__file__), "..",
+                        "benchmarks", "assets", "tinyadd")
+
+    def test_addition_eval_parity(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "benchmarks"))
+        from accuracy_harness import addition_eval
+
+        assert addition_eval(self.CKPT, n=24) == 0
+
+    def test_stop_strings_with_real_tokenizer(self):
+        """The trained checkpoint drives the engine's stop-string feature
+        with a REAL (HF fast) tokenizer: '.'-terminated generation."""
+        from kvcached_tpu.engine import EngineConfig, SamplingParams
+        from kvcached_tpu.models.hf_loader import engine_from_checkpoint
+
+        eng = engine_from_checkpoint(self.CKPT, EngineConfig(
+            max_batch=2, max_model_len=32, page_tokens=16,
+            decode_horizon=2, prefill_buckets=(16,), num_pages=32,
+            interpret=True, kv_dtype="float32",
+        ), dtype="float32")
+        try:
+            assert eng.tokenizer is not None  # auto-attached
+            prompt = eng.tokenizer.encode("47+38=")
+            # NOTE: '.' itself can't be a stop STRING here — it's the eos
+            # special token, stripped by decode(); real deployments stop on
+            # eos via stop_token_ids.  Probe with a substring the model
+            # provably emits after the answer.
+            base = eng.generate(
+                [prompt], SamplingParams(max_new_tokens=8)
+            )[0]
+            text = eng.tokenizer.decode(base.output_tokens)
+            assert text.startswith("58")  # 85 reversed: the model is right
+            probe = text[2:4]
+            out = eng.generate(
+                [prompt], SamplingParams(max_new_tokens=8, stop=(probe,))
+            )[0]
+            assert out.output_text == text[: text.find(probe)]
+            assert len(out.output_tokens) <= len(base.output_tokens)
+        finally:
+            eng.shutdown()
