@@ -558,6 +558,21 @@ class LLMEngine:
         self._build_step_impls()
         self._decode_fns: dict[int, object] = {}
         self._verify_fns: dict[int, object] = {}  # per T = gamma+1
+        if ec.spec_decode:
+            dt = str(getattr(self.adapter.cfg, "dtype", ""))
+            if dt and dt != "float32":
+                # the verify forward reduces in a different order than the
+                # decode forward; at bf16 a near-tie argmax can flip, so
+                # spec decode is token-exact only in f32 (the same caveat
+                # as bf16 TP).  Loud once — exactness-critical runs should
+                # use float32 params or disable spec_decode.
+                logger.warning(
+                    "spec_decode with %s params is distribution-faithful "
+                    "but not guaranteed token-exact vs plain decode "
+                    "(near-tie argmax may flip between the verify and "
+                    "decode reduction orders); use float32 for exactness-"
+                    "critical serving", dt,
+                )
         self._spec_dispatches = 0
         self._spec_tokens = 0
         # adaptive gamma state (spec_adaptive): EMA of accepted drafts per
