@@ -39,6 +39,7 @@ import numpy as np
 # with correspondingly looser output tolerances (pool writes are bit-exact
 # either way).
 F32_CASES = frozenset({
+    "prefill_batch_kernel", "engine_prefill_batch",
     "verify_basic", "verify_prefetch_mixed", "verify_window", "verify_mla",
     "engine_spec_llama", "engine_spec_mla", "engine_spec_hybrid",
 })
@@ -256,6 +257,62 @@ def _serve(cfg, params, prompts, sps, **over):
         eng.shutdown()
 
 
+def case_prefill_batch_kernel():
+    """Round-3 batched prefill: the batch grid must be bit-identical to
+    serial single-sequence calls on the real chip (mixed q_starts and
+    lengths, incl. a kv_len=0 padding row)."""
+    from kvcached_tpu.ops.paged_prefill import (
+        paged_prefill_attention,
+        paged_prefill_attention_batch,
+    )
+
+    L, NP_, KH, PT, D, H = 2, 16, 2, 16, 128, 4
+    rng = np.random.default_rng(0)
+    kp = jnp.asarray(rng.normal(size=(L, NP_, KH, PT, D)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(L, NP_, KH, PT, D)), jnp.float32)
+    N, T = 3, 32
+    q = jnp.asarray(rng.normal(size=(N, T, H, D)), jnp.float32)
+    tables = np.zeros((N, 6), np.int32)
+    tables[0, :3] = [1, 2, 3]
+    tables[1, :2] = [4, 5]
+    tables[2, :4] = [6, 7, 8, 9]
+    q_starts = np.array([16, 0, 32])
+    true_lens = np.array([25, 32, 20])
+    kv_lens = q_starts + true_lens
+    serial = jnp.stack([
+        paged_prefill_attention(q[i], kp, vp, jnp.asarray(tables[i]),
+                                int(q_starts[i]), int(kv_lens[i]), 1)
+        for i in range(N)
+    ])
+    batch = paged_prefill_attention_batch(
+        q, kp, vp, jnp.asarray(tables), jnp.asarray(q_starts),
+        jnp.asarray(kv_lens), 1)
+    assert jnp.array_equal(serial, batch), (
+        f"batch != serial, max diff {jnp.abs(serial - batch).max()}")
+    kv0 = jnp.asarray([int(kv_lens[0]), 0, int(kv_lens[2])])
+    b2 = paged_prefill_attention_batch(
+        q, kp, vp, jnp.asarray(tables), jnp.asarray(q_starts), kv0, 1)
+    assert jnp.array_equal(b2[1], jnp.zeros_like(b2[1])), "pad row not zero"
+    assert jnp.array_equal(b2[0], serial[0])
+    assert jnp.array_equal(b2[2], serial[2])
+
+
+def case_engine_prefill_batch():
+    """Engine-level batched prefill on the chip: token-exact vs serial."""
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=2, head_dim=128,
+                      intermediate_size=256, dtype="float32")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3, 4, 5], list(range(40, 60)), [7] * 3]
+    sps = [SamplingParams(max_new_tokens=10)] * 3
+    want, _ = _serve(cfg, params, prompts, sps, prefill_batch=1)
+    got, _ = _serve(cfg, params, prompts, sps, prefill_batch=4)
+    assert got == want, "batched prefill diverged on the chip"
+
+
 def case_engine_spec_llama():
     from kvcached_tpu.engine import SamplingParams
     from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
@@ -322,6 +379,8 @@ CASES = {
     "verify_mla": case_verify_mla,
     "verify_mla_bf16": case_verify_mla_bf16,
     "verify_mla_int8": case_verify_mla_int8,
+    "prefill_batch_kernel": case_prefill_batch_kernel,
+    "engine_prefill_batch": case_engine_prefill_batch,
     "engine_spec_llama": case_engine_spec_llama,
     "engine_spec_mla": case_engine_spec_mla,
     "engine_spec_hybrid": case_engine_spec_hybrid,

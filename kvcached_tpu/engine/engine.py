@@ -318,8 +318,6 @@ class LLMEngine:
             # colocated layer-group mode.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
-                raise NotImplementedError("pp×tp meshes not yet supported")
             if not hasattr(self.adapter, "layers_per_group"):
                 raise ValueError(
                     "a 'pp' mesh needs a staged adapter (PPLlamaAdapter)"
@@ -327,7 +325,23 @@ class LLMEngine:
             if ec.num_pages is None:
                 raise ValueError("pp placement requires an explicit num_pages")
             self._pp_axis = "pp"
-            pool_sharding = NamedSharding(mesh, P("pp"))
+            # pp×tp composition: within each stage, heads/pools shard over tp
+            if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+                tp = mesh.shape["tp"]
+                if self.adapter.num_kv_heads % tp:
+                    raise ValueError(
+                        f"num_kv_heads={self.adapter.num_kv_heads} not "
+                        f"divisible by tp={tp}"
+                    )
+                if self.adapter.vocab_size % tp:
+                    raise ValueError(
+                        f"vocab_size={self.adapter.vocab_size} not divisible "
+                        f"by tp={tp}"
+                    )
+                self._tp_axis = "tp"
+                pool_sharding = NamedSharding(mesh, P("pp", None, None, "tp"))
+            else:
+                pool_sharding = NamedSharding(mesh, P("pp"))
         elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -516,7 +530,7 @@ class LLMEngine:
 
             self.params = shard_tree(
                 stack_pp_params(self.params, mesh.shape["pp"]),
-                mesh, pp_param_specs(),
+                mesh, pp_param_specs(self._tp_axis),
             )
         elif mesh is not None:
             from ..parallel.mesh import shard_tree
@@ -662,6 +676,7 @@ class LLMEngine:
             self._decode_step_impl, self._prefill_step_impl = build_pp_impls(
                 adapter.cfg, self.mesh, adapter.layers_per_group,
                 microbatches=ec.pp_microbatches, interpret=ec.interpret,
+                tp_axis=self._tp_axis,
             )
             return
         if reset_scales:

@@ -36,19 +36,41 @@ from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
 from ..ops.paged_prefill import paged_prefill_attention
 
 
-def pp_param_specs(tp_axis_unused: str = "tp", pp_axis: str = "pp") -> dict:
-    """Specs for the STAGE-STACKED llama tree ([S, Lp, ...] layers)."""
-    s = pp_axis
-    layer = P(s)  # leading stage axis; rest replicated within the stage
+def pp_param_specs(tp_axis: str | None = None, pp_axis: str = "pp") -> dict:
+    """Specs for the STAGE-STACKED llama tree ([S, Lp, ...] layers).
+
+    With ``tp_axis``, each stage's weights additionally shard
+    Megatron-style within the stage's tp group (pp×tp composition)."""
+    s, t = pp_axis, tp_axis
+    if t is None:
+        layer = P(s)
+        return {
+            "embed": P(),
+            "layers": {
+                "attn_norm": layer, "wq": layer, "wk": layer, "wv": layer,
+                "wo": layer, "mlp_norm": layer, "w_gate": layer,
+                "w_up": layer, "w_down": layer,
+            },
+            "final_norm": P(),
+            "lm_head": P(),
+        }
     return {
         "embed": P(),
         "layers": {
-            "attn_norm": layer, "wq": layer, "wk": layer, "wv": layer,
-            "wo": layer, "mlp_norm": layer, "w_gate": layer, "w_up": layer,
-            "w_down": layer,
+            "attn_norm": P(s),
+            "wq": P(s, None, None, t),
+            "wk": P(s, None, None, t),
+            "wv": P(s, None, None, t),
+            "wo": P(s, None, t, None),
+            "mlp_norm": P(s),
+            "w_gate": P(s, None, None, t),
+            "w_up": P(s, None, None, t),
+            "w_down": P(s, None, t, None),
         },
         "final_norm": P(),
-        "lm_head": P(),
+        # vocab-column sharded within each stage's tp group (lm_head_logits
+        # all-gathers); replicated across stages
+        "lm_head": P(None, t),
     }
 
 
@@ -73,7 +95,7 @@ def _stage_perm(S: int):
 
 def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
                    microbatches: int = 2, interpret: bool = False,
-                   pp_axis: str = "pp"):
+                   pp_axis: str = "pp", tp_axis: str | None = None):
     """Returns (decode_step_impl, prefill_step_impl) with the engine's
     standard multi-group signatures, executing the layer stack as a
     device-placed pipeline.
@@ -89,7 +111,10 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
     E = cfg.hidden_size
     V = cfg.vocab_size
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    tp = mesh.shape[tp_axis] if tp_axis else 1
+    H, KH = H // tp, KH // tp  # per-shard heads within each stage
     perm = _stage_perm(S)
+    _ptp = (lambda y: jax.lax.psum(y, tp_axis)) if tp_axis else (lambda y: y)
 
     # ---------------------------------------------------------------- decode
     def pp_decode(params, tokens, positions, k_pools, v_pools,
@@ -127,10 +152,10 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
                     k.astype(k_pool.dtype), v.astype(v_pool.dtype),
                     sp, so, interpret=interpret,
                 )
-                x = x + attn.reshape(mb, H * D) @ lp["wo"]
+                x = x + _ptp(attn.reshape(mb, H * D) @ lp["wo"])
                 h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-                x = x + (jax.nn.silu(h @ lp["w_gate"])
-                         * (h @ lp["w_up"])) @ lp["w_down"]
+                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
+                              * (h @ lp["w_up"])) @ lp["w_down"])
                 return (x, k_pool, v_pool), None
 
             ls = {"p": layers, "i": jnp.arange(Lp)}
@@ -153,7 +178,7 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
             )
             # last stage: head + accumulate this microbatch's logits
             xf = rms_norm(x_out, params["final_norm"], cfg.rms_eps)
-            lg = lm_head_logits(xf, params["lm_head"], None)  # [mb, V]
+            lg = lm_head_logits(xf, params["lm_head"], tp_axis)  # [mb, V]
             write = active & (s == S - 1)
             old = jax.lax.dynamic_slice(logits_buf, (m_c * mb, 0), (mb, V))
             logits_buf = jax.lax.dynamic_update_slice(
@@ -204,10 +229,10 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
                     q, k_pool, v_pool, table, q_start, kv_len, l_idx,
                     interpret=interpret,
                 )
-                x = x + attn.reshape(T, H * D) @ lp["wo"]
+                x = x + _ptp(attn.reshape(T, H * D) @ lp["wo"])
                 h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-                x = x + (jax.nn.silu(h @ lp["w_gate"])
-                         * (h @ lp["w_up"])) @ lp["w_down"]
+                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
+                              * (h @ lp["w_up"])) @ lp["w_down"])
                 return (x, k_pool, v_pool), None
 
             ls = {"p": layers, "i": jnp.arange(Lp)}
@@ -225,7 +250,7 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
             x_out, k_pool, v_pool = stage_layers(x_in, k_pool, v_pool, active)
             xf = rms_norm(x_out, params["final_norm"], cfg.rms_eps)
             last = xf[jnp.maximum(true_len - 1, 0)]
-            lg = lm_head_logits(last, params["lm_head"], None)
+            lg = lm_head_logits(last, params["lm_head"], tp_axis)
             write = active & (s == S - 1)
             logits = jnp.where(write, lg, logits)
             x_buf = jax.lax.ppermute(x_out, pp_axis, perm)
@@ -233,22 +258,22 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
         return logits, k_pool[None], v_pool[None]
 
     # ------------------------------------------------------------ shard_map
-    stage = P(pp_axis)
+    pool = (P(pp_axis, None, None, tp_axis) if tp_axis else P(pp_axis))
     stage2 = P(pp_axis, None)
     stage3 = P(pp_axis, None, None)
     rep = P()
-    pspecs = pp_param_specs(pp_axis=pp_axis)
+    pspecs = pp_param_specs(tp_axis, pp_axis=pp_axis)
 
     decode_impl = jax.shard_map(
         pp_decode, mesh=mesh,
-        in_specs=(pspecs, rep, rep, stage, stage, stage3, stage2, rep, rep),
-        out_specs=(rep, stage, stage),
+        in_specs=(pspecs, rep, rep, pool, pool, stage3, stage2, rep, rep),
+        out_specs=(rep, pool, pool),
         check_vma=False,
     )
     prefill_impl = jax.shard_map(
         pp_prefill, mesh=mesh,
-        in_specs=(pspecs, rep, rep, stage, stage, stage2, stage2, rep, rep),
-        out_specs=(rep, stage, stage),
+        in_specs=(pspecs, rep, rep, pool, pool, stage2, stage2, rep, rep),
+        out_specs=(rep, pool, pool),
         check_vma=False,
     )
     return decode_impl, prefill_impl

@@ -259,3 +259,66 @@ class TestPPPlacement:
         got, _ = self._serve(cfg, params, prompts, sp, stages=2,
                              pp_microbatches=4)
         assert got == want
+
+
+class TestPPxTP:
+    """pp×tp composition: stages on the pp axis, heads/pools sharded over
+    each stage's tp group (Megatron within the stage), token-exact."""
+
+    def test_pp2_tp2_token_exact(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = LlamaConfig.toy(num_layers=4, num_heads=4, num_kv_heads=2,
+                              vocab_size=512, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(max_batch=4, max_model_len=96, page_tokens=16,
+                    decode_horizon=4, prefill_buckets=(16, 32), num_pages=32,
+                    interpret=True, kv_dtype="float32")
+        prompts = [[1, 2, 3, 4, 5], list(range(7, 27)), [9, 9, 9], [4, 5]]
+        sp = SamplingParams(max_new_tokens=8)
+        single = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        try:
+            want = [o.output_tokens for o in single.generate(prompts, sp)]
+        finally:
+            single.shutdown()
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("pp", "tp"))
+        eng = LLMEngine(PPLlamaAdapter(cfg, num_stages=2),
+                        EngineConfig(**ecfg), params=params, mesh=mesh)
+        try:
+            got = [o.output_tokens for o in eng.generate(prompts, sp)]
+            assert tuple(eng.k_pools.sharding.spec) == (
+                "pp", None, None, "tp")
+        finally:
+            eng.shutdown()
+        assert got == want, "pp×tp engine diverged"
+
+    def test_pp4_tp2_token_exact(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = LlamaConfig.toy(num_layers=4, num_heads=4, num_kv_heads=2,
+                              vocab_size=512, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(max_batch=2, max_model_len=96, page_tokens=16,
+                    decode_horizon=4, prefill_buckets=(16, 32), num_pages=32,
+                    interpret=True, kv_dtype="float32")
+        prompts = [[1, 2, 3, 4, 5], [9, 9, 9]]
+        sp = SamplingParams(max_new_tokens=6)
+        single = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        try:
+            want = [o.output_tokens for o in single.generate(prompts, sp)]
+        finally:
+            single.shutdown()
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("pp", "tp"))
+        eng = LLMEngine(PPLlamaAdapter(cfg, num_stages=4),
+                        EngineConfig(**ecfg), params=params, mesh=mesh)
+        try:
+            got = [o.output_tokens for o in eng.generate(prompts, sp)]
+        finally:
+            eng.shutdown()
+        assert got == want, "4-stage pp×tp engine diverged"
