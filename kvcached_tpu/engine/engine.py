@@ -438,13 +438,24 @@ class LLMEngine:
         # one manager per layer group over the SAME physical pool: pages are
         # fungible across groups (shared arena), accounting/limits per group
         # (reference per-group FTensorAllocator multiton + shm _g suffix)
-        if (map_hook or unmap_hook or table_mirror is not None) \
-                and self.num_groups > 1:
-            raise NotImplementedError(
-                "mirror plane hooks cover single-group families; hybrid "
-                "layer groups need one plane per group (_g<id> suffix)"
-            )
-        self.table_mirror = table_mirror
+        # mirror-plane wiring: a bare callable/array applies to group 0;
+        # multi-group (hybrid/PP) families pass one per group — each group
+        # gets its own plane, like its own `_g<id>` shm segment
+        def _per_group(x, what):
+            if x is None:
+                return [None] * self.num_groups
+            if isinstance(x, (list, tuple)):
+                if len(x) != self.num_groups:
+                    raise ValueError(
+                        f"{what}: {len(x)} entries for "
+                        f"{self.num_groups} layer groups"
+                    )
+                return list(x)
+            return [x] + [None] * (self.num_groups - 1)
+
+        map_hooks = _per_group(map_hook, "map_hook")
+        unmap_hooks = _per_group(unmap_hook, "unmap_hook")
+        self.table_mirrors = _per_group(table_mirror, "table_mirror")
         self.managers = [
             create_kv_cache_manager(
                 self.kv_cfg if g == 0 else
@@ -452,8 +463,8 @@ class LLMEngine:
                 self._stage_pools[g] if self._stage_pools else self.pool,
                 ipc_name=ec.ipc_name,
                 reserve_null_block=True,
-                **(dict(map_hook=map_hook, unmap_hook=unmap_hook)
-                   if g == 0 else {}),
+                map_hook=map_hooks[g],
+                unmap_hook=unmap_hooks[g],
             )
             for g in range(self.num_groups)
         ]
@@ -1306,8 +1317,8 @@ class LLMEngine:
         # delivered yet would read the zero page and corrupt output, so
         # correct serving here PROVES the all-ranks-atomic invariant
         pt = (
-            self.table_mirror
-            if (self.table_mirror is not None and g == 0)
+            self.table_mirrors[g]
+            if self.table_mirrors[g] is not None
             else self.managers[g].page_allocator.page_table
         )
         row = np.zeros(self.max_pages_per_seq, np.int32)

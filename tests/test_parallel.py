@@ -841,3 +841,67 @@ class TestConsumingMirror:
             "a never-updated mirror served correct output — the consuming "
             "path isn't actually reading the mirror"
         )
+
+    def test_hybrid_groups_per_group_mirrors(self):
+        """Hybrid layer groups: one broadcast plane per group (like their
+        `_g<id>` shm segments) — each group's dispatch translation reads
+        its own mirror; token-exact vs in-process tables."""
+        import jax
+
+        from kvcached_tpu.engine import (
+            EngineConfig, LLMEngine, SamplingParams,
+        )
+        from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+
+        cfg = HybridConfig.toy(num_layers=4, window=32, dtype="float32")
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(
+            max_batch=2, max_model_len=96, page_tokens=16, decode_horizon=4,
+            prefill_buckets=(16, 32), num_pages=64, interpret=True,
+            kv_dtype="float32",
+        )
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [7] * 5]
+        sps = [SamplingParams(max_new_tokens=10)] * 2
+
+        def serve(eng):
+            try:
+                rids = [eng.add_request(list(p), s)
+                        for p, s in zip(prompts, sps)]
+                while eng.has_unfinished():
+                    eng.step()
+                idx = {r: i for i, r in enumerate(rids)}
+                outs = {idx[o.req_id]: o.output_tokens
+                        for o in eng.finished_outputs}
+                tables = [np.array(m.page_allocator.page_table)
+                          for m in eng.managers]
+                return outs, tables
+            finally:
+                eng.shutdown()
+
+        want, _ = serve(LLMEngine(cfg, EngineConfig(**ecfg), params=params))
+
+        ipc = f"hmir{uuid.uuid4().hex[:6]}"
+        mirrors = [np.zeros(4096, np.int32) for _ in range(2)]
+        listeners = [
+            WorkerListener(f"{ipc}g{g}", 0, mirrors[g]) for g in range(2)
+        ]
+        bcs = [PageTableBroadcaster(f"{ipc}g{g}", 1) for g in range(2)]
+        try:
+            eng = LLMEngine(
+                cfg, EngineConfig(**ecfg), params=params,
+                map_hook=[bc.broadcast_map for bc in bcs],
+                unmap_hook=[bc.broadcast_unmap for bc in bcs],
+                table_mirror=mirrors,
+            )
+            got, tables = serve(eng)
+            assert got == want, "per-group mirrored hybrid serving diverged"
+            for g in range(2):
+                np.testing.assert_array_equal(
+                    mirrors[g][: len(tables[g])], tables[g],
+                    err_msg=f"group {g} mirror diverged",
+                )
+        finally:
+            for bc in bcs:
+                bc.close()
+            for w in listeners:
+                w.close()
