@@ -610,6 +610,8 @@ class LLMEngine:
             self._build_prefill_batch_fn()
             if self._batched_prefill_enabled() else None
         )
+        self._pb_dispatches = 0
+        self._pb_prompts = 0
 
     def _batched_prefill_enabled(self) -> bool:
         return (
@@ -1506,12 +1508,15 @@ class LLMEngine:
             page_tables[i] = phys
             q_starts[i] = q_start
             true_lens[i] = this_len
+        self._pb_dispatches += 1
+        self._pb_prompts += len(seqs)
         (greedy, logits), self.k_pools, self.v_pools = self._prefill_batch_fn(
             self.params, self.k_pools, self.v_pools,
             jnp.asarray(tokens), jnp.asarray(positions),
             jnp.asarray(chunk_pages), jnp.asarray(page_tables),
             jnp.asarray(q_starts), jnp.asarray(true_lens),
         )
+        greedy = np.asarray(greedy)  # ONE host pull, not one per row
         for i, seq in enumerate(seqs):
             seq.num_prefilled = seq.prompt_len
             seq.tokens.append(
@@ -1816,7 +1821,12 @@ class LLMEngine:
                  rng_key),
                 None, length=S,
             )
-            return outs, counts, k_pools, v_pools
+            # pack (outs [S,B,T], counts [S,B]) into ONE array: every
+            # device→host pull is a separate ~30 ms round-trip through the
+            # axon tunnel, and two pulls per dispatch were eating the spec
+            # path's entire kernel-level win
+            packed = jnp.concatenate([outs, counts[..., None]], axis=-1)
+            return packed, k_pools, v_pools
 
         return spec_multi
 
@@ -1893,14 +1903,15 @@ class LLMEngine:
             fn = self._verify_fns[key] = self._build_spec_fn(
                 T, S, W, sampled, filters
             )
-        outs, counts, self.k_pools, self.v_pools = fn(
+        packed, self.k_pools, self.v_pools = fn(
             self.params, self.k_pools, self.v_pools, jnp.asarray(ring),
             jnp.asarray(seq_lens0), jnp.asarray(page_tables),
             jnp.asarray(max_lens), jnp.asarray(temps), jnp.asarray(top_ks),
             jnp.asarray(top_ps), jax.random.PRNGKey(self._step_count),
         )
-        outs = np.asarray(outs)  # [S, B, T]
-        counts = np.asarray(counts)  # [S, B]
+        packed = np.asarray(packed)  # ONE host pull: [S, B, T+1]
+        outs = packed[..., :-1]  # [S, B, T]
+        counts = packed[..., -1]  # [S, B]
         self._spec_dispatches += 1
         if ec.spec_adaptive:
             # device counts = accepted drafts + 1; real rows only
@@ -2294,6 +2305,15 @@ class LLMEngine:
             "preemptions": self._preempt_count,
             "prefix_cache": self.prefix_cache.get_usage(),
         }
+        if self._prefill_batch_fn is not None:
+            out["prefill_batch"] = {
+                "dispatches": self._pb_dispatches,
+                "prompts": self._pb_prompts,
+                "prompts_per_dispatch": (
+                    self._pb_prompts / self._pb_dispatches
+                    if self._pb_dispatches else 0.0
+                ),
+            }
         if self.cfg.spec_decode:
             out["spec"] = {
                 "dispatches": self._spec_dispatches,
