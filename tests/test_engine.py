@@ -241,6 +241,19 @@ class TestBatchedPrefill:
         got = self._serve(cfg, params, prompts, prefill_batch=4)
         assert got == want, "batched prefill changed outputs"
 
+    def test_metrics_report_batched_dispatches(self, toy):
+        cfg, params = toy
+        eng = make_engine(cfg, params, prefill_batch=4)
+        try:
+            sp = SamplingParams(max_new_tokens=4)
+            eng.generate([[1, 2, 3], [4, 5], [6, 7, 8]], sp)
+            pb = eng.kv_metrics()["prefill_batch"]
+            assert pb["dispatches"] >= 1
+            assert pb["prompts"] == 3
+            assert pb["prompts_per_dispatch"] > 1.0
+        finally:
+            eng.shutdown()
+
     def test_mixed_lengths_and_padding_rows(self, toy):
         """3 prompts with prefill_batch=4: one pad row (true_len 0, zero
         pages) must not perturb anything; different lengths share the
