@@ -56,6 +56,26 @@ class SamplingParams:
     stop: tuple[str, ...] = ()
 
 
+@partial(jax.jit, static_argnames=("filters",))
+def _sample_first_tokens_batch(logits, temps, top_ks, top_ps, seeds, step,
+                               *, filters: bool):
+    """Batched-prefill first tokens: per-row keys fold (engine step, row
+    seed, row index) so identical prompts with equal seeds in one batch
+    still draw independently; one dispatch, one host pull."""
+    base = jax.random.PRNGKey(step)
+
+    def one(lg, t, tk, tp_, seed, i):
+        k = jax.random.fold_in(jax.random.fold_in(base, seed), i)
+        return _sample_tokens(
+            lg[None], t[None], tk[None], tp_[None], k, filters=filters
+        )[0]
+
+    n = logits.shape[0]
+    return jax.vmap(one)(
+        logits, temps, top_ks, top_ps, seeds, jnp.arange(n, dtype=jnp.uint32)
+    )
+
+
 def _sample_tokens(logits, temps, top_ks, top_ps, key, *, filters: bool):
     """Per-row sampling: greedy where temp==0; else temperature scaling,
     then top-k, then top-p (nucleus) filtering before the categorical.
@@ -322,6 +342,12 @@ class LLMEngine:
                 raise ValueError(
                     "a 'pp' mesh needs a staged adapter (PPLlamaAdapter)"
                 )
+            n_stages = len(self.adapter.group_windows)
+            if mesh.shape["pp"] != n_stages:
+                raise ValueError(
+                    f"mesh pp axis has {mesh.shape['pp']} devices but the "
+                    f"adapter declares num_stages={n_stages}"
+                )
             if ec.num_pages is None:
                 raise ValueError("pp placement requires an explicit num_pages")
             self._pp_axis = "pp"
@@ -351,11 +377,15 @@ class LLMEngine:
             tp = mesh.shape["tp"]
             dp = mesh.shape["dp"] if self._dp_axis else 1
             if self.adapter.num_kv_heads % tp:
-                if self.adapter.num_kv_heads == 1:
-                    # MLA-class: ONE shared kv head — the latent pool
-                    # REPLICATES across tp and every shard writes identical
-                    # entries (the reference's MLA-under-TP shape,
-                    # sglang/patches.py:523-702)
+                if (self.adapter.num_kv_buffers == 1
+                        and self.adapter.num_kv_heads == 1):
+                    # MLA-class (single combined-KV buffer, one shared kv
+                    # head): the latent pool REPLICATES across tp and every
+                    # shard writes identical entries (the reference's
+                    # MLA-under-TP shape, sglang/patches.py:523-702).  An
+                    # MQA two-buffer model with kv_heads=1 is NOT this —
+                    # its step fns would compute KH=0 under tp — so it
+                    # keeps the clear divisibility error below.
                     self._pool_pspec = P()
                 else:
                     raise ValueError(
@@ -1460,24 +1490,29 @@ class LLMEngine:
         at the first long prompt (head-of-line order preserved — it takes
         the chunked serial path), admission failure, or capacity.  The
         returned sequences are BEGUN: their pages are allocated and any
-        prefix-cache hits taken."""
+        prefix-cache hits taken.  Also returns whether the head of the
+        queue FAILED admission — the caller must not repeat the identical
+        admit/rollback cycle on it this step (page alloc + prefix-cache
+        reference churn for no scheduling benefit)."""
         ec = self.cfg
         if self._prefill_batch_fn is None:
-            return []
+            return [], False
         cap = min(ec.prefill_batch, ec.max_batch - len(self.running))
         if cap < 2 or len(self.waiting) < 2:
-            return []
+            return [], False
         max_bucket = max(ec.prefill_buckets)
         batch: list[Sequence] = []
+        head_blocked = False
         while self.waiting and len(batch) < cap:
             seq = self.waiting[0]
             if seq.prompt_len > max_bucket:
                 break
             if not (self._can_admit(seq) and self._begin_prefill(seq)):
+                head_blocked = not batch
                 break
             self.waiting.pop(0)
             batch.append(seq)
-        return batch
+        return batch, head_blocked
 
     def _prefill_chunk_batch(self, seqs: list[Sequence]) -> None:
         """One batched prefill dispatch for N begun sequences whose
@@ -1517,11 +1552,32 @@ class LLMEngine:
             jnp.asarray(q_starts), jnp.asarray(true_lens),
         )
         greedy = np.asarray(greedy)  # ONE host pull, not one per row
+        # sampled rows draw their first token in ONE vectorized call with
+        # per-row keys (seed + row index — identical prompts with equal
+        # seeds in one batch must still diversify) and one host pull
+        sampled = None
+        if any(s.req.sampling.temperature > 0 for s in seqs):
+            sps = [s.req.sampling for s in seqs]
+            pad = N - len(seqs)
+            temps = jnp.asarray(
+                [sp.temperature for sp in sps] + [0.0] * pad, jnp.float32)
+            tks = jnp.asarray(
+                [sp.top_k for sp in sps] + [0] * pad, jnp.int32)
+            tps = jnp.asarray(
+                [sp.top_p for sp in sps] + [1.0] * pad, jnp.float32)
+            seeds = jnp.asarray(
+                [sp.seed for sp in sps] + [0] * pad, jnp.int32)
+            filt = any(sp.top_k > 0 or sp.top_p < 1.0 for sp in sps)
+            sampled = np.asarray(_sample_first_tokens_batch(
+                logits, temps, tks, tps, seeds,
+                jnp.asarray(self._step_count, jnp.uint32), filters=filt,
+            ))
         for i, seq in enumerate(seqs):
             seq.num_prefilled = seq.prompt_len
-            seq.tokens.append(
-                self._sample_first_token(seq, (greedy[i], logits[i]))
-            )
+            if seq.req.sampling.temperature > 0:
+                seq.tokens.append(int(sampled[i]))
+            else:
+                seq.tokens.append(int(greedy[i]))
             self.running.append(seq)
             self._check_stops(seq)
             if seq.finished():  # stop string in the very first token
@@ -1945,7 +2001,13 @@ class LLMEngine:
         is excluded).  Runs once per dispatch, so a horizon may generate a
         few tokens past the stop; truncation is by text position, so the
         returned output is identical to per-token checking (the same
-        argument real engines use for chunked detokenization)."""
+        argument real engines use for chunked detokenization).
+
+        Cost note: the full tail re-decodes each dispatch — O(n²/K) chars
+        over a generation of n tokens, microseconds per call for the fast
+        (rust) tokenizers at serving lengths and only for requests that
+        set stops; an incremental detokenizer with a bounded lookback is
+        the upgrade path if a profile ever shows it."""
         sp = seq.req.sampling
         if (
             not sp.stop or self.tokenizer is None or seq.stop_hit
@@ -2023,7 +2085,7 @@ class LLMEngine:
                 self._decode_dispatch()
             return
         if self.waiting and len(self.running) < self.cfg.max_batch:
-            batch = self._collect_prefill_batch()
+            batch, head_blocked = self._collect_prefill_batch()
             if len(batch) >= 2:
                 self._prefill_chunk_batch(batch)
                 return
@@ -2034,7 +2096,8 @@ class LLMEngine:
                 self._prefill_chunk(batch[0])
                 return
             seq = self.waiting[0]
-            if self._can_admit(seq) and self._begin_prefill(seq):
+            if not head_blocked and self._can_admit(seq) \
+                    and self._begin_prefill(seq):
                 self.waiting.pop(0)
                 if not self._prefill_chunk(seq):
                     self._prefilling = seq

@@ -330,16 +330,38 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
                 headers={"Content-Type": "text/event-stream"}
             )
             await resp.prepare(request)
+            # stop strings: emit cumulative-decode deltas and truncate the
+            # stream before the earliest stop, matching the non-streaming
+            # path's OpenAI semantics (the engine finishes the sequence a
+            # dispatch later, so the final chunk may run past the stop)
+            all_toks: list[int] = []
+            emitted = ""
             while True:
                 chunk = await q.get()
                 if chunk is None:
                     break
-                payload = {
-                    "choices": [{"text": tok.decode(chunk),
-                                 "token_ids": chunk}],
-                    "model": model,
-                }
-                await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+                all_toks.extend(chunk)
+                if stops:
+                    full = tok.decode(all_toks)
+                    cut = min(
+                        (full.find(s) for s in stops if s in full),
+                        default=-1,
+                    )
+                    text = (full if cut < 0 else full[:cut])[len(emitted):]
+                else:
+                    cut = -1
+                    text = tok.decode(chunk)
+                if text:
+                    payload = {
+                        "choices": [{"text": text, "token_ids": chunk}],
+                        "model": model,
+                    }
+                    await resp.write(
+                        f"data: {json.dumps(payload)}\n\n".encode()
+                    )
+                    emitted += text
+                if stops and cut >= 0:
+                    break
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp

@@ -252,3 +252,48 @@ class TestSleepWithInflight:
         finally:
             runner.stop()
             eng.shutdown()
+
+
+class TestStopStringsHTTP:
+    @pytest.mark.anyio
+    async def test_stop_truncates_nonstream_and_stream_identically(
+        self, frontend
+    ):
+        """body['stop']: the non-streaming response truncates before the
+        stop (finish_reason=stop) and the STREAMED text concatenates to
+        the same string (regression: streams used to leak the stop marker
+        and over-generated tokens)."""
+        import json as _json
+
+        client = await _client(frontend)
+        try:
+            base = await (await client.post("/v1/completions", json={
+                "model": "model-a", "prompt": "abc", "max_tokens": 16,
+            })).json()
+            text = base["choices"][0]["text"]
+            probe = text[4:6]
+            r = await (await client.post("/v1/completions", json={
+                "model": "model-a", "prompt": "abc", "max_tokens": 16,
+                "stop": probe,
+            })).json()
+            want = r["choices"][0]["text"]
+            assert r["choices"][0]["finish_reason"] == "stop"
+            # ByteTokenizer decode is LOSSY (invalid utf-8 → U+FFFD) and
+            # not prefix-stable, so exact truncation/early-finish behavior
+            # is covered with a lossless tokenizer in
+            # test_sampling.py::TestStopStrings; here the target is the
+            # STREAM-vs-NONSTREAM equality regression below
+
+            resp = await client.post("/v1/completions", json={
+                "model": "model-a", "prompt": "abc", "max_tokens": 16,
+                "stop": probe, "stream": True,
+            })
+            body = await resp.text()
+            streamed = "".join(
+                _json.loads(ln[len("data: "):])["choices"][0]["text"]
+                for ln in body.splitlines()
+                if ln.startswith("data: ") and "[DONE]" not in ln
+            )
+            assert streamed == want, (streamed, want)
+        finally:
+            await client.close()
