@@ -648,7 +648,6 @@ class LLMEngine:
             self.cfg.prefill_batch > 1
             and self._prefill_batch_step_impl is not None
             and not self.has_state
-            and self.num_groups == 1
         )
 
     def _stable_namespace(self) -> str:
@@ -1525,10 +1524,16 @@ class LLMEngine:
         P = self.cfg.page_tokens
         T = self._bucket_len(max(s.prompt_len - s.num_prefilled for s in seqs))
         N = 1 << (len(seqs) - 1).bit_length()  # pad to pow2: bounded compiles
+        multi = self.num_groups > 1
+        G = self.num_groups
         tokens = np.zeros((N, T), np.int32)
         positions = np.tile(np.arange(T, dtype=np.int32), (N, 1))
-        chunk_pages = np.zeros((N, T // P), np.int32)
-        page_tables = np.zeros((N, self.max_pages_per_seq), np.int32)
+        if multi:
+            chunk_pages = np.zeros((N, G, T // P), np.int32)
+            page_tables = np.zeros((N, G, self.max_pages_per_seq), np.int32)
+        else:
+            chunk_pages = np.zeros((N, T // P), np.int32)
+            page_tables = np.zeros((N, self.max_pages_per_seq), np.int32)
         q_starts = np.zeros(N, np.int32)
         true_lens = np.zeros(N, np.int32)
         for i, seq in enumerate(seqs):
@@ -1536,10 +1541,18 @@ class LLMEngine:
             this_len = seq.prompt_len - q_start
             tokens[i, :this_len] = seq.req.prompt[q_start:]
             positions[i] += q_start
-            phys = self._phys_row(seq)
             start_page = q_start // P
             n_real = -(-this_len // P)
-            chunk_pages[i, :n_real] = phys[start_page : start_page + n_real]
+            if multi:
+                phys = self._phys_rows(seq)  # [G, max_pages]
+                chunk_pages[i, :, :n_real] = (
+                    phys[:, start_page : start_page + n_real]
+                )
+            else:
+                phys = self._phys_row(seq)
+                chunk_pages[i, :n_real] = (
+                    phys[start_page : start_page + n_real]
+                )
             page_tables[i] = phys
             q_starts[i] = q_start
             true_lens[i] = this_len

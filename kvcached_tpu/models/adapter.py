@@ -166,6 +166,20 @@ class MLAAdapter:
             tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
         )
 
+    def prefill_batch_step(self, params, tokens, positions, k_pools,
+                           v_pools, chunk_pages, page_tables, q_starts,
+                           true_lens, *, tp_axis=None, interpret=False,
+                           quant_scales=None):
+        """Batched prefill over the single latent buffer (N chunks in one
+        dispatch, bit-identical to serial)."""
+        from .mla import mla_prefill_batch_step
+
+        return mla_prefill_batch_step(
+            params, self.cfg, tokens, positions, k_pools, v_pools,
+            chunk_pages, page_tables, q_starts, true_lens,
+            tp_axis=tp_axis, interpret=interpret, quant_scales=quant_scales,
+        )
+
     def verify_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
                     *, tp_axis=None, interpret=False, quant_scales=None,
@@ -234,6 +248,20 @@ class HybridAdapter:
         return hybrid_prefill_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             chunk_pages, page_table, q_start, true_len,
+            tp_axis=tp_axis, interpret=interpret,
+        )
+
+    def prefill_batch_step(self, params, tokens, positions, k_pools,
+                           v_pools, chunk_pages, page_tables, q_starts,
+                           true_lens, *, tp_axis=None, interpret=False):
+        """Batched prefill across layer groups: chunk_pages [N, G, n] /
+        page_tables [N, G, max_pages], each layer writing through its
+        group's row."""
+        from .hybrid import hybrid_prefill_batch_step
+
+        return hybrid_prefill_batch_step(
+            params, self.cfg, tokens, positions, k_pools, v_pools,
+            chunk_pages, page_tables, q_starts, true_lens,
             tp_axis=tp_axis, interpret=interpret,
         )
 

@@ -41,7 +41,10 @@ from ..ops.paged_attention import (
     paged_attention_verify,
     write_prefill_kv,
 )
-from ..ops.paged_prefill import paged_prefill_attention
+from ..ops.paged_prefill import (
+    paged_prefill_attention,
+    paged_prefill_attention_batch,
+)
 from .llama import init_llama_params, lm_head_logits, rms_norm, rope
 
 
@@ -387,5 +390,96 @@ def hybrid_prefill_step(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     last = x[jnp.maximum(true_len - 1, 0)]
+    logits = lm_head_logits(last, params["lm_head"], tp_axis)
+    return logits, k_pools, v_pools
+
+
+def hybrid_prefill_batch_step(
+    params: dict,
+    cfg: HybridConfig,
+    tokens: jax.Array,  # [N, T] int32: N chunks padded to a shared bucket
+    positions: jax.Array,  # [N, T]
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    chunk_pages: jax.Array,  # [N, G, T // page_tokens] (0 = discard)
+    page_tables: jax.Array,  # [N, G, max_pages]
+    q_starts: jax.Array,  # [N]
+    true_lens: jax.Array,  # [N] (0 = pad row)
+    *,
+    tp_axis: str | None = None,
+    interpret: bool = False,
+):
+    """Batched prefill across hybrid layer groups: N sequences' chunks in
+    one dispatch, each layer writing through its GROUP's page row and
+    masking with its group's static window — bit-identical to N serial
+    hybrid_prefill_step calls (rows are independent in the kernel)."""
+    N, T = tokens.shape
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if tp_axis:
+        tp = jax.lax.axis_size(tp_axis)
+        H, KH = H // tp, KH // tp
+    windows = cfg.group_windows
+    G = len(windows)
+    kv_lens = q_starts + true_lens
+
+    x = params["embed"][tokens]  # [N, T, E]
+
+    def layer_fn(carry, layer):
+        x, k_pools, v_pools = carry
+        lp = layer["p"]
+        l_in_g = layer["lg"]
+        g_idx = layer["g"]
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q = (h @ lp["wq"]).reshape(N, T, H, D)
+        k = (h @ lp["wk"]).reshape(N, T, KH, D)
+        v = (h @ lp["wv"]).reshape(N, T, KH, D)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+
+        def make_branch(g: int):
+            w = windows[g]
+
+            def branch(ops):
+                q, k, v, k_pools, v_pools = ops
+                # batch flattens into one page stream (write pages are
+                # sequence-agnostic; pad entries discard via page 0)
+                k_pools, v_pools = write_prefill_kv(
+                    k_pools, v_pools,
+                    k.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
+                    v.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
+                    chunk_pages[:, g].reshape(-1), l_in_g,
+                    interpret=interpret,
+                )
+                attn = paged_prefill_attention_batch(
+                    q, k_pools, v_pools, page_tables[:, g],
+                    q_starts, kv_lens, l_in_g,
+                    interpret=interpret, window=w,
+                )
+                return attn, k_pools, v_pools
+
+            return branch
+
+        attn, k_pools, v_pools = jax.lax.switch(
+            g_idx, [make_branch(g) for g in range(G)],
+            (q, k, v, k_pools, v_pools),
+        )
+        attn_out = attn.reshape(N, T, H * D) @ lp["wo"]
+        x = x + _maybe_psum(attn_out, tp_axis)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        x = x + _maybe_psum(mlp, tp_axis)
+        return (x, k_pools, v_pools), None
+
+    layers = {
+        "p": params["layers"],
+        "g": jnp.asarray(cfg.group_index, jnp.int32),
+        "lg": jnp.asarray(cfg.layer_in_group, jnp.int32),
+    }
+    (x, k_pools, v_pools), _ = jax.lax.scan(layer_fn, (x, k_pools, v_pools), layers)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    last = x[jnp.arange(N), jnp.maximum(true_lens - 1, 0)]  # [N, E]
     logits = lm_head_logits(last, params["lm_head"], tp_axis)
     return logits, k_pools, v_pools

@@ -27,7 +27,10 @@ from ..ops.paged_attention import (
     paged_attention_verify,
     write_prefill_kv_single,
 )
-from ..ops.paged_prefill import paged_prefill_attention
+from ..ops.paged_prefill import (
+    paged_prefill_attention,
+    paged_prefill_attention_batch,
+)
 from .llama import _maybe_psum, lm_head_logits, rms_norm, rope
 
 
@@ -388,5 +391,74 @@ def mla_prefill_step(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     last = x[jnp.maximum(true_len - 1, 0)]
+    logits = lm_head_logits(last, params["lm_head"], tp_axis)
+    return logits, k_pools, None
+
+
+def mla_prefill_batch_step(
+    params: dict,
+    cfg: MLAConfig,
+    tokens: jax.Array,  # [N, T] int32: N chunks padded to a shared bucket
+    positions: jax.Array,  # [N, T]
+    k_pools: jax.Array,
+    v_pools,  # ignored (None)
+    chunk_pages: jax.Array,  # [N, T // page_tokens] (0 = discard)
+    page_tables: jax.Array,  # [N, max_pages]
+    q_starts: jax.Array,  # [N]
+    true_lens: jax.Array,  # [N] (0 = pad row)
+    *,
+    tp_axis: str | None = None,
+    interpret: bool = False,
+    quant_scales: tuple | None = None,
+):
+    """Batched MLA prefill: N sequences' chunks in one dispatch over the
+    single latent buffer (same batching as llama_prefill_batch_step —
+    rows are independent, pad rows discard via the zero page).  Returns
+    (logits_last [N, vocab], k_pools, None)."""
+    N, T = tokens.shape
+    R = cfg.kv_lora_rank
+    H = _local_heads(cfg, tp_axis)
+    kv_lens = q_starts + true_lens
+    k_scales, v_scales = quant_scales if quant_scales else (None, None)
+
+    x = params["embed"][tokens]  # [N, T, E]
+    dummy_v = jnp.zeros((1, 1, 1, 1, 128), k_pools.dtype)
+
+    def layer_fn(carry, layer):
+        x, k_pools = carry
+        lp, l_idx = layer["p"], layer["i"]
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        h2 = h.reshape(N * T, -1)
+        pos2 = positions.reshape(N * T)
+        q_eff = _q_effective(cfg, lp, h2, pos2, H).reshape(
+            N, T, H, cfg.cache_head_dim
+        )
+        ent = _latent_entry(cfg, lp, h2, pos2)  # [N*T, 1, cache_dim]
+
+        k_pools = write_prefill_kv_single(
+            k_pools, ent.transpose(1, 0, 2), chunk_pages.reshape(-1), l_idx,
+            interpret=interpret,
+            scale=k_scales[l_idx] if k_scales is not None else None,
+        )
+        attn = paged_prefill_attention_batch(
+            q_eff, k_pools, dummy_v, page_tables, q_starts, kv_lens, l_idx,
+            sm_scale=cfg.sm_scale, interpret=interpret, mla_v_dim=R,
+            k_scales=k_scales, v_scales=v_scales,
+        )  # [N, T, H, cache_dim]
+        attn_lat = attn[..., :R].reshape(N * T, H, R)
+        attn_out = _out_proj(cfg, lp, attn_lat, H).reshape(N, T, -1) @ lp["wo"]
+        x = x + _maybe_psum(attn_out, tp_axis)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        x = x + _maybe_psum(mlp, tp_axis)
+        return (x, k_pools), None
+
+    layers = {"p": params["layers"], "i": jnp.arange(cfg.num_layers)}
+    (x, k_pools), _ = jax.lax.scan(layer_fn, (x, k_pools), layers)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    last = x[jnp.arange(N), jnp.maximum(true_lens - 1, 0)]
     logits = lm_head_logits(last, params["lm_head"], tp_axis)
     return logits, k_pools, None

@@ -276,3 +276,62 @@ class TestHybridBatching:
                 assert single[0].output_tokens == batched[i].output_tokens
             finally:
                 eng1.shutdown()
+
+
+class TestHybridBatchedPrefill:
+    """Batched prefill for hybrid layer groups: N prompts in one dispatch,
+    each layer writing through its group's page row with its group's
+    static window — token-exact vs serial."""
+
+    def _serve(self, cfg, params, prompts, pb):
+        from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+
+        eng = LLMEngine(
+            cfg,
+            EngineConfig(max_batch=4, max_model_len=192, page_tokens=16,
+                         decode_horizon=4, prefill_buckets=(16, 32),
+                         num_pages=96, interpret=True, kv_dtype="float32",
+                         prefill_batch=pb),
+            params=params,
+        )
+        try:
+            sp = SamplingParams(max_new_tokens=10)
+            return [o.output_tokens for o in eng.generate(prompts, sp)]
+        finally:
+            eng.shutdown()
+
+    def test_token_exact_vs_serial(self):
+        from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+
+        cfg = HybridConfig.toy(num_layers=4, window=32, dtype="float32")
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], list(range(40, 60)), [7] * 3, [9, 9]]
+        want = self._serve(cfg, params, prompts, pb=1)
+        got = self._serve(cfg, params, prompts, pb=4)
+        assert got == want, "hybrid batched prefill diverged"
+
+    def test_on_mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+        from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = HybridConfig.toy(num_layers=4, window=32, dtype="float32")
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], [7] * 3, [9, 9], [4, 5, 6]]
+        want = self._serve(cfg, params, prompts, pb=1)
+        eng = LLMEngine(
+            cfg,
+            EngineConfig(max_batch=4, max_model_len=192, page_tokens=16,
+                         decode_horizon=4, prefill_buckets=(16, 32),
+                         num_pages=96, interpret=True, kv_dtype="float32",
+                         prefill_batch=4),
+            params=params, mesh=make_mesh(tp=2, dp=2),
+        )
+        try:
+            sp = SamplingParams(max_new_tokens=10)
+            got = [o.output_tokens for o in eng.generate(prompts, sp)]
+        finally:
+            eng.shutdown()
+        assert got == want, "hybrid batched prefill on mesh diverged"

@@ -128,3 +128,49 @@ class TestMLAEngine:
             assert eng.kv_cfg.num_kv_buffers == 1
         finally:
             eng.shutdown()
+
+
+class TestMLABatchedPrefill:
+    """Batched prefill for the MLA family: N waiting prompts stack into
+    one dispatch over the single latent buffer — token-exact vs serial."""
+
+    def _serve(self, cfg, params, prompts, pb, mesh=None):
+        from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+
+        eng = LLMEngine(
+            cfg,
+            EngineConfig(max_batch=4, max_model_len=192, page_tokens=16,
+                         decode_horizon=4, prefill_buckets=(16, 32),
+                         num_pages=64, interpret=True, kv_dtype="float32",
+                         prefill_batch=pb),
+            params=params, mesh=mesh,
+        )
+        try:
+            sp = SamplingParams(max_new_tokens=10)
+            return [o.output_tokens for o in eng.generate(prompts, sp)]
+        finally:
+            eng.shutdown()
+
+    def test_token_exact_vs_serial(self):
+        from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+
+        cfg = MLAConfig.toy(dtype="float32")
+        params = init_mla_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], list(range(40, 60)), [7] * 3, [9, 9]]
+        want = self._serve(cfg, params, prompts, pb=1)
+        got = self._serve(cfg, params, prompts, pb=4)
+        assert got == want, "MLA batched prefill diverged"
+
+    def test_on_mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = MLAConfig.toy(dtype="float32")
+        params = init_mla_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], [7] * 3, [9, 9], [4, 5, 6]]
+        want = self._serve(cfg, params, prompts, pb=1)
+        got = self._serve(cfg, params, prompts, pb=4,
+                          mesh=make_mesh(tp=4, dp=2))
+        assert got == want, "MLA batched prefill on mesh diverged"
