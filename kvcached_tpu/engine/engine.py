@@ -264,9 +264,10 @@ class EngineConfig:
     #: for N prompts and the host pays one dispatch instead of N (the
     #: dominant TTFT cost under bursty colocation, where each dispatch
     #: carries ~30 ms of tunnel overhead).  Token-exact vs serial prefill
-    #: (rows are independent in the kernel).  1 = off.  Applies to
-    #: single-group stateless families with a prefill_batch_step adapter;
-    #: long prompts beyond the largest bucket keep the chunked serial path.
+    #: (rows are independent in the kernel).  1 = off.  Applies to the
+    #: stateless families (Llama/GQA, MLA, hybrid layer groups); mamba
+    #: prefill stays serial (chunk state resume is sequential), and long
+    #: prompts beyond the largest bucket keep the chunked serial path.
     prefill_batch: int = 1
     #: pp placement: decode microbatches per pipeline fill (stages work on
     #: different microbatches each tick — GPipe-style; 1 = no overlap)
