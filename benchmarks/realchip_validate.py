@@ -40,6 +40,7 @@ import numpy as np
 # either way).
 F32_CASES = frozenset({
     "prefill_batch_kernel", "engine_prefill_batch",
+    "engine_prefill_batch_mla", "engine_prefill_batch_hybrid",
     "verify_basic", "verify_prefetch_mixed", "verify_window", "verify_mla",
     "engine_spec_llama", "engine_spec_mla", "engine_spec_hybrid",
 })
@@ -313,6 +314,35 @@ def case_engine_prefill_batch():
     assert got == want, "batched prefill diverged on the chip"
 
 
+def case_engine_prefill_batch_mla():
+    """MLA batched prefill (latent buffer) token-exact on the chip."""
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.mla import MLAConfig, init_mla_params
+
+    cfg = MLAConfig.toy(dtype="float32")
+    params = init_mla_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3, 4, 5], list(range(40, 60)), [7] * 3]
+    sps = [SamplingParams(max_new_tokens=8)] * 3
+    want, _ = _serve(cfg, params, prompts, sps, prefill_batch=1)
+    got, _ = _serve(cfg, params, prompts, sps, prefill_batch=4)
+    assert got == want, "MLA batched prefill diverged on the chip"
+
+
+def case_engine_prefill_batch_hybrid():
+    """Hybrid layer-group batched prefill (per-group rows + windows)
+    token-exact on the chip."""
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+
+    cfg = HybridConfig.toy(num_layers=4, window=32, dtype="float32")
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3, 4, 5], list(range(40, 60)), [7] * 3]
+    sps = [SamplingParams(max_new_tokens=8)] * 3
+    want, _ = _serve(cfg, params, prompts, sps, prefill_batch=1)
+    got, _ = _serve(cfg, params, prompts, sps, prefill_batch=4)
+    assert got == want, "hybrid batched prefill diverged on the chip"
+
+
 def case_engine_spec_llama():
     from kvcached_tpu.engine import SamplingParams
     from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
@@ -381,6 +411,8 @@ CASES = {
     "verify_mla_int8": case_verify_mla_int8,
     "prefill_batch_kernel": case_prefill_batch_kernel,
     "engine_prefill_batch": case_engine_prefill_batch,
+    "engine_prefill_batch_mla": case_engine_prefill_batch_mla,
+    "engine_prefill_batch_hybrid": case_engine_prefill_batch_hybrid,
     "engine_spec_llama": case_engine_spec_llama,
     "engine_spec_mla": case_engine_spec_mla,
     "engine_spec_hybrid": case_engine_spec_hybrid,
