@@ -41,6 +41,7 @@ import numpy as np
 F32_CASES = frozenset({
     "prefill_batch_kernel", "engine_prefill_batch",
     "engine_prefill_batch_mla", "engine_prefill_batch_hybrid",
+    "engine_mirror",
     "verify_basic", "verify_prefetch_mixed", "verify_window", "verify_mla",
     "engine_spec_llama", "engine_spec_mla", "engine_spec_hybrid",
 })
@@ -240,13 +241,19 @@ _PROMPTS = [[1, 2, 3, 1, 2, 3, 1, 2], list(range(40, 60)), [7] * 5]
 def _serve(cfg, params, prompts, sps, **over):
     from kvcached_tpu.engine import EngineConfig, LLMEngine
 
+    # engine-constructor kwargs (mirror plane) split from EngineConfig
+    eng_kw = {
+        k: over.pop(k)
+        for k in ("map_hook", "unmap_hook", "table_mirror")
+        if k in over
+    }
     ecfg = dict(
         max_batch=3, max_model_len=192, page_tokens=16, decode_horizon=4,
         prefill_buckets=(16, 32), num_pages=64, kv_dtype="float32",
         adaptive_horizon=False,
     )
     ecfg.update(over)
-    eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+    eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params, **eng_kw)
     try:
         rids = [eng.add_request(list(p), s) for p, s in zip(prompts, sps)]
         while eng.has_unfinished():
@@ -369,6 +376,42 @@ def case_engine_fp8():
     assert a == interp, "compiled fp8 engine diverged from interpret mode"
 
 
+def case_engine_mirror():
+    """Consuming-mirror serving on the chip: dispatch translation reads a
+    broadcast-fed mirror (all-ranks-atomic acks) with compiled kernels —
+    token-exact vs the in-process table."""
+    import uuid
+
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+    from kvcached_tpu.parallel.ipc import (
+        PageTableBroadcaster,
+        WorkerListener,
+    )
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=2, head_dim=128,
+                      intermediate_size=256, dtype="float32")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    sps = [SamplingParams(max_new_tokens=10)] * 2
+    want, _ = _serve(cfg, params, prompts, sps)
+
+    ipc = f"rcm{uuid.uuid4().hex[:6]}"
+    mirror = np.zeros(4096, np.int32)
+    listener = WorkerListener(ipc, 0, mirror)
+    bc = PageTableBroadcaster(ipc, 1)
+    try:
+        got, _ = _serve(cfg, params, prompts, sps,
+                        map_hook=bc.broadcast_map,
+                        unmap_hook=bc.broadcast_unmap,
+                        table_mirror=mirror)
+        assert got == want, "mirrored serving diverged on the chip"
+    finally:
+        bc.close()
+        listener.close()
+
+
 def case_engine_spec_llama():
     from kvcached_tpu.engine import SamplingParams
     from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
@@ -439,6 +482,7 @@ CASES = {
     "engine_prefill_batch": case_engine_prefill_batch,
     "engine_prefill_batch_mla": case_engine_prefill_batch_mla,
     "engine_fp8": case_engine_fp8,
+    "engine_mirror": case_engine_mirror,
     "engine_prefill_batch_hybrid": case_engine_prefill_batch_hybrid,
     "engine_spec_llama": case_engine_spec_llama,
     "engine_spec_mla": case_engine_spec_mla,

@@ -474,6 +474,18 @@ class TestSpecEngine:
         got, _ = serve(cfg, params, PROMPTS, sps, spec_decode=True, **over)
         assert got == want, "int8 spec decode diverged from int8 plain"
 
+    def test_fp8_kv_spec(self):
+        """fp8 (e4m3) pools through the spec path: token-exact vs fp8
+        plain decode (values stored directly — no scales involved)."""
+        cfg = toy_cfg()
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        sps = [SamplingParams(max_new_tokens=12)] * 3
+        over = dict(kv_dtype="float8_e4m3fn", page_tokens=32,
+                    prefill_buckets=(32, 64))
+        want, _ = serve(cfg, params, PROMPTS, sps, spec_decode=False, **over)
+        got, _ = serve(cfg, params, PROMPTS, sps, spec_decode=True, **over)
+        assert got == want, "fp8 spec decode diverged from fp8 plain"
+
 
 class TestAdaptiveGamma:
     def test_outputs_invariant_and_ladder_moves(self):
