@@ -201,35 +201,56 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
     # --------------------------------------------------------------- prefill
     def pp_prefill(params, tokens, positions, k_pools, v_pools,
                    chunk_pages, page_table, q_start, true_len):
+        """The chunk pipelines through the stages in PAGE-ALIGNED
+        microtiles (tile m hits stage s at tick m+s), so stages overlap
+        instead of idling (S−1)/S of the prefill.  Causality makes the
+        tiling safe without extra masking: a query in tile m attends only
+        positions ≤ its own, and every such position's KV was written by
+        tile ≤ m, which already passed this stage (the per-stage pipeline
+        order preserves tile order)."""
         s = jax.lax.axis_index(pp_axis)
         T = tokens.shape[0]
+        n_pages = chunk_pages.shape[1]
+        # tiles must be whole pages; cap at the microbatch knob
+        Mt = max(d for d in range(1, min(microbatches, n_pages) + 1)
+                 if n_pages % d == 0)
+        tile = T // Mt
         kv_len = q_start + true_len
         layers = jax.tree.map(lambda a: a[0], params["layers"])
         k_pool, v_pool = k_pools[0], v_pools[0]
         table = page_table[0]  # [max_pages]
-        cpages = chunk_pages[0]  # [T // page_tokens]
+        cpages = chunk_pages[0]  # [n_pages]
 
-        def stage_layers(x, k_pool, v_pool, active):
-            cp = jnp.where(active, cpages, 0)
+        def stage_layers(x, m, k_pool, v_pool, active):
+            # tile m's token span and its pages
+            tok0 = m * tile
+            pos = jax.lax.dynamic_slice(positions, (tok0,), (tile,))
+            cp = jnp.where(
+                active,
+                jax.lax.dynamic_slice(
+                    cpages, (m * (n_pages // Mt),), (n_pages // Mt,)
+                ),
+                0,
+            )
 
             def layer_fn(carry, layer):
                 x, k_pool, v_pool = carry
                 lp, l_idx = layer["p"], layer["i"]
                 h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-                q = rope((h @ lp["wq"]).reshape(T, H, D), positions,
+                q = rope((h @ lp["wq"]).reshape(tile, H, D), pos,
                          cfg.rope_theta)
-                k = rope((h @ lp["wk"]).reshape(T, KH, D), positions,
+                k = rope((h @ lp["wk"]).reshape(tile, KH, D), pos,
                          cfg.rope_theta)
-                v = (h @ lp["wv"]).reshape(T, KH, D)
+                v = (h @ lp["wv"]).reshape(tile, KH, D)
                 k_pool, v_pool = write_prefill_kv(
                     k_pool, v_pool, k.transpose(1, 0, 2),
                     v.transpose(1, 0, 2), cp, l_idx, interpret=interpret,
                 )
                 attn = paged_prefill_attention(
-                    q, k_pool, v_pool, table, q_start, kv_len, l_idx,
-                    interpret=interpret,
+                    q, k_pool, v_pool, table, q_start + tok0, kv_len,
+                    l_idx, interpret=interpret,
                 )
-                x = x + _ptp(attn.reshape(T, H * D) @ lp["wo"])
+                x = x + _ptp(attn.reshape(tile, H * D) @ lp["wo"])
                 h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
                 x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
                               * (h @ lp["w_up"])) @ lp["w_down"])
@@ -241,19 +262,42 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
             )
             return x, k_pool, v_pool
 
-        # one chunk = one microbatch: stage s is active exactly at tick s
-        x_buf = jnp.zeros((T, E), x_dtype(params))
-        logits = jnp.zeros((V,), jnp.float32)
-        for t in range(S):  # S is small and static — unrolled
-            active = t == s
-            x_in = jnp.where(s == 0, params["embed"][tokens], x_buf)
-            x_out, k_pool, v_pool = stage_layers(x_in, k_pool, v_pool, active)
-            xf = rms_norm(x_out, params["final_norm"], cfg.rms_eps)
-            last = xf[jnp.maximum(true_len - 1, 0)]
-            lg = lm_head_logits(last, params["lm_head"], tp_axis)
+        def tick(carry, t):
+            x_buf, k_pool, v_pool, out_buf = carry
+            m = t - s
+            active = (m >= 0) & (m < Mt)
+            m_c = jnp.clip(m, 0, Mt - 1)
+            tok_ids = jax.lax.dynamic_slice(tokens, (m_c * tile,), (tile,))
+            x_in = jnp.where(s == 0, params["embed"][tok_ids], x_buf)
+            x_out, k_pool, v_pool = stage_layers(
+                x_in, m_c, k_pool, v_pool, active
+            )
+            # last stage keeps every tile's hidden states — the chunk's
+            # final real token may sit in any tile
             write = active & (s == S - 1)
-            logits = jnp.where(write, lg, logits)
+            old = jax.lax.dynamic_slice(
+                out_buf, (m_c * tile, 0), (tile, E)
+            )
+            out_buf = jax.lax.dynamic_update_slice(
+                out_buf, jnp.where(write, x_out, old), (m_c * tile, 0)
+            )
             x_buf = jax.lax.ppermute(x_out, pp_axis, perm)
+            return (x_buf, k_pool, v_pool, out_buf), None
+
+        carry = (
+            jnp.zeros((tile, E), x_dtype(params)),
+            k_pool, v_pool,
+            jnp.zeros((T, E), x_dtype(params)),
+        )
+        carry, _ = jax.lax.scan(tick, carry, jnp.arange(Mt + S - 1))
+        _, k_pool, v_pool, out_buf = carry
+        xf = rms_norm(
+            out_buf[jnp.maximum(true_len - 1, 0)], params["final_norm"],
+            cfg.rms_eps,
+        )
+        logits = lm_head_logits(xf, params["lm_head"], tp_axis)
+        # only the last stage held real hidden states
+        logits = jnp.where(s == S - 1, logits, 0.0)
         logits = jax.lax.psum(logits, pp_axis)
         return logits, k_pool[None], v_pool[None]
 
