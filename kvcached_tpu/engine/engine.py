@@ -1484,7 +1484,7 @@ class LLMEngine:
             self._finish_seq(seq)
         return True
 
-    def _collect_prefill_batch(self) -> list[Sequence]:
+    def _collect_prefill_batch(self) -> tuple[list["Sequence"], bool]:
         """Pop a contiguous FIFO prefix of the waiting queue whose prompts
         each fit ONE prefill bucket, admitting (page-allocating) each; stop
         at the first long prompt (head-of-line order preserved — it takes
@@ -1565,10 +1565,10 @@ class LLMEngine:
             jnp.asarray(chunk_pages), jnp.asarray(page_tables),
             jnp.asarray(q_starts), jnp.asarray(true_lens),
         )
-        greedy = np.asarray(greedy)  # ONE host pull, not one per row
-        # sampled rows draw their first token in ONE vectorized call with
-        # per-row keys (seed + row index — identical prompts with equal
-        # seeds in one batch must still diversify) and one host pull
+        # one host pull for the whole batch (per-row int() would pay a
+        # ~30 ms tunnel round-trip each): greedy-only batches pull the
+        # in-jit argmax; batches with sampled rows pull ONLY the sampler
+        # output (its temp<=0 rows are the same argmax), never both
         sampled = None
         if any(s.req.sampling.temperature > 0 for s in seqs):
             sps = [s.req.sampling for s in seqs]
@@ -1586,12 +1586,13 @@ class LLMEngine:
                 logits, temps, tks, tps, seeds,
                 jnp.asarray(self._step_count, jnp.uint32), filters=filt,
             ))
+        if sampled is None:
+            firsts = np.asarray(greedy)
+        else:
+            firsts = sampled  # temp<=0 rows are the argmax inside the jit
         for i, seq in enumerate(seqs):
             seq.num_prefilled = seq.prompt_len
-            if seq.req.sampling.temperature > 0:
-                seq.tokens.append(int(sampled[i]))
-            else:
-                seq.tokens.append(int(greedy[i]))
+            seq.tokens.append(int(firsts[i]))
             self.running.append(seq)
             self._check_stops(seq)
             if seq.finished():  # stop string in the very first token

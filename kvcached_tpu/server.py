@@ -330,12 +330,30 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
                 headers={"Content-Type": "text/event-stream"}
             )
             await resp.prepare(request)
-            # stop strings: emit cumulative-decode deltas and truncate the
-            # stream before the earliest stop, matching the non-streaming
-            # path's OpenAI semantics (the engine finishes the sequence a
-            # dispatch later, so the final chunk may run past the stop)
+            # stop strings: emit cumulative-decode deltas, HOLDING BACK
+            # enough trailing text to cover (a) a stop string split across
+            # chunk boundaries and (b) lossy-decode instability at the tail
+            # (an incomplete multi-byte sequence renders as U+FFFD until
+            # its continuation arrives) — then truncate before the earliest
+            # stop, matching the non-streaming path's OpenAI semantics.
+            # token_ids are omitted from stop-filtered streams: the text is
+            # detokenizer-truncated, so raw chunk ids would reproduce the
+            # stop marker and over-generated tail.
+            hold = max((len(s) for s in stops), default=1) + 3
             all_toks: list[int] = []
-            emitted = ""
+            emitted = 0  # chars confirmed sent (stable region of `full`)
+
+            async def _emit(text: str, chunk=None):
+                if not text:
+                    return
+                choice = {"text": text}
+                if chunk is not None:
+                    choice["token_ids"] = chunk
+                await resp.write(
+                    f"data: {json.dumps({'choices': [choice], 'model': model})}\n\n".encode()
+                )
+
+            stopped = False
             while True:
                 chunk = await q.get()
                 if chunk is None:
@@ -347,21 +365,22 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
                         (full.find(s) for s in stops if s in full),
                         default=-1,
                     )
-                    text = (full if cut < 0 else full[:cut])[len(emitted):]
+                    if cut >= 0:
+                        await _emit(full[emitted:cut])
+                        stopped = True
+                        break
+                    safe = max(emitted, len(full) - hold)
+                    await _emit(full[emitted:safe])
+                    emitted = safe
                 else:
-                    cut = -1
-                    text = tok.decode(chunk)
-                if text:
-                    payload = {
-                        "choices": [{"text": text, "token_ids": chunk}],
-                        "model": model,
-                    }
-                    await resp.write(
-                        f"data: {json.dumps(payload)}\n\n".encode()
-                    )
-                    emitted += text
-                if stops and cut >= 0:
-                    break
+                    await _emit(tok.decode(chunk), chunk)
+            if stops and not stopped:
+                # flush the holdback once generation finished without a stop
+                full = tok.decode(all_toks)
+                cut = min(
+                    (full.find(s) for s in stops if s in full), default=-1
+                )
+                await _emit(full[emitted : cut if cut >= 0 else len(full)])
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp

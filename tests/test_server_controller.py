@@ -297,3 +297,68 @@ class TestStopStringsHTTP:
             assert streamed == want, (streamed, want)
         finally:
             await client.close()
+
+    @pytest.mark.anyio
+    async def test_stop_spanning_chunk_boundary_does_not_leak(self):
+        """A stop string that STRADDLES a streaming chunk boundary must not
+        leak its prefix into the stream (the holdback mechanism): streamed
+        text equals the non-streaming truncation exactly, checked with a
+        LOSSLESS tokenizer (token id == char code)."""
+        import json as _json
+
+        import jax as _jax
+
+        from kvcached_tpu.models.llama import (
+            LlamaConfig, init_llama_params,
+        )
+        from kvcached_tpu.server import build_app
+
+        class CharTok:
+            def encode(self, text):
+                return [ord(c) % 300 for c in text]
+
+            def decode(self, toks):
+                return "".join(chr(t) for t in toks)
+
+        cfg = LlamaConfig.toy(vocab_size=300, dtype="float32")
+        params = init_llama_params(cfg, _jax.random.PRNGKey(0))
+        eng = LLMEngine(cfg, small_engine_cfg(kv_dtype="float32"),
+                        params=params)
+        runner = AsyncEngineRunner()
+        runner.add_model("m", eng)
+        runner.start()
+        app = build_app(runner, tokenizer=CharTok())
+        from aiohttp.test_utils import TestClient, TestServer
+
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            base = await (await client.post("/v1/completions", json={
+                "model": "m", "prompt": "abc", "max_tokens": 16,
+            })).json()
+            text = base["choices"][0]["text"]
+            # decode_horizon=4: chunk boundaries after tokens 1, 5, 9...
+            # probe straddles the 5-token boundary
+            probe = text[4:6]
+            r = await (await client.post("/v1/completions", json={
+                "model": "m", "prompt": "abc", "max_tokens": 16,
+                "stop": probe,
+            })).json()
+            want = r["choices"][0]["text"]
+            assert probe not in want and text.startswith(want)
+
+            resp = await client.post("/v1/completions", json={
+                "model": "m", "prompt": "abc", "max_tokens": 16,
+                "stop": probe, "stream": True,
+            })
+            body = await resp.text()
+            streamed = "".join(
+                _json.loads(ln[len("data: "):])["choices"][0]["text"]
+                for ln in body.splitlines()
+                if ln.startswith("data: ") and "[DONE]" not in ln
+            )
+            assert streamed == want, (streamed, want)
+        finally:
+            await client.close()
+            runner.stop()
+            eng.shutdown()
