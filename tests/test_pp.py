@@ -322,3 +322,38 @@ class TestPPxTP:
         finally:
             eng.shutdown()
         assert got == want, "4-stage pp×tp engine diverged"
+
+    def test_prime_page_count_tiling(self):
+        """A 3-page (prime) prefill bucket: the microtile divisor logic
+        must pick a whole-page tiling (3 tiles at mb>=3, no tiling at
+        mb=2) and stay token-exact either way."""
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5] * 6, [9, 9, 9]]
+        sp = SamplingParams(max_new_tokens=6)
+        for mb in (2, 4):
+            ecfg = dict(max_batch=2, max_model_len=96, page_tokens=16,
+                        decode_horizon=4, prefill_buckets=(48,),
+                        num_pages=32, interpret=True, kv_dtype="float32",
+                        pp_microbatches=mb)
+            single = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+            try:
+                want = [o.output_tokens
+                        for o in single.generate(prompts, sp)]
+            finally:
+                single.shutdown()
+            eng = LLMEngine(
+                PPLlamaAdapter(cfg, num_stages=2), EngineConfig(**ecfg),
+                params=params,
+                mesh=Mesh(np.array(jax.devices()[:2]), ("pp",)),
+            )
+            try:
+                got = [o.output_tokens for o in eng.generate(prompts, sp)]
+            finally:
+                eng.shutdown()
+            assert got == want, f"pp_microbatches={mb} diverged"
