@@ -171,6 +171,9 @@ class Request:
     req_id: int
     prompt: list[int]
     sampling: SamplingParams
+    #: scheduling priority under scheduling_policy="priority" (smaller =
+    #: served sooner, vLLM's convention); ignored by fcfs/sjf
+    priority: int = 0
 
 
 @dataclass
@@ -278,6 +281,17 @@ class EngineConfig:
     #: Off by default — each ladder step compiles its own program, which
     #: is expensive through the axon tunnel (docs/ROUND2_NOTES.md §perf 4)
     spec_adaptive: bool = False
+    #: admission order for the waiting queue (the reference delegates this
+    #: to its host engines; vLLM ships fcfs + priority policies):
+    #:   "fcfs"     — arrival order (default),
+    #:   "priority" — Request.priority ascending (smaller = sooner, vLLM's
+    #:                convention), arrival order within a priority class;
+    #:                preemption evicts the WORST-priority newest sequence,
+    #:   "sjf"      — shortest remaining prompt first (cuts head-of-line
+    #:                blocking under bursty mixed-length arrivals; starves
+    #:                long prompts under sustained short-prompt pressure —
+    #:                use priority with aging where that matters).
+    scheduling_policy: str = "fcfs"
 
 
 class LLMEngine:
@@ -326,6 +340,11 @@ class LLMEngine:
         self.tokenizer = tokenizer
         self.cfg = engine_cfg or EngineConfig()
         ec = self.cfg
+        if ec.scheduling_policy not in ("fcfs", "priority", "sjf"):
+            raise ValueError(
+                f"unknown scheduling_policy {ec.scheduling_policy!r} "
+                "(expected 'fcfs', 'priority', or 'sjf')"
+            )
 
         self.mesh = mesh
         self._tp_axis = self._dp_axis = self._pp_axis = None
@@ -352,6 +371,16 @@ class LLMEngine:
             if ec.num_pages is None:
                 raise ValueError("pp placement requires an explicit num_pages")
             self._pp_axis = "pp"
+            # dp×pp: the decode batch shards over dp; each dp replica runs
+            # the full stage pipeline over its rows, with stage-pool
+            # replicas re-equalized every dispatch (pp_mesh equalize)
+            if "dp" in mesh.axis_names and mesh.shape["dp"] > 1:
+                dp = mesh.shape["dp"]
+                if ec.max_batch % dp:
+                    raise ValueError(
+                        f"max_batch={ec.max_batch} not divisible by dp={dp}"
+                    )
+                self._dp_axis = "dp"
             # pp×tp composition: within each stage, heads/pools shard over tp
             if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
                 tp = mesh.shape["tp"]
@@ -691,11 +720,16 @@ class LLMEngine:
 
     def set_kv_scales(self, k_scales, v_scales) -> None:
         """int8 KV: install per-(layer, head) dequantization scales
-        ([L, KH] f32 each) and rebuild the compiled step fns."""
-        self.quant_scales = (
-            jnp.asarray(k_scales, jnp.float32),
-            jnp.asarray(v_scales, jnp.float32),
-        )
+        ([L, KH] f32 each) and rebuild the compiled step fns.  Under pp
+        placement, [L_total, KH] is reshaped stage-major to [S, Lp, KH]
+        (or pass the stacked shape directly)."""
+        ks = jnp.asarray(k_scales, jnp.float32)
+        vs = jnp.asarray(v_scales, jnp.float32)
+        if self._pp_axis and ks.ndim == 2:
+            S = self.mesh.shape["pp"]
+            ks = ks.reshape(S, -1, ks.shape[-1])
+            vs = vs.reshape(S, -1, vs.shape[-1])
+        self.quant_scales = (ks, vs)
         self._build_step_impls(reset_scales=False)
         self._decode_fns.clear()
         self._verify_fns.clear()
@@ -711,16 +745,54 @@ class LLMEngine:
         prefill (one sequence) replicates over dp and shards over tp."""
         adapter, ec = self.adapter, self.cfg
         if self._pp_axis:
-            if ec.kv_dtype == "int8":
-                raise NotImplementedError("int8 KV under pp placement")
             from ..parallel.pp_mesh import build_pp_impls
 
-            self.quant_scales = None
-            self._decode_step_impl, self._prefill_step_impl = build_pp_impls(
+            if reset_scales:
+                if ec.kv_dtype == "int8":
+                    # STAGE-STACKED scales [S, Lp, KH]: each placed stage
+                    # owns its pool, so its layers carry their own
+                    # per-head dequantization scales (sharded on pp)
+                    S = self.mesh.shape["pp"]
+                    Lp = self.kv_cfg.num_layers
+                    KH = self.adapter.num_kv_heads
+                    self.quant_scales = (
+                        jnp.full((S, Lp, KH), ec.kv_scale, jnp.float32),
+                        jnp.full((S, Lp, KH), ec.kv_scale, jnp.float32),
+                    )
+                else:
+                    self.quant_scales = None
+            qs = self.quant_scales
+            d_impl, p_impl, v_impl, pb_impl = build_pp_impls(
                 adapter.cfg, self.mesh, adapter.layers_per_group,
                 microbatches=ec.pp_microbatches, interpret=ec.interpret,
-                tp_axis=self._tp_axis,
+                tp_axis=self._tp_axis, dp_axis=self._dp_axis,
+                quantized=qs is not None,
             )
+            if qs is not None:
+                self._decode_step_impl = lambda *a: d_impl(*a, *qs)
+                self._prefill_step_impl = lambda *a: p_impl(*a, *qs)
+                self._verify_step_impl = lambda *a: v_impl(*a, *qs)
+                pb = lambda *a: pb_impl(*a, *qs)
+            else:
+                self._decode_step_impl = d_impl
+                self._prefill_step_impl = p_impl
+                self._verify_step_impl = v_impl
+                pb = pb_impl
+
+            # the scheduler hands batched prefill [N, G(=S), ...] arrays
+            # (the multi-group layout); the placed pipeline wants
+            # stage-major [S, N, ...]
+            def pb_stage_major(params, tokens, positions, k_pools, v_pools,
+                               chunk_pages, page_tables, q_starts,
+                               true_lens):
+                return pb(
+                    params, tokens, positions, k_pools, v_pools,
+                    jnp.transpose(chunk_pages, (1, 0, 2)),
+                    jnp.transpose(page_tables, (1, 0, 2)),
+                    q_starts, true_lens,
+                )
+
+            self._prefill_batch_step_impl = pb_stage_major
             return
         if reset_scales:
             if ec.kv_dtype == "int8":
@@ -804,8 +876,14 @@ class LLMEngine:
         # ALL rows, keeping replicas bit-identical.
         equalize = bool(dp) and self.mesh.shape[dp] > 1
         if self.num_groups > 1:
-            group_index = tuple(adapter.cfg.group_index)
-            layer_in_group = tuple(adapter.cfg.layer_in_group)
+            # hybrid configs carry the maps on the config; staged (pp)
+            # adapters derive them from the stage split
+            gi = getattr(adapter, "group_index", None)
+            lig = getattr(adapter, "layer_in_group", None)
+            group_index = tuple(gi if gi is not None
+                                else adapter.cfg.group_index)
+            layer_in_group = tuple(lig if lig is not None
+                                   else adapter.cfg.layer_in_group)
 
         def _equalize_kv(k_pools, v_pools, ks, vs, slot_pages, slot_offsets,
                          scales):
@@ -1212,16 +1290,53 @@ class LLMEngine:
 
     # ------------------------------------------------------------- requests
 
-    def add_request(self, prompt: list[int], sampling: SamplingParams | None = None) -> int:
-        req = Request(next(self._ids), list(prompt), sampling or SamplingParams())
+    def add_request(self, prompt: list[int],
+                    sampling: SamplingParams | None = None,
+                    *, priority: int = 0) -> int:
+        req = Request(next(self._ids), list(prompt),
+                      sampling or SamplingParams(), priority)
         if len(req.prompt) + req.sampling.max_new_tokens > self.cfg.max_model_len:
             raise ValueError(
                 f"prompt+max_new_tokens exceeds max_model_len={self.cfg.max_model_len}"
             )
         # prompts longer than the largest bucket are served by chunked
         # prefill (_do_prefill loops bucket-sized chunks, advancing q_start)
-        self.waiting.append(Sequence(req, self.num_groups))
+        self._enqueue(Sequence(req, self.num_groups))
         return req.req_id
+
+    # ------------------------------------------------------ queue policies
+
+    def _queue_key(self, seq: Sequence):
+        """Admission sort key under the configured scheduling policy.
+        req_id is the arrival ordinal, so it is the fcfs key and the
+        within-class tiebreak everywhere else."""
+        policy = self.cfg.scheduling_policy
+        if policy == "priority":
+            return (seq.req.priority, seq.req.req_id)
+        if policy == "sjf":
+            return (seq.prompt_len - seq.num_prefilled, seq.req.req_id)
+        return (seq.req.req_id,)
+
+    def _enqueue(self, seq: Sequence) -> None:
+        if self.cfg.scheduling_policy == "fcfs":
+            self.waiting.append(seq)
+            return
+        import bisect
+
+        keys = [self._queue_key(s) for s in self.waiting]
+        self.waiting.insert(
+            bisect.bisect_right(keys, self._queue_key(seq)), seq
+        )
+
+    def _requeue_preempted(self, seq: Sequence) -> None:
+        """A preempted/rolled-back sequence goes back to the queue: under
+        fcfs to the FRONT (it was already admitted once); under
+        priority/sjf to its policy slot (a rolled-back low-priority
+        sequence must not jump a waiting high-priority one)."""
+        if self.cfg.scheduling_policy == "fcfs":
+            self.waiting.insert(0, seq)
+        else:
+            self._enqueue(seq)
 
     def has_unfinished(self) -> bool:
         return bool(self.waiting or self.running or self._prefilling)
@@ -1329,16 +1444,25 @@ class LLMEngine:
         seq.blocks = []
 
     def _preempt_one(self) -> bool:
-        """Evict the newest running sequence back to waiting (recompute)."""
+        """Evict a running sequence back to waiting (recompute): the newest
+        under fcfs/sjf (vLLM's recompute policy), the worst-priority newest
+        under the priority policy."""
         if not self.running:
             return False
-        seq = self.running.pop()
+        if self.cfg.scheduling_policy == "priority":
+            seq = max(
+                self.running,
+                key=lambda s: (s.req.priority, s.req.req_id),
+            )
+            self.running.remove(seq)
+        else:
+            seq = self.running.pop()
         self._free_seq(seq)
         # restart from scratch: drop generated tokens (recompute semantics
         # would keep them; dropping keeps determinism for greedy decoding)
         seq.tokens = list(seq.req.prompt)
         seq.num_prefilled = 0
-        self.waiting.insert(0, seq)
+        self._requeue_preempted(seq)
         self._preempt_count += 1
         logger.info("preempted request %d under memory pressure", seq.req.req_id)
         return True
@@ -2083,7 +2207,7 @@ class LLMEngine:
         self._free_seq(seq, cache_kv=False)
         seq.tokens = list(seq.req.prompt)
         seq.num_prefilled = 0
-        self.waiting.insert(0, seq)
+        self._requeue_preempted(seq)
 
     def step(self) -> None:
         """One scheduler iteration: one prefill chunk, or one decode

@@ -31,8 +31,15 @@ import jax
 import jax.numpy as jnp
 
 from ..models.llama import lm_head_logits, rms_norm, rope
-from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
-from ..ops.paged_prefill import paged_prefill_attention
+from ..ops.paged_attention import (
+    paged_attention_decode,
+    paged_attention_verify,
+    write_prefill_kv,
+)
+from ..ops.paged_prefill import (
+    paged_prefill_attention,
+    paged_prefill_attention_batch,
+)
 
 
 def _maybe_psum(x, tp_axis):
@@ -66,6 +73,11 @@ class PPLlamaAdapter:
         # a shared arena of layers_per_group layers
         self.group_windows = (None,) * self.num_stages
         self.layers_per_group = c.num_layers // self.num_stages
+        # per-layer group maps for the engine's dp replica equalizer
+        # (stage s == layer group s; arena index == layer-in-stage)
+        Lp = self.layers_per_group
+        self.group_index = tuple(l // Lp for l in range(c.num_layers))
+        self.layer_in_group = tuple(l % Lp for l in range(c.num_layers))
 
     def init_params(self, key):
         from ..models.llama import init_llama_params
@@ -81,8 +93,15 @@ class PPLlamaAdapter:
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, tp_axis=None, interpret=False):
-        """page_tables: [S, B, max_pages]; slot_pages: [S, B]."""
+                    *, tp_axis=None, interpret=False, quant_scales=None,
+                    collect_kv=False):
+        """page_tables: [S, B, max_pages]; slot_pages: [S, B].
+
+        ``quant_scales``: ([Lp, KH], [Lp, KH]) for int8 pools, keyed by
+        ARENA layer.  Stages share one physical arena here, and the read
+        kernel dequantizes by pool layer — so scales are shared across
+        stages (per-stage scale resolution needs stage PLACEMENT, where
+        each stage owns its pool: parallel/pp_mesh.py)."""
         cfg = self.cfg
         B = tokens.shape[0]
         H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -90,6 +109,8 @@ class PPLlamaAdapter:
             tp = jax.lax.axis_size(tp_axis)
             H, KH = H // tp, KH // tp
         stage_of, in_stage = self._stage_maps()
+        int8_kv = jnp.dtype(k_pools.dtype) == jnp.int8
+        k_scales, v_scales = quant_scales if quant_scales else (None, None)
 
         x = params["embed"][tokens]
 
@@ -110,31 +131,35 @@ class PPLlamaAdapter:
             attn, k_pools, v_pools = paged_attention_decode(
                 q, k_pools, v_pools,
                 page_tables[s_idx], seq_lens, l_in_s,
-                k.astype(k_pools.dtype), v.astype(v_pools.dtype),
+                k if int8_kv else k.astype(k_pools.dtype),
+                v if int8_kv else v.astype(v_pools.dtype),
                 slot_pages[s_idx], slot_offsets,
                 interpret=interpret,
+                k_scales=k_scales, v_scales=v_scales,
             )
             x = x + _maybe_psum(attn.reshape(B, H * D) @ lp["wo"], tp_axis)
             h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
             mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
             x = x + _maybe_psum(mlp, tp_axis)
-            return (x, k_pools, v_pools), None
+            return (x, k_pools, v_pools), ((k, v) if collect_kv else None)
 
         layers = {
             "p": params["layers"],
             "s": jnp.asarray(stage_of, jnp.int32),
             "ls": jnp.asarray(in_stage, jnp.int32),
         }
-        (x, k_pools, v_pools), _ = jax.lax.scan(
+        (x, k_pools, v_pools), kv = jax.lax.scan(
             layer_fn, (x, k_pools, v_pools), layers
         )
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
         logits = lm_head_logits(x, params["lm_head"], tp_axis)
+        if collect_kv:
+            return logits, k_pools, v_pools, kv
         return logits, k_pools, v_pools
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
                      chunk_pages, page_table, q_start, true_len,
-                     *, tp_axis=None, interpret=False):
+                     *, tp_axis=None, interpret=False, quant_scales=None):
         """chunk_pages: [S, n]; page_table: [S, max_pages]."""
         cfg = self.cfg
         T = tokens.shape[0]
@@ -159,13 +184,20 @@ class PPLlamaAdapter:
             q = rope(q, positions, cfg.rope_theta)
             k = rope(k, positions, cfg.rope_theta)
 
+            k_sc, v_sc = (
+                (quant_scales[0][l_in_s], quant_scales[1][l_in_s])
+                if quant_scales else (None, None)
+            )
             k_pools, v_pools = write_prefill_kv(
                 k_pools, v_pools, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
                 chunk_pages[s_idx], l_in_s, interpret=interpret,
+                k_scale=k_sc, v_scale=v_sc,
             )
             attn = paged_prefill_attention(
                 q, k_pools, v_pools, page_table[s_idx], q_start, kv_len,
                 l_in_s, interpret=interpret,
+                k_scales=quant_scales[0] if quant_scales else None,
+                v_scales=quant_scales[1] if quant_scales else None,
             )
             x = x + _maybe_psum(attn.reshape(T, H * D) @ lp["wo"], tp_axis)
             h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
@@ -184,6 +216,133 @@ class PPLlamaAdapter:
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
         last = x[jnp.maximum(true_len - 1, 0)]
         logits = lm_head_logits(last, params["lm_head"], tp_axis)
+        return logits, k_pools, v_pools
+
+    def prefill_batch_step(self, params, tokens, positions, k_pools,
+                           v_pools, chunk_pages, page_tables, q_starts,
+                           true_lens, *, tp_axis=None, interpret=False,
+                           quant_scales=None):
+        """Batched prefill with per-stage tables: chunk_pages [N, S, n],
+        page_tables [N, S, max_pages] (the engine's multi-group layout).
+        Bit-identical to N serial prefill_step calls."""
+        cfg = self.cfg
+        N, T = tokens.shape
+        H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        if tp_axis:
+            tp = jax.lax.axis_size(tp_axis)
+            H, KH = H // tp, KH // tp
+        stage_of, in_stage = self._stage_maps()
+        kv_lens = q_starts + true_lens
+
+        x = params["embed"][tokens]  # [N, T, E]
+
+        def layer_fn(carry, layer):
+            x, k_pools, v_pools = carry
+            lp = layer["p"]
+            s_idx, l_in_s = layer["s"], layer["ls"]
+
+            h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+            q = (h @ lp["wq"]).reshape(N, T, H, D)
+            k = (h @ lp["wk"]).reshape(N, T, KH, D)
+            v = (h @ lp["wv"]).reshape(N, T, KH, D)
+            q = rope(q, positions, cfg.rope_theta)
+            k = rope(k, positions, cfg.rope_theta)
+
+            k_sc, v_sc = (
+                (quant_scales[0][l_in_s], quant_scales[1][l_in_s])
+                if quant_scales else (None, None)
+            )
+            # flatten the batch into one [KH, N*T, D] stream over this
+            # stage's [N * T/P] pages (page writes are sequence-agnostic)
+            k_pools, v_pools = write_prefill_kv(
+                k_pools, v_pools,
+                k.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
+                v.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
+                chunk_pages[:, s_idx].reshape(-1), l_in_s,
+                interpret=interpret, k_scale=k_sc, v_scale=v_sc,
+            )
+            attn = paged_prefill_attention_batch(
+                q, k_pools, v_pools, page_tables[:, s_idx], q_starts,
+                kv_lens, l_in_s, interpret=interpret,
+                k_scales=quant_scales[0] if quant_scales else None,
+                v_scales=quant_scales[1] if quant_scales else None,
+            )  # [N, T, H, D]
+            x = x + _maybe_psum(attn.reshape(N, T, H * D) @ lp["wo"], tp_axis)
+            h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+            mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+            x = x + _maybe_psum(mlp, tp_axis)
+            return (x, k_pools, v_pools), None
+
+        layers = {
+            "p": params["layers"],
+            "s": jnp.asarray(stage_of, jnp.int32),
+            "ls": jnp.asarray(in_stage, jnp.int32),
+        }
+        (x, k_pools, v_pools), _ = jax.lax.scan(
+            layer_fn, (x, k_pools, v_pools), layers
+        )
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        last = x[jnp.arange(N), jnp.maximum(true_lens - 1, 0)]  # [N, E]
+        logits = lm_head_logits(last, params["lm_head"], tp_axis)
+        return logits, k_pools, v_pools
+
+    def verify_step(self, params, tokens, positions, k_pools, v_pools,
+                    page_tables, slot_pages, slot_offsets, seq_lens,
+                    *, tp_axis=None, interpret=False, quant_scales=None,
+                    collect_kv=False):
+        """Speculative-decode verification with per-stage tables:
+        page_tables [S, B, max_pages], slot_pages [S, B, T]."""
+        cfg = self.cfg
+        B, T = tokens.shape
+        H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        if tp_axis:
+            tp = jax.lax.axis_size(tp_axis)
+            H, KH = H // tp, KH // tp
+        stage_of, in_stage = self._stage_maps()
+        int8_kv = jnp.dtype(k_pools.dtype) == jnp.int8
+        k_scales, v_scales = quant_scales if quant_scales else (None, None)
+
+        x = params["embed"][tokens]  # [B, T, E]
+
+        def layer_fn(carry, layer):
+            x, k_pools, v_pools = carry
+            lp = layer["p"]
+            s_idx, l_in_s = layer["s"], layer["ls"]
+
+            h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+            q = rope((h @ lp["wq"]).reshape(B, T, H, D), positions,
+                     cfg.rope_theta)
+            k = rope((h @ lp["wk"]).reshape(B, T, KH, D), positions,
+                     cfg.rope_theta)
+            v = (h @ lp["wv"]).reshape(B, T, KH, D)
+
+            attn, k_pools, v_pools = paged_attention_verify(
+                q, k_pools, v_pools,
+                page_tables[s_idx], seq_lens, l_in_s,
+                k if int8_kv else k.astype(k_pools.dtype),
+                v if int8_kv else v.astype(v_pools.dtype),
+                slot_pages[s_idx], slot_offsets,
+                interpret=interpret,
+                k_scales=k_scales, v_scales=v_scales,
+            )  # [B, T, H, D]
+            x = x + _maybe_psum(attn.reshape(B, T, H * D) @ lp["wo"], tp_axis)
+            h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+            mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+            x = x + _maybe_psum(mlp, tp_axis)
+            return (x, k_pools, v_pools), ((k, v) if collect_kv else None)
+
+        layers = {
+            "p": params["layers"],
+            "s": jnp.asarray(stage_of, jnp.int32),
+            "ls": jnp.asarray(in_stage, jnp.int32),
+        }
+        (x, k_pools, v_pools), kv = jax.lax.scan(
+            layer_fn, (x, k_pools, v_pools), layers
+        )
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        logits = lm_head_logits(x, params["lm_head"], tp_axis)  # [B, T, V]
+        if collect_kv:
+            return logits, k_pools, v_pools, kv
         return logits, k_pools, v_pools
 
     def param_specs(self, tp_axis: str) -> dict:

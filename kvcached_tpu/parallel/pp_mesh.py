@@ -32,8 +32,16 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..models.llama import lm_head_logits, rms_norm, rope
-from ..ops.paged_attention import paged_attention_decode, write_prefill_kv
-from ..ops.paged_prefill import paged_prefill_attention
+from ..ops.paged_attention import (
+    paged_attention_decode,
+    paged_attention_verify,
+    write_decode_tokens,
+    write_prefill_kv,
+)
+from ..ops.paged_prefill import (
+    paged_prefill_attention,
+    paged_prefill_attention_batch,
+)
 
 
 def pp_param_specs(tp_axis: str | None = None, pp_axis: str = "pp") -> dict:
@@ -95,16 +103,38 @@ def _stage_perm(S: int):
 
 def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
                    microbatches: int = 2, interpret: bool = False,
-                   pp_axis: str = "pp", tp_axis: str | None = None):
-    """Returns (decode_step_impl, prefill_step_impl) with the engine's
-    standard multi-group signatures, executing the layer stack as a
-    device-placed pipeline.
+                   pp_axis: str = "pp", tp_axis: str | None = None,
+                   dp_axis: str | None = None, quantized: bool = False):
+    """Returns (decode_step_impl, prefill_step_impl, verify_step_impl,
+    prefill_batch_step_impl) with the engine's standard multi-group
+    signatures, executing the layer stack as a device-placed pipeline.
 
     decode: page_tables [S, B, max_pages], slot_pages [S, B] (stage axis
     sharded); tokens/positions/slot_offsets/seq_lens [B] replicated.
     Token-exact vs the single-device layer walk: each microbatch passes
     through every stage exactly once, writes its KV into the owning
     stage's pool, and inactive pipeline ticks discard via the zero page.
+
+    verify (spec decode): tokens [B, T]; microbatched over B like decode,
+    each row verifying its T fed tokens in one fused pass per stage.
+
+    prefill_batch: tokens [N, T] with per-stage chunk_pages [S, N, n] /
+    page_tables [S, N, max_pages]; the chunk pipelines through the stages
+    in page-aligned microtiles with all N rows riding each tile.
+
+    ``quantized``: int8 pools — every impl takes two trailing scale args,
+    STAGE-STACKED [S, Lp, KH] f32 (sharded on the stage axis; under tp
+    also on the head axis), so each stage's layers carry their own
+    per-head dequantization scales.
+
+    ``dp_axis``: decode/verify additionally shard the batch over dp.
+    Each dp replica's pipeline writes only its own rows into its stage
+    pool REPLICA, so after the pipeline drains every stage all-gathers
+    the per-token K/V over dp and replays ALL rows through the decode
+    writer — keeping stage-pool replicas bit-identical (the same
+    equalization the dp×tp path uses, engine.py _equalize_kv).  Prefill
+    (single and batched) replicates over dp: every replica computes
+    identical writes.
     """
     S = mesh.shape[pp_axis]
     Lp = layers_per_stage
@@ -115,10 +145,18 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
     H, KH = H // tp, KH // tp  # per-shard heads within each stage
     perm = _stage_perm(S)
     _ptp = (lambda y: jax.lax.psum(y, tp_axis)) if tp_axis else (lambda y: y)
+    equalize = dp_axis is not None and mesh.shape[dp_axis] > 1
+
+    def _local_scales(scales):
+        """[1, Lp, KH_local] shard_map views -> ([Lp, KH], [Lp, KH])."""
+        if not scales:
+            return None, None
+        return scales[0][0], scales[1][0]
 
     # ---------------------------------------------------------------- decode
     def pp_decode(params, tokens, positions, k_pools, v_pools,
-                  page_tables, slot_pages, slot_offsets, seq_lens):
+                  page_tables, slot_pages, slot_offsets, seq_lens,
+                  *scales):
         # local views under shard_map: leading stage dim of size 1
         s = jax.lax.axis_index(pp_axis)
         B = tokens.shape[0]
@@ -130,6 +168,8 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
         k_pool, v_pool = k_pools[0], v_pools[0]
         table = page_tables[0]  # [B, max_pages] this stage's rows
         spages = slot_pages[0]  # [B]
+        k_sc, v_sc = _local_scales(scales)
+        int8_kv = jnp.dtype(k_pool.dtype) == jnp.int8
 
         def stage_layers(x, rows, k_pool, v_pool, active):
             pos = positions[rows]
@@ -149,20 +189,22 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
                 v = (h @ lp["wv"]).reshape(mb, KH, D)
                 attn, k_pool, v_pool = paged_attention_decode(
                     q, k_pool, v_pool, tbl, sl, l_idx,
-                    k.astype(k_pool.dtype), v.astype(v_pool.dtype),
+                    k if int8_kv else k.astype(k_pool.dtype),
+                    v if int8_kv else v.astype(v_pool.dtype),
                     sp, so, interpret=interpret,
+                    k_scales=k_sc, v_scales=v_sc,
                 )
                 x = x + _ptp(attn.reshape(mb, H * D) @ lp["wo"])
                 h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
                 x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
                               * (h @ lp["w_up"])) @ lp["w_down"])
-                return (x, k_pool, v_pool), None
+                return (x, k_pool, v_pool), ((k, v) if equalize else None)
 
             ls = {"p": layers, "i": jnp.arange(Lp)}
-            (x, k_pool, v_pool), _ = jax.lax.scan(
+            (x, k_pool, v_pool), kv = jax.lax.scan(
                 layer_fn, (x, k_pool, v_pool), ls
             )
-            return x, k_pool, v_pool
+            return x, k_pool, v_pool, kv
 
         def tick(carry, t):
             x_buf, k_pool, v_pool, logits_buf = carry
@@ -173,7 +215,7 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
             # stage 0 ingests fresh embeddings; later stages consume the
             # activation ppermute delivered last tick
             x_in = jnp.where(s == 0, params["embed"][tokens[rows]], x_buf)
-            x_out, k_pool, v_pool = stage_layers(
+            x_out, k_pool, v_pool, kv = stage_layers(
                 x_in, rows, k_pool, v_pool, active
             )
             # last stage: head + accumulate this microbatch's logits
@@ -185,22 +227,47 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
                 logits_buf, jnp.where(write, lg, old), (m_c * mb, 0)
             )
             x_buf = jax.lax.ppermute(x_out, pp_axis, perm)
-            return (x_buf, k_pool, v_pool, logits_buf), None
+            return (x_buf, k_pool, v_pool, logits_buf), kv
 
         carry = (
             jnp.zeros((mb, E), x_dtype(params)),
             k_pool, v_pool,
             jnp.zeros((B, V), jnp.float32),
         )
-        carry, _ = jax.lax.scan(tick, carry, jnp.arange(M + S - 1))
+        carry, kvs = jax.lax.scan(tick, carry, jnp.arange(M + S - 1))
         _, k_pool, v_pool, logits = carry
+        if equalize:
+            # dp>1: this replica's pipeline wrote only its LOCAL rows.
+            # Ticks [s, s+M) are exactly this stage's active ticks (tick
+            # t works microbatch t−s), so slicing there drops the
+            # fill/drain garbage; all-gather the per-token K/V over dp
+            # and replay ALL rows so stage-pool replicas stay identical.
+            ks, vs = kvs  # [ticks, Lp, mb, KH, D]
+
+            def flat(a):
+                a = jax.lax.dynamic_slice_in_dim(a, s, M, axis=0)
+                a = jnp.moveaxis(a, 0, 1)  # [Lp, M, mb, ...]
+                return a.reshape(Lp, M * mb, *a.shape[3:])
+
+            ks = jax.lax.all_gather(flat(ks), dp_axis, axis=1, tiled=True)
+            vs = jax.lax.all_gather(flat(vs), dp_axis, axis=1, tiled=True)
+            sp = jax.lax.all_gather(spages, dp_axis, axis=0, tiled=True)
+            so = jax.lax.all_gather(
+                slot_offsets, dp_axis, axis=0, tiled=True
+            )
+            sp_l = jnp.broadcast_to(sp[None], (Lp, sp.shape[0]))
+            k_pool, v_pool = write_decode_tokens(
+                k_pool, v_pool, ks, vs, jnp.arange(Lp, dtype=jnp.int32),
+                sp_l, so, interpret=interpret,
+                k_scales=k_sc, v_scales=v_sc,
+            )
         # only the last stage wrote logits; make them visible everywhere
         logits = jax.lax.psum(logits, pp_axis)
         return logits, k_pool[None], v_pool[None]
 
     # --------------------------------------------------------------- prefill
     def pp_prefill(params, tokens, positions, k_pools, v_pools,
-                   chunk_pages, page_table, q_start, true_len):
+                   chunk_pages, page_table, q_start, true_len, *scales):
         """The chunk pipelines through the stages in PAGE-ALIGNED
         microtiles (tile m hits stage s at tick m+s), so stages overlap
         instead of idling (S−1)/S of the prefill.  Causality makes the
@@ -220,6 +287,7 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
         k_pool, v_pool = k_pools[0], v_pools[0]
         table = page_table[0]  # [max_pages]
         cpages = chunk_pages[0]  # [n_pages]
+        k_sc, v_sc = _local_scales(scales)
 
         def stage_layers(x, m, k_pool, v_pool, active):
             # tile m's token span and its pages
@@ -245,10 +313,13 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
                 k_pool, v_pool = write_prefill_kv(
                     k_pool, v_pool, k.transpose(1, 0, 2),
                     v.transpose(1, 0, 2), cp, l_idx, interpret=interpret,
+                    k_scale=k_sc[l_idx] if scales else None,
+                    v_scale=v_sc[l_idx] if scales else None,
                 )
                 attn = paged_prefill_attention(
                     q, k_pool, v_pool, table, q_start + tok0, kv_len,
                     l_idx, interpret=interpret,
+                    k_scales=k_sc, v_scales=v_sc,
                 )
                 x = x + _ptp(attn.reshape(tile, H * D) @ lp["wo"])
                 h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
@@ -301,26 +372,275 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
         logits = jax.lax.psum(logits, pp_axis)
         return logits, k_pool[None], v_pool[None]
 
+    # ---------------------------------------------------------------- verify
+    def pp_verify(params, tokens, positions, k_pools, v_pools,
+                  page_tables, slot_pages, slot_offsets, seq_lens,
+                  *scales):
+        """Spec-decode verification pipeline: tokens [B, T], page_tables
+        [S, B, max_pages], slot_pages [S, B, T]; microbatched over B like
+        decode, each row's T fed tokens verified in one fused pass per
+        stage."""
+        s = jax.lax.axis_index(pp_axis)
+        B, T = tokens.shape
+        M = min(microbatches, B)
+        while B % M:
+            M -= 1
+        mb = B // M
+        layers = jax.tree.map(lambda a: a[0], params["layers"])
+        k_pool, v_pool = k_pools[0], v_pools[0]
+        table = page_tables[0]  # [B, max_pages]
+        spages = slot_pages[0]  # [B, T]
+        k_sc, v_sc = _local_scales(scales)
+        int8_kv = jnp.dtype(k_pool.dtype) == jnp.int8
+
+        def stage_layers(x, rows, k_pool, v_pool, active):
+            pos = positions[rows]  # [mb, T]
+            sl = seq_lens[rows]
+            tbl = table[rows]
+            sp = jnp.where(active, spages[rows], 0)  # [mb, T]
+            so = slot_offsets[rows]
+
+            def layer_fn(carry, layer):
+                x, k_pool, v_pool = carry
+                lp, l_idx = layer["p"], layer["i"]
+                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+                q = rope((h @ lp["wq"]).reshape(mb, T, H, D), pos,
+                         cfg.rope_theta)
+                k = rope((h @ lp["wk"]).reshape(mb, T, KH, D), pos,
+                         cfg.rope_theta)
+                v = (h @ lp["wv"]).reshape(mb, T, KH, D)
+                attn, k_pool, v_pool = paged_attention_verify(
+                    q, k_pool, v_pool, tbl, sl, l_idx,
+                    k if int8_kv else k.astype(k_pool.dtype),
+                    v if int8_kv else v.astype(v_pool.dtype),
+                    sp, so, interpret=interpret,
+                    k_scales=k_sc, v_scales=v_sc,
+                )  # [mb, T, H, D]
+                x = x + _ptp(attn.reshape(mb, T, H * D) @ lp["wo"])
+                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
+                              * (h @ lp["w_up"])) @ lp["w_down"])
+                return (x, k_pool, v_pool), ((k, v) if equalize else None)
+
+            ls = {"p": layers, "i": jnp.arange(Lp)}
+            (x, k_pool, v_pool), kv = jax.lax.scan(
+                layer_fn, (x, k_pool, v_pool), ls
+            )
+            return x, k_pool, v_pool, kv
+
+        def tick(carry, t):
+            x_buf, k_pool, v_pool, logits_buf = carry
+            m = t - s
+            active = (m >= 0) & (m < M)
+            m_c = jnp.clip(m, 0, M - 1)
+            rows = m_c * mb + jnp.arange(mb)
+            x_in = jnp.where(s == 0, params["embed"][tokens[rows]], x_buf)
+            x_out, k_pool, v_pool, kv = stage_layers(
+                x_in, rows, k_pool, v_pool, active
+            )
+            xf = rms_norm(x_out, params["final_norm"], cfg.rms_eps)
+            lg = lm_head_logits(xf, params["lm_head"], tp_axis)  # [mb, T, V]
+            write = active & (s == S - 1)
+            old = jax.lax.dynamic_slice(
+                logits_buf, (m_c * mb, 0, 0), (mb, T, V)
+            )
+            logits_buf = jax.lax.dynamic_update_slice(
+                logits_buf, jnp.where(write, lg, old), (m_c * mb, 0, 0)
+            )
+            x_buf = jax.lax.ppermute(x_out, pp_axis, perm)
+            return (x_buf, k_pool, v_pool, logits_buf), kv
+
+        carry = (
+            jnp.zeros((mb, T, E), x_dtype(params)),
+            k_pool, v_pool,
+            jnp.zeros((B, T, V), jnp.float32),
+        )
+        carry, kvs = jax.lax.scan(tick, carry, jnp.arange(M + S - 1))
+        _, k_pool, v_pool, logits = carry
+        if equalize:
+            # same replica equalization as decode, with the (row, token)
+            # pairs flattened into writer rows
+            ks, vs = kvs  # [ticks, Lp, mb, T, KH, D]
+
+            def flat(a):
+                a = jax.lax.dynamic_slice_in_dim(a, s, M, axis=0)
+                a = jnp.moveaxis(a, 0, 1)  # [Lp, M, mb, T, ...]
+                return a.reshape(Lp, M * mb * T, *a.shape[4:])
+
+            ks = jax.lax.all_gather(flat(ks), dp_axis, axis=1, tiled=True)
+            vs = jax.lax.all_gather(flat(vs), dp_axis, axis=1, tiled=True)
+            sp = jax.lax.all_gather(
+                spages.reshape(-1), dp_axis, axis=0, tiled=True
+            )
+            so = jax.lax.all_gather(
+                slot_offsets.reshape(-1), dp_axis, axis=0, tiled=True
+            )
+            sp_l = jnp.broadcast_to(sp[None], (Lp, sp.shape[0]))
+            k_pool, v_pool = write_decode_tokens(
+                k_pool, v_pool, ks, vs, jnp.arange(Lp, dtype=jnp.int32),
+                sp_l, so, interpret=interpret,
+                k_scales=k_sc, v_scales=v_sc,
+            )
+        logits = jax.lax.psum(logits, pp_axis)
+        return logits, k_pool[None], v_pool[None]
+
+    # --------------------------------------------------------- batch prefill
+    def pp_prefill_batch(params, tokens, positions, k_pools, v_pools,
+                         chunk_pages, page_tables, q_starts, true_lens,
+                         *scales):
+        """Batched prefill pipeline: N rows' chunks share one bucket T and
+        pipeline through the stages together in page-aligned microtiles
+        (all N rows ride each tile — prefill is weight-streaming-bound, so
+        the win is streaming each stage's weights once per tile for all N
+        rows).  chunk_pages [S, N, n], page_tables [S, N, max_pages]."""
+        s = jax.lax.axis_index(pp_axis)
+        N, T = tokens.shape
+        n_pages = chunk_pages.shape[2]
+        Mt = max(d for d in range(1, min(microbatches, n_pages) + 1)
+                 if n_pages % d == 0)
+        tile = T // Mt
+        tpp = n_pages // Mt  # tile pages per row
+        kv_lens = q_starts + true_lens
+        layers = jax.tree.map(lambda a: a[0], params["layers"])
+        k_pool, v_pool = k_pools[0], v_pools[0]
+        tables = page_tables[0]  # [N, max_pages]
+        cpages = chunk_pages[0]  # [N, n_pages]
+        k_sc, v_sc = _local_scales(scales)
+
+        def stage_layers(x, m, k_pool, v_pool, active):
+            # tile m's token span ([N, tile]) and its pages per row
+            tok0 = m * tile
+            pos = jax.lax.dynamic_slice(
+                positions, (0, tok0), (N, tile)
+            )
+            cp = jnp.where(
+                active,
+                jax.lax.dynamic_slice(cpages, (0, m * tpp), (N, tpp)),
+                0,
+            )
+
+            def layer_fn(carry, layer):
+                x, k_pool, v_pool = carry
+                lp, l_idx = layer["p"], layer["i"]
+                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+                q = rope((h @ lp["wq"]).reshape(N, tile, H, D), pos,
+                         cfg.rope_theta)
+                k = rope((h @ lp["wk"]).reshape(N, tile, KH, D), pos,
+                         cfg.rope_theta)
+                v = (h @ lp["wv"]).reshape(N, tile, KH, D)
+                # page writes are sequence-agnostic: flatten the batch into
+                # one [KH, N*tile, D] stream over [N * tpp] pages
+                k_pool, v_pool = write_prefill_kv(
+                    k_pool, v_pool,
+                    k.transpose(2, 0, 1, 3).reshape(KH, N * tile, D),
+                    v.transpose(2, 0, 1, 3).reshape(KH, N * tile, D),
+                    cp.reshape(-1), l_idx, interpret=interpret,
+                    k_scale=k_sc[l_idx] if scales else None,
+                    v_scale=v_sc[l_idx] if scales else None,
+                )
+                attn = paged_prefill_attention_batch(
+                    q, k_pool, v_pool, tables, q_starts + tok0, kv_lens,
+                    l_idx, interpret=interpret,
+                    k_scales=k_sc, v_scales=v_sc,
+                )  # [N, tile, H, D]
+                x = x + _ptp(attn.reshape(N, tile, H * D) @ lp["wo"])
+                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
+                              * (h @ lp["w_up"])) @ lp["w_down"])
+                return (x, k_pool, v_pool), None
+
+            ls = {"p": layers, "i": jnp.arange(Lp)}
+            (x, k_pool, v_pool), _ = jax.lax.scan(
+                layer_fn, (x, k_pool, v_pool), ls
+            )
+            return x, k_pool, v_pool
+
+        def tick(carry, t):
+            x_buf, k_pool, v_pool, out_buf = carry
+            m = t - s
+            active = (m >= 0) & (m < Mt)
+            m_c = jnp.clip(m, 0, Mt - 1)
+            tok_ids = jax.lax.dynamic_slice(
+                tokens, (0, m_c * tile), (N, tile)
+            )
+            x_in = jnp.where(s == 0, params["embed"][tok_ids], x_buf)
+            x_out, k_pool, v_pool = stage_layers(
+                x_in, m_c, k_pool, v_pool, active
+            )
+            # last stage keeps every tile's hidden states — each row's
+            # final real token may sit in any tile
+            write = active & (s == S - 1)
+            old = jax.lax.dynamic_slice(
+                out_buf, (0, m_c * tile, 0), (N, tile, E)
+            )
+            out_buf = jax.lax.dynamic_update_slice(
+                out_buf, jnp.where(write, x_out, old), (0, m_c * tile, 0)
+            )
+            x_buf = jax.lax.ppermute(x_out, pp_axis, perm)
+            return (x_buf, k_pool, v_pool, out_buf), None
+
+        carry = (
+            jnp.zeros((N, tile, E), x_dtype(params)),
+            k_pool, v_pool,
+            jnp.zeros((N, T, E), x_dtype(params)),
+        )
+        carry, _ = jax.lax.scan(tick, carry, jnp.arange(Mt + S - 1))
+        _, k_pool, v_pool, out_buf = carry
+        xf = rms_norm(
+            out_buf[jnp.arange(N), jnp.maximum(true_lens - 1, 0)],
+            params["final_norm"], cfg.rms_eps,
+        )  # [N, E]
+        logits = lm_head_logits(xf, params["lm_head"], tp_axis)
+        logits = jnp.where(s == S - 1, logits, 0.0)
+        logits = jax.lax.psum(logits, pp_axis)
+        return logits, k_pool[None], v_pool[None]
+
     # ------------------------------------------------------------ shard_map
     pool = (P(pp_axis, None, None, tp_axis) if tp_axis else P(pp_axis))
-    stage2 = P(pp_axis, None)
-    stage3 = P(pp_axis, None, None)
     rep = P()
+    # decode/verify batch arrays shard over dp (replicated when absent)
+    bd = P(dp_axis) if dp_axis else P()  # [B]
+    bd2 = P(dp_axis, None) if dp_axis else P()  # [B, T]
+    tbl = P(pp_axis, dp_axis, None)  # [S, B, max_pages]
+    sp2 = P(pp_axis, dp_axis)  # [S, B]
+    sp3 = P(pp_axis, dp_axis, None)  # [S, B, T]
+    stage2 = P(pp_axis, None)  # [S, n] single-sequence prefill
+    stage3 = P(pp_axis, None, None)  # [S, N, ...] batched prefill (dp-rep)
+    logit_out = P(dp_axis) if dp_axis else P()
     pspecs = pp_param_specs(tp_axis, pp_axis=pp_axis)
+    # int8 scales: stage-stacked [S, Lp, KH], head axis sharded under tp
+    sc = (P(pp_axis, None, tp_axis) if tp_axis else P(pp_axis))
+    sc_specs = (sc, sc) if quantized else ()
 
     decode_impl = jax.shard_map(
         pp_decode, mesh=mesh,
-        in_specs=(pspecs, rep, rep, pool, pool, stage3, stage2, rep, rep),
-        out_specs=(rep, pool, pool),
+        in_specs=(pspecs, bd, bd, pool, pool, tbl, sp2, bd, bd)
+        + sc_specs,
+        out_specs=(logit_out, pool, pool),
         check_vma=False,
     )
     prefill_impl = jax.shard_map(
         pp_prefill, mesh=mesh,
-        in_specs=(pspecs, rep, rep, pool, pool, stage2, stage2, rep, rep),
+        in_specs=(pspecs, rep, rep, pool, pool, stage2, stage2, rep, rep)
+        + sc_specs,
         out_specs=(rep, pool, pool),
         check_vma=False,
     )
-    return decode_impl, prefill_impl
+    verify_impl = jax.shard_map(
+        pp_verify, mesh=mesh,
+        in_specs=(pspecs, bd2, bd2, pool, pool, tbl, sp3, bd2, bd)
+        + sc_specs,
+        out_specs=(logit_out, pool, pool),
+        check_vma=False,
+    )
+    prefill_batch_impl = jax.shard_map(
+        pp_prefill_batch, mesh=mesh,
+        in_specs=(pspecs, rep, rep, pool, pool, stage3, stage3, rep, rep)
+        + sc_specs,
+        out_specs=(rep, pool, pool),
+        check_vma=False,
+    )
+    return decode_impl, prefill_impl, verify_impl, prefill_batch_impl
 
 
 def x_dtype(params) -> jnp.dtype:

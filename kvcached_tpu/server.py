@@ -65,6 +65,9 @@ class _Pending:
     loop: asyncio.AbstractEventLoop
     stream_queue: asyncio.Queue | None = None
     emitted: int = 0
+    #: scheduling priority (smaller = sooner) under the engine's
+    #: "priority" scheduling_policy; ignored otherwise
+    priority: int = 0
 
 
 class ModelHandle:
@@ -202,13 +205,14 @@ class AsyncEngineRunner:
         prompt: list[int],
         sampling: SamplingParams,
         stream: bool = False,
+        priority: int = 0,
     ):
         """Submit a request; returns (future, stream_queue|None)."""
         handle = self.models[model]
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         q: asyncio.Queue | None = asyncio.Queue() if stream else None
-        pending = _Pending(prompt, sampling, fut, loop, q)
+        pending = _Pending(prompt, sampling, fut, loop, q, priority=priority)
         with self._lock:
             self._submissions.append((handle, pending))
         self._wake.set()
@@ -230,7 +234,10 @@ class AsyncEngineRunner:
                 finally:
                     done.set()
             for handle, pending in subs:
-                req_id = handle.engine.add_request(pending.prompt, pending.sampling)
+                req_id = handle.engine.add_request(
+                    pending.prompt, pending.sampling,
+                    priority=pending.priority,
+                )
                 handle.pending[req_id] = pending
             busy = False
             for handle in self.models.values():
@@ -323,7 +330,10 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
                 None, handle.wake_up
             )
         stream = bool(body.get("stream", False))
-        fut, q = await runner.submit(model, prompt, sampling, stream=stream)
+        fut, q = await runner.submit(
+            model, prompt, sampling, stream=stream,
+            priority=int(body.get("priority", 0)),
+        )
 
         if stream:
             resp = web.StreamResponse(

@@ -905,3 +905,78 @@ class TestConsumingMirror:
                 bc.close()
             for w in listeners:
                 w.close()
+
+    def test_pp_placed_per_stage_mirrors(self):
+        """PP stage placement + consuming mirrors: one broadcast plane per
+        STAGE (stages are layer groups with their own `_g<id>` segments);
+        each placed stage's dispatch translation reads its own broadcast-
+        fed mirror instead of the in-process stage table — token-exact,
+        and every stage mirror byte-equal to its allocator table."""
+        import jax
+        from jax.sharding import Mesh
+
+        from kvcached_tpu.engine import (
+            EngineConfig, LLMEngine, SamplingParams,
+        )
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+        from kvcached_tpu.parallel.pp import PPLlamaAdapter
+
+        if len(jax.devices()) < 2:
+            import pytest
+
+            pytest.skip("needs 2 virtual devices")
+
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(
+            max_batch=2, max_model_len=96, page_tokens=16, decode_horizon=4,
+            prefill_buckets=(16, 32), num_pages=32, interpret=True,
+            kv_dtype="float32",
+        )
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [7] * 5]
+        sps = [SamplingParams(max_new_tokens=10)] * 2
+
+        def serve(eng):
+            try:
+                rids = [eng.add_request(list(p), s)
+                        for p, s in zip(prompts, sps)]
+                while eng.has_unfinished():
+                    eng.step()
+                idx = {r: i for i, r in enumerate(rids)}
+                outs = {idx[o.req_id]: o.output_tokens
+                        for o in eng.finished_outputs}
+                tables = [np.array(m.page_allocator.page_table)
+                          for m in eng.managers]
+                return outs, tables
+            finally:
+                eng.shutdown()
+
+        want, _ = serve(LLMEngine(cfg, EngineConfig(**ecfg), params=params))
+
+        ipc = f"ppmir{uuid.uuid4().hex[:6]}"
+        mirrors = [np.zeros(4096, np.int32) for _ in range(2)]
+        listeners = [
+            WorkerListener(f"{ipc}s{s}", 0, mirrors[s]) for s in range(2)
+        ]
+        bcs = [PageTableBroadcaster(f"{ipc}s{s}", 1) for s in range(2)]
+        try:
+            eng = LLMEngine(
+                PPLlamaAdapter(cfg, num_stages=2),
+                EngineConfig(**ecfg), params=params,
+                mesh=Mesh(np.array(jax.devices()[:2]), ("pp",)),
+                map_hook=[bc.broadcast_map for bc in bcs],
+                unmap_hook=[bc.broadcast_unmap for bc in bcs],
+                table_mirror=mirrors,
+            )
+            got, tables = serve(eng)
+            assert got == want, "per-stage mirrored placed-PP serving diverged"
+            for s in range(2):
+                np.testing.assert_array_equal(
+                    mirrors[s][: len(tables[s])], tables[s],
+                    err_msg=f"stage {s} mirror diverged",
+                )
+        finally:
+            for bc in bcs:
+                bc.close()
+            for w in listeners:
+                w.close()

@@ -261,6 +261,272 @@ class TestPPPlacement:
         assert got == want
 
 
+class TestPPFeatureMatrix:
+    """Round-3 known limits closed: int8 KV, speculative decoding, and
+    batched prefill now run under pp (colocated layer-group mode AND
+    placed stages) — the reference's quantized pools, spec-decode flows,
+    and batched prefills don't carve PP out
+    (vllm/patches.py:654-664, sglang/patches.py:714-956)."""
+
+    def _pp_mesh(self, S):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < S:
+            pytest.skip(f"needs {S} virtual devices")
+        return Mesh(np.array(jax.devices()[:S]), ("pp",))
+
+    def _run(self, cfg, params, prompts, sp, *, stages=None, placed=False,
+             **over):
+        ecfg = dict(
+            max_batch=4, max_model_len=96, page_tokens=16, decode_horizon=4,
+            prefill_buckets=(16, 32), num_pages=32, interpret=True,
+        )
+        ecfg.update(over)
+        if stages is None:
+            eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        else:
+            eng = LLMEngine(
+                PPLlamaAdapter(cfg, num_stages=stages),
+                EngineConfig(**ecfg), params=params,
+                mesh=self._pp_mesh(stages) if placed else None,
+            )
+        try:
+            outs = eng.generate(prompts, sp)
+            return [o.output_tokens for o in outs], eng
+        finally:
+            eng.shutdown()
+
+    @pytest.fixture(scope="class")
+    def f32(self):
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        return cfg, params
+
+    def test_int8_colocated(self, f32):
+        """int8 pools under colocated pp: stages share one arena, scales
+        keyed by arena layer — token-exact vs the plain int8 engine."""
+        cfg, params = f32
+        prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [4, 4, 4, 4]]
+        sp = SamplingParams(max_new_tokens=8)
+        i8 = dict(kv_dtype="int8", page_tokens=32, prefill_buckets=(32,))
+        want, _ = self._run(cfg, params, prompts, sp, **i8)
+        got, eng = self._run(cfg, params, prompts, sp, stages=2, **i8)
+        assert got == want, "colocated pp int8 diverged from plain int8"
+
+    def test_int8_placed(self, f32):
+        """int8 pools under PLACED stages: stage-stacked [S, Lp, KH]
+        scales, each stage dequantizing its own layers."""
+        cfg, params = f32
+        prompts = [[1, 2, 3, 4, 5], list(range(7, 27)), [9, 9, 9], [4, 5]]
+        sp = SamplingParams(max_new_tokens=8)
+        i8 = dict(kv_dtype="int8", page_tokens=32, prefill_buckets=(32,))
+        want, _ = self._run(cfg, params, prompts, sp, **i8)
+        got, _ = self._run(cfg, params, prompts, sp, stages=2, placed=True,
+                           **i8)
+        assert got == want, "placed pp int8 diverged from plain int8"
+
+    def test_int8_placed_custom_scales(self, f32):
+        """set_kv_scales under pp placement: a flat [L, KH] install is
+        stage-stacked and must match the plain engine given the same
+        per-layer scales."""
+        import numpy as np
+
+        cfg, params = f32
+        L, KH = cfg.num_layers, cfg.num_kv_heads
+        ks = (0.02 + 0.01 * np.arange(L * KH, dtype=np.float32)
+              ).reshape(L, KH)
+        vs = ks * 1.5
+        prompts = [[1, 2, 3, 4, 5], [9, 9, 9]]
+        sp = SamplingParams(max_new_tokens=6)
+
+        ecfg = dict(max_batch=2, max_model_len=96, page_tokens=32,
+                    decode_horizon=4, prefill_buckets=(32,), num_pages=32,
+                    interpret=True, kv_dtype="int8")
+        plain = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        try:
+            plain.set_kv_scales(ks, vs)
+            want = [o.output_tokens for o in plain.generate(prompts, sp)]
+        finally:
+            plain.shutdown()
+        eng = LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2), EngineConfig(**ecfg),
+            params=params, mesh=self._pp_mesh(2),
+        )
+        try:
+            eng.set_kv_scales(ks, vs)  # flat [L, KH] -> [S, Lp, KH]
+            assert eng.quant_scales[0].shape == (2, L // 2, KH)
+            got = [o.output_tokens for o in eng.generate(prompts, sp)]
+        finally:
+            eng.shutdown()
+        assert got == want, "placed pp custom int8 scales diverged"
+
+    def test_spec_decode_colocated(self, f32):
+        """Greedy speculative decoding under colocated pp is token-exact
+        vs plain decode by construction."""
+        cfg, params = f32
+        # repetitive prompts so prompt-lookup drafting actually fires
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2]]
+        sp = SamplingParams(max_new_tokens=10)
+        want, _ = self._run(cfg, params, prompts, sp)
+        got, _ = self._run(cfg, params, prompts, sp, stages=2,
+                           spec_decode=True, spec_gamma=2, spec_horizon=2)
+        assert got == want, "colocated pp spec decode diverged"
+
+    def test_spec_decode_placed(self, f32):
+        """Greedy spec decode through the PLACED verify pipeline."""
+        cfg, params = f32
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2],
+                   [3, 3, 3, 3], [8, 9]]
+        sp = SamplingParams(max_new_tokens=10)
+        want, _ = self._run(cfg, params, prompts, sp)
+        got, eng = self._run(cfg, params, prompts, sp, stages=2, placed=True,
+                             spec_decode=True, spec_gamma=2, spec_horizon=2)
+        assert got == want, "placed pp spec decode diverged"
+
+    def test_spec_decode_placed_int8(self, f32):
+        """spec decode + int8 pools + placed stages compose."""
+        cfg, params = f32
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2]]
+        sp = SamplingParams(max_new_tokens=8)
+        i8 = dict(kv_dtype="int8", page_tokens=32, prefill_buckets=(32,))
+        want, _ = self._run(cfg, params, prompts, sp, **i8)
+        got, _ = self._run(cfg, params, prompts, sp, stages=2, placed=True,
+                           spec_decode=True, spec_gamma=2,
+                           spec_horizon=2, **i8)
+        assert got == want, "placed pp spec+int8 diverged"
+
+    def test_batched_prefill_colocated(self, f32):
+        cfg, params = f32
+        prompts = [[1, 2, 3], [4, 5, 6, 7], [9, 9], [3, 1, 4, 1, 5]]
+        sp = SamplingParams(max_new_tokens=6)
+        want, _ = self._run(cfg, params, prompts, sp)
+        got, eng = self._run(cfg, params, prompts, sp, stages=2,
+                             prefill_batch=4)
+        assert got == want, "colocated pp batched prefill diverged"
+        assert eng._pb_dispatches >= 1, "batch path never taken"
+        assert eng._pb_prompts >= 4
+
+    def test_batched_prefill_placed(self, f32):
+        cfg, params = f32
+        prompts = [[1, 2, 3], [4, 5, 6, 7], [9, 9], [3, 1, 4, 1, 5]]
+        sp = SamplingParams(max_new_tokens=6)
+        want, _ = self._run(cfg, params, prompts, sp)
+        got, eng = self._run(cfg, params, prompts, sp, stages=2, placed=True,
+                             prefill_batch=4)
+        assert got == want, "placed pp batched prefill diverged"
+        assert eng._pb_dispatches >= 1, "batch path never taken"
+
+    def test_batched_prefill_placed_multitile(self, f32):
+        """Batched prefill whose bucket spans several page-aligned
+        microtiles (the pipelined-tile path with N rows per tile)."""
+        cfg, params = f32
+        prompts = [[(3 * j) % 50 + 1 for j in range(28)],
+                   [7, 8, 9], [1] * 20, [2, 4]]
+        sp = SamplingParams(max_new_tokens=6)
+        want, _ = self._run(cfg, params, prompts, sp,
+                            prefill_buckets=(32,))
+        got, eng = self._run(cfg, params, prompts, sp, stages=2, placed=True,
+                             prefill_batch=4, prefill_buckets=(32,),
+                             pp_microbatches=2)
+        assert got == want, "placed pp multi-tile batched prefill diverged"
+
+
+class TestDPxPP:
+    """dp×pp composition: the decode batch shards over dp, each dp replica
+    running the full placed-stage pipeline over its rows; stage-pool
+    replicas are re-equalized every dispatch so a row migrating between
+    dp shards (a neighbour finishing) still reads its KV."""
+
+    def _run(self, cfg, params, prompts, sp, *, mesh=None, stages=2, **over):
+        ecfg = dict(
+            max_batch=4, max_model_len=96, page_tokens=16, decode_horizon=4,
+            prefill_buckets=(16, 32), num_pages=32, interpret=True,
+            kv_dtype="float32",
+        )
+        ecfg.update(over)
+        if mesh is None:
+            eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        else:
+            eng = LLMEngine(
+                PPLlamaAdapter(cfg, num_stages=stages),
+                EngineConfig(**ecfg), params=params, mesh=mesh,
+            )
+        try:
+            outs = eng.generate(prompts, sp)
+            return [o.output_tokens for o in outs], eng
+        finally:
+            eng.shutdown()
+
+    def test_dp2_pp2_token_exact(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        # staggered lengths force a finish + row migration mid-serve
+        prompts = [[1, 2, 3, 4, 5], list(range(7, 27)), [9, 9, 9], [4, 5]]
+        sps = SamplingParams(max_new_tokens=8)
+        want, _ = self._run(cfg, params, prompts, sps)
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "pp"))
+        got, _ = self._run(cfg, params, prompts, sps, mesh=mesh)
+        assert got == want, "dp2×pp2 engine diverged"
+
+    def test_dp2_pp2_tp2_token_exact(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = LlamaConfig.toy(num_layers=4, num_heads=4, num_kv_heads=2,
+                              vocab_size=512, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], [9, 9, 9], [4, 5], [6] * 7]
+        sps = SamplingParams(max_new_tokens=6)
+        want, _ = self._run(cfg, params, prompts, sps)
+        mesh = Mesh(
+            np.array(jax.devices()[:8]).reshape(2, 2, 2), ("dp", "pp", "tp")
+        )
+        got, eng = self._run(cfg, params, prompts, sps, mesh=mesh)
+        assert got == want, "dp2×pp2×tp2 engine diverged"
+
+    def test_dp2_pp2_spec_decode(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2],
+                   [3, 3, 3, 3], [8, 9]]
+        sps = SamplingParams(max_new_tokens=10)
+        want, _ = self._run(cfg, params, prompts, sps)
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "pp"))
+        got, _ = self._run(cfg, params, prompts, sps, mesh=mesh,
+                           spec_decode=True, spec_gamma=2, spec_horizon=2)
+        assert got == want, "dp×pp spec decode diverged"
+
+    def test_dp2_pp2_batched_prefill(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3], [4, 5, 6, 7], [9, 9], [3, 1, 4, 1, 5]]
+        sps = SamplingParams(max_new_tokens=6)
+        want, _ = self._run(cfg, params, prompts, sps)
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "pp"))
+        got, eng = self._run(cfg, params, prompts, sps, mesh=mesh,
+                             prefill_batch=4)
+        assert got == want, "dp×pp batched prefill diverged"
+        assert eng._pb_dispatches >= 1
+
+
 class TestPPxTP:
     """pp×tp composition: stages on the pp axis, heads/pools sharded over
     each stage's tp group (Megatron within the stage), token-exact."""

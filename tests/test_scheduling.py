@@ -1,0 +1,166 @@
+"""Continuous-batching scheduling policies: fcfs (default), priority,
+and sjf admission orders over the elastic pool.
+
+The reference delegates scheduling to its host engines (vLLM ships fcfs +
+priority scheduler policies); owning the engine, the policy is a first-
+class knob here — admission order, preemption victim selection, and
+re-queue placement all follow it."""
+
+import jax
+import pytest
+
+from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+
+@pytest.fixture(scope="module")
+def toy():
+    cfg = LlamaConfig.toy(num_layers=2)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _engine(toy, **over):
+    cfg, params = toy
+    ecfg = dict(
+        max_batch=1, max_model_len=128, page_tokens=16, decode_horizon=2,
+        prefill_buckets=(16, 32), num_pages=64, interpret=True,
+    )
+    ecfg.update(over)
+    return LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+
+
+def _finish_order(eng, reqs):
+    """reqs: list of (prompt, sampling, priority) -> finished req order."""
+    ids = [eng.add_request(p, s, priority=pr) for p, s, pr in reqs]
+    while eng.has_unfinished():
+        eng.step()
+    order = [o.req_id for o in eng.finished_outputs]
+    return [ids.index(r) for r in order]
+
+
+class TestPriorityPolicy:
+    def test_priority_overtakes_arrival(self, toy):
+        """With max_batch=1, the lower-priority-value request must be
+        served first even though it arrived second."""
+        eng = _engine(toy, scheduling_policy="priority")
+        try:
+            sp = SamplingParams(max_new_tokens=4)
+            order = _finish_order(eng, [
+                ([1, 2, 3], sp, 5),   # arrives first, low priority
+                ([4, 5, 6], sp, 0),   # arrives second, high priority
+            ])
+            assert order == [1, 0], "priority request did not overtake"
+        finally:
+            eng.shutdown()
+
+    def test_arrival_breaks_ties(self, toy):
+        eng = _engine(toy, scheduling_policy="priority")
+        try:
+            sp = SamplingParams(max_new_tokens=4)
+            order = _finish_order(eng, [
+                ([1, 2, 3], sp, 1),
+                ([4, 5, 6], sp, 1),
+                ([7, 8, 9], sp, 0),
+            ])
+            assert order == [2, 0, 1]
+        finally:
+            eng.shutdown()
+
+    def test_fcfs_ignores_priority(self, toy):
+        eng = _engine(toy)  # default fcfs
+        try:
+            sp = SamplingParams(max_new_tokens=4)
+            order = _finish_order(eng, [
+                ([1, 2, 3], sp, 5),
+                ([4, 5, 6], sp, 0),
+            ])
+            assert order == [0, 1]
+        finally:
+            eng.shutdown()
+
+    def test_preemption_evicts_worst_priority(self, toy):
+        """Under memory pressure the priority policy preempts the running
+        sequence with the WORST (largest) priority value, not simply the
+        newest."""
+        eng = _engine(toy, scheduling_policy="priority", max_batch=2)
+        try:
+            sp = SamplingParams(max_new_tokens=40)
+            # high-priority arrives first, low-priority second: the newest
+            # running sequence is ALSO the worst-priority one here, so
+            # build the inverse case — newest is the HIGH-priority one
+            a = eng.add_request([1, 2, 3], sp, priority=5)   # worst
+            eng.step()  # prefill a
+            b = eng.add_request([4, 5, 6], sp, priority=0)   # best, newest
+            eng.step()  # prefill b (or decode); step until both running
+            guard = 0
+            while len(eng.running) < 2 and guard < 10:
+                eng.step()
+                guard += 1
+            assert len(eng.running) == 2
+            assert eng._preempt_one()
+            # the evicted one is the priority-5 request, though request b
+            # is newer
+            assert eng.waiting[0].req.req_id == a
+            assert eng.running[0].req.req_id == b
+        finally:
+            eng.shutdown()
+
+    def test_output_content_unaffected(self, toy):
+        """Policies reorder SERVICE, never change tokens: same outputs per
+        request id as fcfs."""
+        def serve(policy):
+            eng = _engine(toy, scheduling_policy=policy)
+            try:
+                sp = SamplingParams(max_new_tokens=6)
+                ids = [eng.add_request(p, sp, priority=pr)
+                       for p, pr in [([1, 2, 3], 3), ([9, 8, 7, 6], 0)]]
+                while eng.has_unfinished():
+                    eng.step()
+                return {ids.index(o.req_id): o.output_tokens
+                        for o in eng.finished_outputs}
+            finally:
+                eng.shutdown()
+
+        assert serve("fcfs") == serve("priority")
+
+
+class TestSJFPolicy:
+    def test_short_prompt_first(self, toy):
+        eng = _engine(toy, scheduling_policy="sjf")
+        try:
+            sp = SamplingParams(max_new_tokens=4)
+            order = _finish_order(eng, [
+                (list(range(1, 25)), sp, 0),  # long, arrives first
+                ([4, 5], sp, 0),              # short, arrives second
+            ])
+            assert order == [1, 0], "sjf did not serve the short prompt first"
+        finally:
+            eng.shutdown()
+
+    def test_equal_lengths_keep_arrival_order(self, toy):
+        eng = _engine(toy, scheduling_policy="sjf")
+        try:
+            sp = SamplingParams(max_new_tokens=4)
+            order = _finish_order(eng, [
+                ([1, 2, 3], sp, 0),
+                ([4, 5, 6], sp, 0),
+            ])
+            assert order == [0, 1]
+        finally:
+            eng.shutdown()
+
+
+class TestPolicyValidation:
+    def test_unknown_policy_rejected(self, toy):
+        cfg, params = toy
+        with pytest.raises(ValueError, match="scheduling_policy"):
+            LLMEngine(
+                cfg,
+                EngineConfig(
+                    max_batch=1, max_model_len=64, page_tokens=16,
+                    prefill_buckets=(16,), num_pages=8, interpret=True,
+                    scheduling_policy="round-robin",
+                ),
+                params=params,
+            )
