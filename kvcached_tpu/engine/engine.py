@@ -262,6 +262,12 @@ class EngineConfig:
     spec_ngram: int = 2  # trailing n-gram matched for prompt lookup
     spec_horizon: int = 4  # on-device verify iterations per dispatch
     spec_window: int = 128  # token ring the device drafts from
+    #: refuse spec_decode configurations that cannot guarantee token-
+    #: exactness vs plain decode (sub-f32 params: the verify forward's
+    #: reduction order differs, so near-tie argmax can flip).  Off by
+    #: default — bf16 spec decode is distribution-faithful and logs a
+    #: warning; exactness-critical serving sets this and uses float32.
+    spec_exact: bool = False
     #: batched prefill: stack up to this many waiting prompts into ONE
     #: padded (bucket × batch) prefill dispatch — the weights stream once
     #: for N prompts and the host pays one dispatch instead of N (the
@@ -645,6 +651,16 @@ class LLMEngine:
         self._verify_fns: dict[int, object] = {}  # per T = gamma+1
         if ec.spec_decode:
             dt = str(getattr(self.adapter.cfg, "dtype", ""))
+            if ec.spec_exact and dt and dt != "float32":
+                # exactness-critical serving: refuse the configuration
+                # instead of warning — the verify forward reduces in a
+                # different order than the decode forward, so sub-f32
+                # params cannot guarantee token-exactness
+                raise ValueError(
+                    f"spec_exact=True requires float32 params for token-"
+                    f"exact speculative decoding (model dtype is {dt}); "
+                    f"use float32 or drop spec_exact"
+                )
             if dt and dt != "float32":
                 # the verify forward reduces in a different order than the
                 # decode forward; at bf16 a near-tie argmax can flip, so
