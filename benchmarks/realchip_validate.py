@@ -44,6 +44,7 @@ F32_CASES = frozenset({
     "engine_mirror",
     "verify_basic", "verify_prefetch_mixed", "verify_window", "verify_mla",
     "engine_spec_llama", "engine_spec_mla", "engine_spec_hybrid",
+    "engine_pp_spec", "engine_pp_prefill_batch",
 })
 
 
@@ -469,6 +470,62 @@ def case_engine_spec_int8():
     assert got == want, "int8 spec decode diverged from int8 plain"
 
 
+def _pp_cfg_params():
+    from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=128, num_layers=4,
+                      num_heads=4, num_kv_heads=2, head_dim=128,
+                      intermediate_size=256, dtype="float32")
+    return cfg, init_llama_params(cfg, jax.random.PRNGKey(0))
+
+
+def case_engine_pp_int8():
+    """Round-4: int8 pools under COLOCATED pp (stages as layer groups over
+    one arena, scales keyed by arena layer) — single-chip-runnable slice
+    of the pp int8 feature; token-exact vs the plain int8 engine."""
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.parallel.pp import PPLlamaAdapter
+
+    cfg, params = _pp_cfg_params()
+    sps = [SamplingParams(max_new_tokens=10)] * 3
+    over = dict(kv_dtype="int8", kv_scale=0.05, page_tokens=32,
+                prefill_buckets=(32, 64))
+    want, _ = _serve(cfg, params, _PROMPTS, sps, **over)
+    got, _ = _serve(PPLlamaAdapter(cfg, num_stages=2), params, _PROMPTS,
+                    sps, **over)
+    assert got == want, "colocated pp int8 diverged on the chip"
+
+
+def case_engine_pp_spec():
+    """Round-4: spec decode through PPLlamaAdapter.verify_step (stage-
+    selected tables) on the chip, token-exact vs plain decode."""
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.parallel.pp import PPLlamaAdapter
+
+    cfg, params = _pp_cfg_params()
+    sps = [SamplingParams(max_new_tokens=16)] * 3
+    want, _ = _serve(cfg, params, _PROMPTS, sps)
+    got, spec = _serve(PPLlamaAdapter(cfg, num_stages=2), params, _PROMPTS,
+                       sps, spec_decode=True)
+    assert got == want, "colocated pp spec decode diverged on the chip"
+    assert spec["dispatches"] > 0
+
+
+def case_engine_pp_prefill_batch():
+    """Round-4: batched prefill through PPLlamaAdapter.prefill_batch_step
+    ([N, S, ...] per-stage tables) on the chip, token-exact vs serial."""
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.parallel.pp import PPLlamaAdapter
+
+    cfg, params = _pp_cfg_params()
+    prompts = [[1, 2, 3, 4, 5], list(range(40, 60)), [7] * 3]
+    sps = [SamplingParams(max_new_tokens=8)] * 3
+    want, _ = _serve(cfg, params, prompts, sps)
+    got, _ = _serve(PPLlamaAdapter(cfg, num_stages=2), params, prompts,
+                    sps, prefill_batch=4)
+    assert got == want, "colocated pp batched prefill diverged on the chip"
+
+
 CASES = {
     "verify_basic": case_verify_basic,
     "verify_prefetch_mixed": case_verify_prefetch_mixed,
@@ -488,6 +545,9 @@ CASES = {
     "engine_spec_mla": case_engine_spec_mla,
     "engine_spec_hybrid": case_engine_spec_hybrid,
     "engine_spec_int8": case_engine_spec_int8,
+    "engine_pp_int8": case_engine_pp_int8,
+    "engine_pp_spec": case_engine_pp_spec,
+    "engine_pp_prefill_batch": case_engine_pp_prefill_batch,
 }
 
 

@@ -688,6 +688,7 @@ class LLMEngine:
         )
         self._pb_dispatches = 0
         self._pb_prompts = 0
+        self._combined_dispatches = 0  # pp 1F1B prefill+decode dispatches
 
     def _batched_prefill_enabled(self) -> bool:
         return (
@@ -760,8 +761,13 @@ class LLMEngine:
         mesh, decode shards the batch over dp and heads/pools over tp;
         prefill (one sequence) replicates over dp and shards over tp."""
         adapter, ec = self.adapter, self.cfg
+        self._combined_step_impl = None
+        self._combined_fn = None
         if self._pp_axis:
-            from ..parallel.pp_mesh import build_pp_impls
+            from ..parallel.pp_mesh import (
+                build_pp_combined_impl,
+                build_pp_impls,
+            )
 
             if reset_scales:
                 if ec.kv_dtype == "int8":
@@ -809,6 +815,23 @@ class LLMEngine:
                 )
 
             self._prefill_batch_step_impl = pb_stage_major
+
+            # 1F1B prefill/decode overlap: one dispatch pipelines a
+            # prefill chunk's tiles AND a one-step decode together, so a
+            # mid-flight chunked prefill no longer starves decode (and
+            # vice versa).  Not composed with dp (see pp_mesh docstring).
+            if self._dp_axis is None:
+                c_impl = build_pp_combined_impl(
+                    adapter.cfg, self.mesh, adapter.layers_per_group,
+                    microbatches=ec.pp_microbatches,
+                    interpret=ec.interpret, tp_axis=self._tp_axis,
+                    quantized=qs is not None,
+                )
+                self._combined_step_impl = (
+                    (lambda *a: c_impl(*a, *qs)) if qs is not None
+                    else c_impl
+                )
+                self._combined_fn = self._build_combined_fn()
             return
         if reset_scales:
             if ec.kv_dtype == "int8":
@@ -1251,6 +1274,146 @@ class LLMEngine:
             return toks, k_pools, v_pools, states
 
         return decode_multi
+
+    def _build_combined_fn(self):
+        """Jit wrapper for the pp 1F1B combined dispatch: computes the
+        one decode step's slot routing (overflow → zero page, same as
+        decode_multi), runs the combined pipeline, samples the decode
+        tokens in-jit, and returns the prefill (greedy, logits) pair in
+        _prefill_fn's format."""
+        ec = self.cfg
+        combined = self._combined_step_impl
+        P = ec.page_tokens
+
+        @partial(jax.jit, donate_argnums=(1, 2),
+                 static_argnames=("filters",))
+        def combined_fn(params, k_pools, v_pools, tokens0, seq_lens0,
+                        page_tables, temps, top_ks, top_ps, max_lens,
+                        rng_key, p_tokens, p_positions, p_chunk_pages,
+                        p_page_table, p_q_start, p_true_len, *,
+                        filters: bool):
+            raw_lens = seq_lens0 + 1
+            seq_lens = jnp.minimum(raw_lens, max_lens)
+            positions = jnp.maximum(seq_lens - 1, 0)
+            page_idx = positions // P
+            b_idx = jnp.arange(tokens0.shape[0])
+            overflow = raw_lens > max_lens
+            slot_pages = jnp.where(
+                overflow[None, :], 0, page_tables[:, b_idx, page_idx]
+            )  # [S, B]
+            slot_offsets = positions % P
+            d_logits, p_logits, k_pools, v_pools = combined(
+                params, tokens0, positions, k_pools, v_pools,
+                page_tables, slot_pages, slot_offsets, seq_lens,
+                p_tokens, p_positions, p_chunk_pages, p_page_table,
+                p_q_start, p_true_len,
+            )
+            _, sub = jax.random.split(rng_key)
+            next_tokens = _sample_tokens(
+                d_logits, temps, top_ks, top_ps, sub, filters=filters
+            )
+            p_greedy = jnp.argmax(p_logits, axis=-1).astype(jnp.int32)
+            return next_tokens, (p_greedy, p_logits), k_pools, v_pools
+
+        return combined_fn
+
+    def _combined_chunk_step(self) -> bool:
+        """One pp combined dispatch: advance the mid-flight prefill by a
+        chunk AND every running sequence by one decode token.  Returns
+        False when the decode side could not proceed (caller falls back
+        to the serial chunk path)."""
+        ec = self.cfg
+        P = ec.page_tokens
+        B = ec.max_batch
+        seq_p = self._prefilling
+
+        # ---- decode side (the _do_decode admission pattern, K=1)
+        batch = self.running[:B]
+        i = 0
+        while i < len(batch):
+            seq = batch[i]
+            if self._ensure_blocks(seq, len(seq.tokens) + 1):
+                i += 1
+                continue
+            if not self._preempt_one():
+                break
+            batch = self.running[:B]
+        batch = [s for s in batch if s in self.running]
+        if not batch:
+            return False
+
+        tokens0 = np.zeros(B, np.int32)
+        seq_lens0 = np.zeros(B, np.int32)
+        page_tables = np.zeros(
+            (self.num_groups, B, self.max_pages_per_seq), np.int32
+        )
+        temps = np.zeros(B, np.float32)
+        top_ks = np.zeros(B, np.int32)
+        top_ps = np.ones(B, np.float32)
+        max_lens = np.zeros(B, np.int32)
+        for i, seq in enumerate(batch):
+            tokens0[i] = seq.tokens[-1]
+            seq_lens0[i] = len(seq.tokens) - 1
+            page_tables[:, i] = self._phys_rows(seq)
+            sp = seq.req.sampling
+            temps[i] = sp.temperature
+            top_ks[i] = sp.top_k
+            top_ps[i] = sp.top_p
+            max_lens[i] = self._row_cap(seq)
+        filters = bool((top_ks > 0).any() or (top_ps < 1.0).any())
+
+        # ---- prefill side (the _prefill_chunk input build)
+        plen = seq_p.prompt_len
+        q_start = seq_p.num_prefilled
+        max_bucket = max(ec.prefill_buckets)
+        phys = self._phys_rows(seq_p)  # [S, max_pages]
+        this_len = min(plen - q_start, max_bucket)
+        T = self._bucket_len(this_len)
+        p_tokens = np.zeros(T, np.int32)
+        p_tokens[:this_len] = seq_p.req.prompt[q_start : q_start + this_len]
+        p_positions = q_start + np.arange(T, dtype=np.int32)
+        start_page = q_start // P
+        n_real = -(-this_len // P)
+        chunk_pages = np.zeros((self.num_groups, T // P), np.int32)
+        chunk_pages[:, :n_real] = phys[:, start_page : start_page + n_real]
+
+        toks, p_out, self.k_pools, self.v_pools = self._combined_fn(
+            self.params, self.k_pools, self.v_pools,
+            jnp.asarray(tokens0), jnp.asarray(seq_lens0),
+            jnp.asarray(page_tables), jnp.asarray(temps),
+            jnp.asarray(top_ks), jnp.asarray(top_ps),
+            jnp.asarray(max_lens), jax.random.PRNGKey(self._step_count),
+            jnp.asarray(p_tokens), jnp.asarray(p_positions),
+            jnp.asarray(chunk_pages), jnp.asarray(phys),
+            jnp.asarray(q_start, jnp.int32),
+            jnp.asarray(this_len, jnp.int32),
+            filters=filters,
+        )
+        toks = np.asarray(toks)  # [B]
+        self._combined_dispatches += 1
+
+        # decode post-handling (K=1 view of _do_decode's loop)
+        for i, seq in enumerate(batch):
+            seq.tokens.append(int(toks[i]))
+            self._check_stops(seq)
+            self._reclaim_slid_pages(seq)
+            if seq.finished():
+                sp = seq.req.sampling
+                keep = min(seq.num_generated, sp.max_new_tokens)
+                seq.tokens = seq.tokens[: seq.prompt_len + keep]
+                self._finish_seq(seq)
+
+        # prefill post-handling (_prefill_chunk's completion logic)
+        seq_p.num_prefilled = q_start + this_len
+        if seq_p.num_prefilled >= plen:
+            seq_p.tokens.append(self._sample_first_token(seq_p, p_out))
+            seq_p.num_prefilled = plen
+            self.running.append(seq_p)
+            self._check_stops(seq_p)
+            if seq_p.finished():
+                self._finish_seq(seq_p)
+            self._prefilling = None
+        return True
 
     def _build_prefill_fn(self):
         if self.has_state:
@@ -2233,6 +2396,12 @@ class LLMEngine:
         scheduling."""
         self._step_count += 1
         if self._prefilling is not None:
+            if (self._combined_fn is not None and self.running
+                    and self._combined_chunk_step()):
+                # pp placement: the 1F1B combined dispatch advanced the
+                # chunk AND every running row together — no starvation,
+                # no alternation
+                return
             if not self.running or self._step_count % 2:
                 if self._prefill_chunk(self._prefilling):
                     self._prefilling = None
@@ -2523,6 +2692,8 @@ class LLMEngine:
             "preemptions": self._preempt_count,
             "prefix_cache": self.prefix_cache.get_usage(),
         }
+        if self._combined_fn is not None:
+            out["pp_combined_dispatches"] = self._combined_dispatches
         if self._prefill_batch_fn is not None:
             out["prefill_batch"] = {
                 "dispatches": self._pb_dispatches,

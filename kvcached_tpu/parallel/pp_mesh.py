@@ -645,3 +645,249 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
 
 def x_dtype(params) -> jnp.dtype:
     return params["embed"].dtype
+
+
+def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
+                           microbatches: int = 2, interpret: bool = False,
+                           pp_axis: str = "pp", tp_axis: str | None = None,
+                           quantized: bool = False):
+    """1F1B-style prefill/decode overlap: ONE dispatch pipelines a prefill
+    chunk's page-aligned microtiles AND a one-step decode's microbatches
+    through the stages on a single schedule (items = [tile_0..tile_{Mt-1},
+    mb_0..mb_{M-1}], item i hits stage s at tick i+s).
+
+    Separately dispatched, the two pipelines each pay S−1 fill/drain
+    bubble ticks and the host pays two dispatches; combined, the decode
+    microbatches flow into the bubbles the prefill drain leaves behind
+    (and vice versa) and the host pays one dispatch.  The engine uses
+    this whenever a chunked prefill is in flight alongside running
+    sequences — the schedule where the separate-dispatch engine
+    previously let decode starve (engine.step(): chunk on odd ticks,
+    decode on even).
+
+    Prefill items and decode items carry their activations in SEPARATE
+    pipeline buffers (shapes differ: [tile, E] vs [mb, E]); both
+    ppermute every tick, and a per-tick ``lax.cond`` selects which
+    branch a stage runs.  Items of one type are consecutive, so each
+    buffer always holds the activation its consumer expects.
+
+    Signature (after params): decode args exactly as pp_decode, then
+    prefill args exactly as pp_prefill, then trailing int8 scales when
+    ``quantized``.  Returns (decode_logits [B, V], prefill_logits [V],
+    k_pools, v_pools).  Token-exact vs separate pp_decode + pp_prefill
+    dispatches: the two item families touch disjoint sequences/pages.
+
+    dp is NOT composed here (the engine falls back to separate
+    dispatches under dp>1 — mixing a dp-sharded decode batch with a
+    dp-replicated prefill chunk in one schedule would force the replay
+    equalizer into every tick).
+    """
+    S = mesh.shape[pp_axis]
+    Lp = layers_per_stage
+    E = cfg.hidden_size
+    V = cfg.vocab_size
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    tp = mesh.shape[tp_axis] if tp_axis else 1
+    H, KH = H // tp, KH // tp
+    perm = _stage_perm(S)
+    _ptp = (lambda y: jax.lax.psum(y, tp_axis)) if tp_axis else (lambda y: y)
+
+    def pp_combined(params, d_tokens, d_positions, k_pools, v_pools,
+                    d_page_tables, d_slot_pages, d_slot_offsets, d_seq_lens,
+                    p_tokens, p_positions, p_chunk_pages, p_page_table,
+                    p_q_start, p_true_len, *scales):
+        s = jax.lax.axis_index(pp_axis)
+        B = d_tokens.shape[0]
+        M = min(microbatches, B)
+        while B % M:
+            M -= 1
+        mb = B // M
+        T = p_tokens.shape[0]
+        n_pages = p_chunk_pages.shape[1]
+        Mt = max(d for d in range(1, min(microbatches, n_pages) + 1)
+                 if n_pages % d == 0)
+        tile = T // Mt
+        tpp = n_pages // Mt
+        kv_len = p_q_start + p_true_len
+        layers = jax.tree.map(lambda a: a[0], params["layers"])
+        k_pool, v_pool = k_pools[0], v_pools[0]
+        d_table = d_page_tables[0]  # [B, max_pages]
+        d_spages = d_slot_pages[0]  # [B]
+        p_table = p_page_table[0]  # [max_pages]
+        p_cpages = p_chunk_pages[0]  # [n_pages]
+        if scales:
+            k_sc, v_sc = scales[0][0], scales[1][0]
+        else:
+            k_sc = v_sc = None
+        int8_kv = jnp.dtype(k_pool.dtype) == jnp.int8
+
+        def decode_layers(x, rows, k_pool, v_pool, active):
+            pos = d_positions[rows]
+            sl = d_seq_lens[rows]
+            tbl = d_table[rows]
+            sp = jnp.where(active, d_spages[rows], 0)
+            so = d_slot_offsets[rows]
+
+            def layer_fn(carry, layer):
+                x, k_pool, v_pool = carry
+                lp, l_idx = layer["p"], layer["i"]
+                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+                q = rope((h @ lp["wq"]).reshape(mb, H, D)[:, None],
+                         pos[:, None], cfg.rope_theta)[:, 0]
+                k = rope((h @ lp["wk"]).reshape(mb, KH, D)[:, None],
+                         pos[:, None], cfg.rope_theta)[:, 0]
+                v = (h @ lp["wv"]).reshape(mb, KH, D)
+                attn, k_pool, v_pool = paged_attention_decode(
+                    q, k_pool, v_pool, tbl, sl, l_idx,
+                    k if int8_kv else k.astype(k_pool.dtype),
+                    v if int8_kv else v.astype(v_pool.dtype),
+                    sp, so, interpret=interpret,
+                    k_scales=k_sc, v_scales=v_sc,
+                )
+                x = x + _ptp(attn.reshape(mb, H * D) @ lp["wo"])
+                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
+                              * (h @ lp["w_up"])) @ lp["w_down"])
+                return (x, k_pool, v_pool), None
+
+            ls = {"p": layers, "i": jnp.arange(Lp)}
+            (x, k_pool, v_pool), _ = jax.lax.scan(
+                layer_fn, (x, k_pool, v_pool), ls
+            )
+            return x, k_pool, v_pool
+
+        def prefill_layers(x, m, k_pool, v_pool, active):
+            tok0 = m * tile
+            pos = jax.lax.dynamic_slice(p_positions, (tok0,), (tile,))
+            cp = jnp.where(
+                active,
+                jax.lax.dynamic_slice(p_cpages, (m * tpp,), (tpp,)),
+                0,
+            )
+
+            def layer_fn(carry, layer):
+                x, k_pool, v_pool = carry
+                lp, l_idx = layer["p"], layer["i"]
+                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+                q = rope((h @ lp["wq"]).reshape(tile, H, D), pos,
+                         cfg.rope_theta)
+                k = rope((h @ lp["wk"]).reshape(tile, KH, D), pos,
+                         cfg.rope_theta)
+                v = (h @ lp["wv"]).reshape(tile, KH, D)
+                k_pool, v_pool = write_prefill_kv(
+                    k_pool, v_pool, k.transpose(1, 0, 2),
+                    v.transpose(1, 0, 2), cp, l_idx, interpret=interpret,
+                    k_scale=k_sc[l_idx] if scales else None,
+                    v_scale=v_sc[l_idx] if scales else None,
+                )
+                attn = paged_prefill_attention(
+                    q, k_pool, v_pool, p_table, p_q_start + tok0, kv_len,
+                    l_idx, interpret=interpret,
+                    k_scales=k_sc, v_scales=v_sc,
+                )
+                x = x + _ptp(attn.reshape(tile, H * D) @ lp["wo"])
+                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
+                              * (h @ lp["w_up"])) @ lp["w_down"])
+                return (x, k_pool, v_pool), None
+
+            ls = {"p": layers, "i": jnp.arange(Lp)}
+            (x, k_pool, v_pool), _ = jax.lax.scan(
+                layer_fn, (x, k_pool, v_pool), ls
+            )
+            return x, k_pool, v_pool
+
+        def tick(carry, t):
+            xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits = carry
+            i = t - s  # item this stage works at tick t
+            is_p = (i >= 0) & (i < Mt)
+            is_d = (i >= Mt) & (i < Mt + M)
+            m_p = jnp.clip(i, 0, Mt - 1)  # prefill tile index
+            m_d = jnp.clip(i - Mt, 0, M - 1)  # decode microbatch index
+
+            def run_prefill(args):
+                xp, xd, k_pool, v_pool, p_out, d_logits = args
+                tok_ids = jax.lax.dynamic_slice(
+                    p_tokens, (m_p * tile,), (tile,)
+                )
+                x_in = jnp.where(s == 0, params["embed"][tok_ids], xp)
+                x_out, k_pool, v_pool = prefill_layers(
+                    x_in, m_p, k_pool, v_pool, is_p
+                )
+                write = is_p & (s == S - 1)
+                old = jax.lax.dynamic_slice(
+                    p_out, (m_p * tile, 0), (tile, E)
+                )
+                p_out = jax.lax.dynamic_update_slice(
+                    p_out, jnp.where(write, x_out, old), (m_p * tile, 0)
+                )
+                return x_out, xd, k_pool, v_pool, p_out, d_logits
+
+            def run_decode(args):
+                xp, xd, k_pool, v_pool, p_out, d_logits = args
+                rows = m_d * mb + jnp.arange(mb)
+                x_in = jnp.where(
+                    s == 0, params["embed"][d_tokens[rows]], xd
+                )
+                x_out, k_pool, v_pool = decode_layers(
+                    x_in, rows, k_pool, v_pool, is_d
+                )
+                xf = rms_norm(x_out, params["final_norm"], cfg.rms_eps)
+                lg = lm_head_logits(xf, params["lm_head"], tp_axis)
+                write = is_d & (s == S - 1)
+                old = jax.lax.dynamic_slice(
+                    d_logits, (m_d * mb, 0), (mb, V)
+                )
+                d_logits = jax.lax.dynamic_update_slice(
+                    d_logits, jnp.where(write, lg, old), (m_d * mb, 0)
+                )
+                return xp, x_out, k_pool, v_pool, p_out, d_logits
+
+            # fill/drain ticks (neither family active) still run a branch
+            # — route them through decode with is_d False: writes discard
+            # via the zero page, outputs are never kept
+            xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits = jax.lax.cond(
+                is_p, run_prefill, run_decode,
+                (xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits),
+            )
+            xp_buf = jax.lax.ppermute(xp_buf, pp_axis, perm)
+            xd_buf = jax.lax.ppermute(xd_buf, pp_axis, perm)
+            return (xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits), None
+
+        carry = (
+            jnp.zeros((tile, E), x_dtype(params)),
+            jnp.zeros((mb, E), x_dtype(params)),
+            k_pool, v_pool,
+            jnp.zeros((T, E), x_dtype(params)),
+            jnp.zeros((B, V), jnp.float32),
+        )
+        carry, _ = jax.lax.scan(
+            tick, carry, jnp.arange(Mt + M + S - 1)
+        )
+        _, _, k_pool, v_pool, p_out, d_logits = carry
+
+        xf = rms_norm(
+            p_out[jnp.maximum(p_true_len - 1, 0)], params["final_norm"],
+            cfg.rms_eps,
+        )
+        p_logits = lm_head_logits(xf, params["lm_head"], tp_axis)
+        p_logits = jnp.where(s == S - 1, p_logits, 0.0)
+        p_logits = jax.lax.psum(p_logits, pp_axis)
+        d_logits = jax.lax.psum(d_logits, pp_axis)
+        return d_logits, p_logits, k_pool[None], v_pool[None]
+
+    pool = (P(pp_axis, None, None, tp_axis) if tp_axis else P(pp_axis))
+    rep = P()
+    stage2 = P(pp_axis, None)
+    stage3 = P(pp_axis, None, None)
+    pspecs = pp_param_specs(tp_axis, pp_axis=pp_axis)
+    sc = (P(pp_axis, None, tp_axis) if tp_axis else P(pp_axis))
+    sc_specs = (sc, sc) if quantized else ()
+
+    return jax.shard_map(
+        pp_combined, mesh=mesh,
+        in_specs=(pspecs, rep, rep, pool, pool, stage3, stage2, rep, rep,
+                  rep, rep, stage2, stage2, rep, rep) + sc_specs,
+        out_specs=(rep, rep, pool, pool),
+        check_vma=False,
+    )

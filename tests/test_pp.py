@@ -432,6 +432,87 @@ class TestPPFeatureMatrix:
         assert got == want, "placed pp multi-tile batched prefill diverged"
 
 
+class TestPPCombined1F1B:
+    """1F1B prefill/decode overlap under pp placement: a chunked prefill
+    in flight alongside running sequences dispatches ONE combined
+    pipeline (prefill tiles + decode microbatches share the schedule)
+    instead of alternating chunk/decode dispatches — token-exact, and
+    decode no longer idles during a long prompt's prefill."""
+
+    def _mesh(self, S):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < S:
+            pytest.skip(f"needs {S} virtual devices")
+        return Mesh(np.array(jax.devices()[:S]), ("pp",))
+
+    def _workload(self):
+        # short prompts first (running by the time the long one arrives),
+        # then a chunked long prompt (> largest bucket 32)
+        long_prompt = [((3 * j) % 120) + 1 for j in range(48)]
+        prompts = [[1, 2, 3], [7] * 5, long_prompt, [2, 4, 6, 8]]
+        return prompts, SamplingParams(max_new_tokens=10)
+
+    def _serve(self, cfg, params, *, stages=None, **over):
+        prompts, sp = self._workload()
+        ecfg = dict(max_batch=4, max_model_len=96, page_tokens=16,
+                    decode_horizon=4, prefill_buckets=(16, 32), num_pages=32,
+                    interpret=True, kv_dtype="float32")
+        ecfg.update(over)
+        if stages is None:
+            eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        else:
+            eng = LLMEngine(PPLlamaAdapter(cfg, num_stages=stages),
+                            EngineConfig(**ecfg), params=params,
+                            mesh=self._mesh(stages))
+        try:
+            # stagger arrivals: shorts first so they are RUNNING when the
+            # long prompt starts chunking (the overlap scenario)
+            rids = []
+            sps = [sp] * len(prompts)
+            for p, s in zip(prompts[:2], sps):
+                rids.append(eng.add_request(p, s))
+            for _ in range(3):
+                eng.step()
+            for p, s in zip(prompts[2:], sps):
+                rids.append(eng.add_request(p, s))
+            while eng.has_unfinished():
+                eng.step()
+            idx = {r: i for i, r in enumerate(rids)}
+            outs = {idx[o.req_id]: o.output_tokens
+                    for o in eng.finished_outputs}
+            return outs, eng
+        finally:
+            eng.shutdown()
+
+    def test_combined_token_exact_and_taken(self):
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        want, _ = self._serve(cfg, params)
+        got, eng = self._serve(cfg, params, stages=2)
+        assert got == want, "pp combined 1F1B dispatch diverged"
+        assert eng._combined_dispatches >= 1, (
+            "combined path never taken — the overlap scenario did not fire"
+        )
+
+    def test_combined_int8(self):
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        i8 = dict(kv_dtype="int8", page_tokens=32, prefill_buckets=(32,),
+                  max_model_len=128, num_pages=32)
+        want, _ = self._serve(cfg, params, **i8)
+        got, eng = self._serve(cfg, params, stages=2, **i8)
+        assert got == want, "pp combined int8 diverged"
+
+    def test_combined_microbatch_one(self):
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        want, _ = self._serve(cfg, params)
+        got, _ = self._serve(cfg, params, stages=2, pp_microbatches=1)
+        assert got == want
+
+
 class TestDPxPP:
     """dp×pp composition: the decode batch shards over dp, each dp replica
     running the full placed-stage pipeline over its rows; stage-pool
