@@ -354,6 +354,7 @@ class LLMEngine:
 
         self.mesh = mesh
         self._tp_axis = self._dp_axis = self._pp_axis = None
+        self._kv_replicated = False  # MQA under tp: kv head replicated
         pool_sharding = None
         if mesh is not None and "pp" in mesh.axis_names:
             # PIPELINE STAGE PLACEMENT: stages on disjoint devices, each
@@ -413,16 +414,20 @@ class LLMEngine:
             tp = mesh.shape["tp"]
             dp = mesh.shape["dp"] if self._dp_axis else 1
             if self.adapter.num_kv_heads % tp:
-                if (self.adapter.num_kv_buffers == 1
-                        and self.adapter.num_kv_heads == 1):
-                    # MLA-class (single combined-KV buffer, one shared kv
-                    # head): the latent pool REPLICATES across tp and every
-                    # shard writes identical entries (the reference's
-                    # MLA-under-TP shape, sglang/patches.py:523-702).  An
-                    # MQA two-buffer model with kv_heads=1 is NOT this —
-                    # its step fns would compute KH=0 under tp — so it
-                    # keeps the clear divisibility error below.
+                if self.adapter.num_kv_heads == 1:
+                    # single shared kv head that tp cannot split: the pool
+                    # REPLICATES across tp and every shard writes identical
+                    # entries.  Two shapes of this:
+                    # - MLA (one combined-KV buffer): the latent path's
+                    #   projections are replicated in mla_param_specs
+                    #   (reference MLA-under-TP, sglang/patches.py:523-702)
+                    # - MQA (two buffers): wk/wv replicate via
+                    #   llama_param_specs(kv_replicated=True); the step fns
+                    #   derive per-shard head counts from weight shapes, so
+                    #   KH stays 1 while q heads shard
                     self._pool_pspec = P()
+                    if self.adapter.num_kv_buffers == 2:
+                        self._kv_replicated = True
                 else:
                     raise ValueError(
                         f"num_kv_heads={self.adapter.num_kv_heads} not "
@@ -612,9 +617,7 @@ class LLMEngine:
         elif mesh is not None:
             from ..parallel.mesh import shard_tree
 
-            self.params = shard_tree(
-                self.params, mesh, self.adapter.param_specs("tp")
-            )
+            self.params = shard_tree(self.params, mesh, self._param_specs())
 
         self.max_pages_per_seq = ec.max_model_len // ec.page_tokens
         # sliding-window models reclaim pages mid-sequence; cached pages
@@ -715,6 +718,13 @@ class LLMEngine:
         except Exception:
             h.update(str(id(self)).encode())  # last resort: per-instance
         return h.hexdigest()
+
+    def _param_specs(self):
+        """Adapter param specs for the tp axis, threading the MQA
+        kv-replication flag to adapters that understand it."""
+        if self._kv_replicated:
+            return self.adapter.param_specs("tp", kv_replicated=True)
+        return self.adapter.param_specs("tp")
 
     # pool buffers live in a shared holder (see PoolArrays)
     @property
@@ -886,8 +896,8 @@ class LLMEngine:
 
         from jax.sharding import PartitionSpec as P
 
-        pspecs = adapter.param_specs("tp")
-        pool_p = self._pool_pspec  # kv-head sharded, or P() for MLA-class
+        pspecs = self._param_specs()
+        pool_p = self._pool_pspec  # kv-head sharded, or P() for MLA/MQA
         single_kv = self.adapter.num_kv_buffers == 1
         dp = self._dp_axis
         bd = P(dp) if dp else P()

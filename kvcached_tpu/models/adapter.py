@@ -118,10 +118,10 @@ class LlamaAdapter:
             collect_kv=collect_kv,
         )
 
-    def param_specs(self, tp_axis: str) -> dict:
+    def param_specs(self, tp_axis: str, *, kv_replicated: bool = False) -> dict:
         from ..parallel.mesh import llama_param_specs
 
-        return llama_param_specs(tp_axis)
+        return llama_param_specs(tp_axis, kv_replicated=kv_replicated)
 
 
 @dataclass

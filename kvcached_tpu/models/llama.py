@@ -187,10 +187,12 @@ def llama_decode_step(
     write_decode_tokens keeps replicas bit-identical).
     """
     B = tokens.shape[0]
-    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if tp_axis:
-        tp = jax.lax.axis_size(tp_axis)
-        H, KH = H // tp, KH // tp
+    # per-shard head counts come from the (possibly tp-sharded) weight
+    # shapes, not cfg//tp: under MQA the kv head REPLICATES across tp
+    # (wk/wv full-width on every shard) while q heads shard
+    D = cfg.head_dim
+    H = params["layers"]["wq"].shape[-1] // D
+    KH = params["layers"]["wk"].shape[-1] // D
     int8_kv = jnp.dtype(k_pools.dtype) == jnp.int8
     k_scales, v_scales = quant_scales if quant_scales else (None, None)
 
@@ -273,10 +275,12 @@ def llama_verify_step(
     host engines' spec-decode flow the elastic pools must accommodate,
     sglang/patches.py:714-956)."""
     B, T = tokens.shape
-    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if tp_axis:
-        tp = jax.lax.axis_size(tp_axis)
-        H, KH = H // tp, KH // tp
+    # per-shard head counts come from the (possibly tp-sharded) weight
+    # shapes, not cfg//tp: under MQA the kv head REPLICATES across tp
+    # (wk/wv full-width on every shard) while q heads shard
+    D = cfg.head_dim
+    H = params["layers"]["wq"].shape[-1] // D
+    KH = params["layers"]["wk"].shape[-1] // D
     int8_kv = jnp.dtype(k_pools.dtype) == jnp.int8
     k_scales, v_scales = quant_scales if quant_scales else (None, None)
 
@@ -354,10 +358,12 @@ def llama_prefill_step(
     zero page (defined-write discard, reference csrc/ftensor.cpp:160-176).
     """
     T = tokens.shape[0]
-    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if tp_axis:
-        tp = jax.lax.axis_size(tp_axis)
-        H, KH = H // tp, KH // tp
+    # per-shard head counts come from the (possibly tp-sharded) weight
+    # shapes, not cfg//tp: under MQA the kv head REPLICATES across tp
+    # (wk/wv full-width on every shard) while q heads shard
+    D = cfg.head_dim
+    H = params["layers"]["wq"].shape[-1] // D
+    KH = params["layers"]["wk"].shape[-1] // D
     kv_len = q_start + true_len
 
     x = params["embed"][tokens]  # [T, E]
@@ -435,10 +441,12 @@ def llama_prefill_batch_step(
     discarded logits.  Returns (logits_last [N, vocab], k_pools, v_pools).
     """
     N, T = tokens.shape
-    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if tp_axis:
-        tp = jax.lax.axis_size(tp_axis)
-        H, KH = H // tp, KH // tp
+    # per-shard head counts come from the (possibly tp-sharded) weight
+    # shapes, not cfg//tp: under MQA the kv head REPLICATES across tp
+    # (wk/wv full-width on every shard) while q heads shard
+    D = cfg.head_dim
+    H = params["layers"]["wq"].shape[-1] // D
+    KH = params["layers"]["wk"].shape[-1] // D
     kv_lens = q_starts + true_lens
 
     x = params["embed"][tokens]  # [N, T, E]

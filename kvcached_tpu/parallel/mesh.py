@@ -37,16 +37,23 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
-def llama_param_specs(tp_axis: str = "tp") -> dict:
-    """PartitionSpecs for the stacked Llama param tree (Megatron TP)."""
+def llama_param_specs(tp_axis: str = "tp", *,
+                      kv_replicated: bool = False) -> dict:
+    """PartitionSpecs for the stacked Llama param tree (Megatron TP).
+
+    ``kv_replicated``: MQA (a single shared kv head that tp cannot
+    split): wk/wv REPLICATE so every shard holds — and writes — the full
+    K/V, exactly like the MLA latent path; q heads, MLP, and the vocab
+    still shard Megatron-style.  The host engines the reference patches
+    serve MQA under TP with the same kv-head replication."""
     t = tp_axis
     return {
         "embed": P(),
         "layers": {
             "attn_norm": P(),
             "wq": P(None, None, t),
-            "wk": P(None, None, t),
-            "wv": P(None, None, t),
+            "wk": P() if kv_replicated else P(None, None, t),
+            "wv": P() if kv_replicated else P(None, None, t),
             "wo": P(None, t, None),
             "mlp_norm": P(),
             "w_gate": P(None, None, t),

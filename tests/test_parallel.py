@@ -471,6 +471,96 @@ class TestMeshEngine:
             LLMEngine(cfg, EngineConfig(num_pages=8, interpret=True), mesh=mesh)
 
 
+class TestMQAUnderTP:
+    """MQA (num_kv_heads=1, two KV buffers) under tensor parallelism: tp
+    cannot split the single kv head, so the pool REPLICATES across tp —
+    wk/wv full-width on every shard, q heads/MLP/vocab Megatron-sharded
+    (the host engines the reference patches serve MQA the same way).
+    Was a hard error before round 4."""
+
+    def _cfg(self):
+        from kvcached_tpu.models.llama import LlamaConfig
+
+        return LlamaConfig.toy(
+            num_layers=4, num_heads=4, num_kv_heads=1, vocab_size=512,
+            dtype="float32",
+        )
+
+    def _serve(self, cfg, params, prompts, sp, mesh=None, **over):
+        from kvcached_tpu.engine import EngineConfig, LLMEngine
+
+        ecfg = dict(
+            max_batch=4, max_model_len=96, page_tokens=16, decode_horizon=4,
+            prefill_buckets=(16, 32), num_pages=32, interpret=True,
+            kv_dtype="float32",
+        )
+        ecfg.update(over)
+        eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params, mesh=mesh)
+        try:
+            outs = eng.generate(prompts, sp)
+            return [o.output_tokens for o in outs], eng
+        finally:
+            eng.shutdown()
+
+    def test_mqa_tp4_token_exact(self):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        from kvcached_tpu.engine import SamplingParams
+        from kvcached_tpu.models.llama import init_llama_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = self._cfg()
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], list(range(7, 27)), [9, 9, 9], [4, 5]]
+        sp = SamplingParams(max_new_tokens=8)
+        want, _ = self._serve(cfg, params, prompts, sp)
+        got, eng = self._serve(cfg, params, prompts, sp,
+                               mesh=make_mesh(tp=4, dp=1))
+        assert got == want, "MQA tp=4 engine diverged"
+
+    def test_mqa_pool_replicated(self):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        from kvcached_tpu.engine import SamplingParams
+        from kvcached_tpu.models.llama import init_llama_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = self._cfg()
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        _, eng = self._serve(cfg, params, [[1, 2, 3]],
+                             SamplingParams(max_new_tokens=4),
+                             mesh=make_mesh(tp=4, dp=1))
+        assert tuple(eng.k_pools.sharding.spec) == (), (
+            "MQA pool must replicate across tp"
+        )
+
+    def test_mqa_dp2_tp2_with_spec(self):
+        """dp×tp composition + speculative decoding over the replicated
+        kv head (dp replica equalization writes through both buffers)."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        from kvcached_tpu.engine import SamplingParams
+        from kvcached_tpu.models.llama import init_llama_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = self._cfg()
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2],
+                   [3, 3, 3, 3], [8, 9]]
+        sp = SamplingParams(max_new_tokens=10)
+        want, _ = self._serve(cfg, params, prompts, sp)
+        got, _ = self._serve(cfg, params, prompts, sp,
+                             mesh=make_mesh(tp=2, dp=2),
+                             spec_decode=True, spec_gamma=2, spec_horizon=2)
+        assert got == want, "MQA dp×tp spec decode diverged"
+
+
 class TestMeshHybridLinear:
     def test_hybrid_linear_engine_on_mesh_matches_single_device(self):
         """The stateful (attention + mamba) family served over a dp×tp mesh:
