@@ -414,7 +414,12 @@ class LLMEngine:
             tp = mesh.shape["tp"]
             dp = mesh.shape["dp"] if self._dp_axis else 1
             if self.adapter.num_kv_heads % tp:
-                if self.adapter.num_kv_heads == 1:
+                kv_rep_ok = (
+                    self.adapter.num_kv_buffers == 1
+                    or getattr(self.adapter, "supports_kv_replication",
+                               False)
+                )
+                if self.adapter.num_kv_heads == 1 and kv_rep_ok:
                     # single shared kv head that tp cannot split: the pool
                     # REPLICATES across tp and every shard writes identical
                     # entries.  Two shapes of this:
@@ -654,15 +659,19 @@ class LLMEngine:
         self._verify_fns: dict[int, object] = {}  # per T = gamma+1
         if ec.spec_decode:
             dt = str(getattr(self.adapter.cfg, "dtype", ""))
-            if ec.spec_exact and dt and dt != "float32":
+            if ec.spec_exact and (
+                (dt and dt != "float32") or ec.kv_dtype != "float32"
+            ):
                 # exactness-critical serving: refuse the configuration
                 # instead of warning — the verify forward reduces in a
                 # different order than the decode forward, so sub-f32
-                # params cannot guarantee token-exactness
+                # params OR sub-f32 KV pools cannot guarantee
+                # token-exactness
                 raise ValueError(
-                    f"spec_exact=True requires float32 params for token-"
-                    f"exact speculative decoding (model dtype is {dt}); "
-                    f"use float32 or drop spec_exact"
+                    f"spec_exact=True requires float32 params AND "
+                    f"kv_dtype='float32' for token-exact speculative "
+                    f"decoding (model dtype {dt or 'float32'}, kv_dtype "
+                    f"{ec.kv_dtype}); use float32 or drop spec_exact"
                 )
             if dt and dt != "float32":
                 # the verify forward reduces in a different order than the
@@ -756,6 +765,24 @@ class LLMEngine:
             S = self.mesh.shape["pp"]
             ks = ks.reshape(S, -1, ks.shape[-1])
             vs = vs.reshape(S, -1, vs.shape[-1])
+        # loud shape contract: kernels index scales by ARENA layer —
+        # under pp placement [S, Lp, KH]; everywhere else (including
+        # COLOCATED pp, whose stages share one arena and therefore one
+        # [Lp, KH] scale set) [arena_layers, KH]
+        KH = self.adapter.num_kv_heads
+        Lp = self.kv_cfg.num_layers
+        want = (
+            (self.mesh.shape["pp"], Lp, KH) if self._pp_axis else (Lp, KH)
+        )
+        if tuple(ks.shape) != want or tuple(vs.shape) != want:
+            raise ValueError(
+                f"set_kv_scales: expected shape {want} "
+                f"(arena layers x kv heads"
+                + (", stage-stacked" if self._pp_axis else "")
+                + f"), got k={tuple(ks.shape)} v={tuple(vs.shape)}; "
+                "note colocated pp stages share one arena, so scales are "
+                "per ARENA layer, not per model layer"
+            )
         self.quant_scales = (ks, vs)
         self._build_step_impls(reset_scales=False)
         self._decode_fns.clear()
@@ -1348,6 +1375,7 @@ class LLMEngine:
             if not self._preempt_one():
                 break
             batch = self.running[:B]
+            i = 0  # rescan: the priority victim may sit below the index
         batch = [s for s in batch if s in self.running]
         if not batch:
             return False
@@ -1966,6 +1994,11 @@ class LLMEngine:
             if not self._preempt_one():
                 break
             batch = self.running[:B]  # repair view after preemption
+            # restart the scan: the priority policy's victim may sit BELOW
+            # i, shifting a not-yet-checked sequence under the index — it
+            # would be dispatched without its pages (zero-page discard →
+            # silent corruption).  _ensure_blocks is cheap when satisfied.
+            i = 0
 
         batch = [s for s in batch if s in self.running]
         if not batch:
@@ -2249,6 +2282,7 @@ class LLMEngine:
             if not self._preempt_one():
                 break
             batch = self.running[:B]
+            i = 0  # rescan: the priority victim may sit below the index
         batch = [s for s in batch if s in self.running]
         if not batch:
             return

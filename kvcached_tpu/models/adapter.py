@@ -58,6 +58,10 @@ class LlamaAdapter:
         self.head_dim = c.head_dim
         self.num_kv_buffers = 2
         self.window = getattr(c, "sliding_window", None)
+        # MQA under tp: the engine may replicate the single kv head —
+        # param_specs understands kv_replicated and the llama step fns
+        # derive per-shard head counts from weight shapes
+        self.supports_kv_replication = True
 
     def init_params(self, key):
         from .llama import init_llama_params

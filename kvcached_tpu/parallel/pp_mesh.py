@@ -101,6 +101,161 @@ def _stage_perm(S: int):
     return [(i, (i + 1) % S) for i in range(S)]
 
 
+def _local_scales(scales):
+    """[1, Lp, KH_local] shard_map views -> ([Lp, KH], [Lp, KH])."""
+    if not scales:
+        return None, None
+    return scales[0][0], scales[1][0]
+
+
+def _make_layer_walks(cfg, layers, Lp, H, KH, D, ptp, interpret,
+                      k_sc, v_sc):
+    """ONE copy of each per-layer body (decode / verify / prefill /
+    batched prefill) over a stage's LOCAL layer stack, shared by
+    build_pp_impls and build_pp_combined_impl — the int8 cast discipline,
+    rope shapes, per-layer scale indexing, and psum placement live here
+    exactly once.
+
+    ``collect`` (static per call site): also return the per-layer (k, v)
+    written, for the dp replica equalizer."""
+    scales = k_sc is not None
+    ls = {"p": layers, "i": jnp.arange(Lp)}
+
+    def _mlp(x, lp):
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        return x + ptp((jax.nn.silu(h @ lp["w_gate"])
+                        * (h @ lp["w_up"])) @ lp["w_down"])
+
+    def decode_walk(x, pos, sl, tbl, sp, so, k_pool, v_pool,
+                    collect=False):
+        mb = x.shape[0]
+        int8_kv = jnp.dtype(k_pool.dtype) == jnp.int8
+
+        def layer_fn(carry, layer):
+            x, k_pool, v_pool = carry
+            lp, l_idx = layer["p"], layer["i"]
+            h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+            q = rope((h @ lp["wq"]).reshape(mb, H, D)[:, None],
+                     pos[:, None], cfg.rope_theta)[:, 0]
+            k = rope((h @ lp["wk"]).reshape(mb, KH, D)[:, None],
+                     pos[:, None], cfg.rope_theta)[:, 0]
+            v = (h @ lp["wv"]).reshape(mb, KH, D)
+            attn, k_pool, v_pool = paged_attention_decode(
+                q, k_pool, v_pool, tbl, sl, l_idx,
+                k if int8_kv else k.astype(k_pool.dtype),
+                v if int8_kv else v.astype(v_pool.dtype),
+                sp, so, interpret=interpret,
+                k_scales=k_sc, v_scales=v_sc,
+            )
+            x = x + ptp(attn.reshape(mb, H * D) @ lp["wo"])
+            x = _mlp(x, lp)
+            return (x, k_pool, v_pool), ((k, v) if collect else None)
+
+        (x, k_pool, v_pool), kv = jax.lax.scan(
+            layer_fn, (x, k_pool, v_pool), ls
+        )
+        return x, k_pool, v_pool, kv
+
+    def verify_walk(x, pos, sl, tbl, sp, so, k_pool, v_pool,
+                    collect=False):
+        mb, T = x.shape[0], x.shape[1]
+        int8_kv = jnp.dtype(k_pool.dtype) == jnp.int8
+
+        def layer_fn(carry, layer):
+            x, k_pool, v_pool = carry
+            lp, l_idx = layer["p"], layer["i"]
+            h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+            q = rope((h @ lp["wq"]).reshape(mb, T, H, D), pos,
+                     cfg.rope_theta)
+            k = rope((h @ lp["wk"]).reshape(mb, T, KH, D), pos,
+                     cfg.rope_theta)
+            v = (h @ lp["wv"]).reshape(mb, T, KH, D)
+            attn, k_pool, v_pool = paged_attention_verify(
+                q, k_pool, v_pool, tbl, sl, l_idx,
+                k if int8_kv else k.astype(k_pool.dtype),
+                v if int8_kv else v.astype(v_pool.dtype),
+                sp, so, interpret=interpret,
+                k_scales=k_sc, v_scales=v_sc,
+            )  # [mb, T, H, D]
+            x = x + ptp(attn.reshape(mb, T, H * D) @ lp["wo"])
+            x = _mlp(x, lp)
+            return (x, k_pool, v_pool), ((k, v) if collect else None)
+
+        (x, k_pool, v_pool), kv = jax.lax.scan(
+            layer_fn, (x, k_pool, v_pool), ls
+        )
+        return x, k_pool, v_pool, kv
+
+    def prefill_walk(x, pos, cp, table, q_lo, kv_len, k_pool, v_pool):
+        tile = x.shape[0]
+
+        def layer_fn(carry, layer):
+            x, k_pool, v_pool = carry
+            lp, l_idx = layer["p"], layer["i"]
+            h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+            q = rope((h @ lp["wq"]).reshape(tile, H, D), pos,
+                     cfg.rope_theta)
+            k = rope((h @ lp["wk"]).reshape(tile, KH, D), pos,
+                     cfg.rope_theta)
+            v = (h @ lp["wv"]).reshape(tile, KH, D)
+            k_pool, v_pool = write_prefill_kv(
+                k_pool, v_pool, k.transpose(1, 0, 2),
+                v.transpose(1, 0, 2), cp, l_idx, interpret=interpret,
+                k_scale=k_sc[l_idx] if scales else None,
+                v_scale=v_sc[l_idx] if scales else None,
+            )
+            attn = paged_prefill_attention(
+                q, k_pool, v_pool, table, q_lo, kv_len, l_idx,
+                interpret=interpret, k_scales=k_sc, v_scales=v_sc,
+            )
+            x = x + ptp(attn.reshape(tile, H * D) @ lp["wo"])
+            x = _mlp(x, lp)
+            return (x, k_pool, v_pool), None
+
+        (x, k_pool, v_pool), _ = jax.lax.scan(
+            layer_fn, (x, k_pool, v_pool), ls
+        )
+        return x, k_pool, v_pool
+
+    def prefill_batch_walk(x, pos, cp, tables, q_los, kv_lens,
+                           k_pool, v_pool):
+        N, tile = x.shape[0], x.shape[1]
+
+        def layer_fn(carry, layer):
+            x, k_pool, v_pool = carry
+            lp, l_idx = layer["p"], layer["i"]
+            h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+            q = rope((h @ lp["wq"]).reshape(N, tile, H, D), pos,
+                     cfg.rope_theta)
+            k = rope((h @ lp["wk"]).reshape(N, tile, KH, D), pos,
+                     cfg.rope_theta)
+            v = (h @ lp["wv"]).reshape(N, tile, KH, D)
+            # page writes are sequence-agnostic: flatten the batch into
+            # one [KH, N*tile, D] stream over [N * tile/P] pages
+            k_pool, v_pool = write_prefill_kv(
+                k_pool, v_pool,
+                k.transpose(2, 0, 1, 3).reshape(KH, N * tile, D),
+                v.transpose(2, 0, 1, 3).reshape(KH, N * tile, D),
+                cp.reshape(-1), l_idx, interpret=interpret,
+                k_scale=k_sc[l_idx] if scales else None,
+                v_scale=v_sc[l_idx] if scales else None,
+            )
+            attn = paged_prefill_attention_batch(
+                q, k_pool, v_pool, tables, q_los, kv_lens, l_idx,
+                interpret=interpret, k_scales=k_sc, v_scales=v_sc,
+            )  # [N, tile, H, D]
+            x = x + ptp(attn.reshape(N, tile, H * D) @ lp["wo"])
+            x = _mlp(x, lp)
+            return (x, k_pool, v_pool), None
+
+        (x, k_pool, v_pool), _ = jax.lax.scan(
+            layer_fn, (x, k_pool, v_pool), ls
+        )
+        return x, k_pool, v_pool
+
+    return decode_walk, verify_walk, prefill_walk, prefill_batch_walk
+
+
 def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
                    microbatches: int = 2, interpret: bool = False,
                    pp_axis: str = "pp", tp_axis: str | None = None,
@@ -147,12 +302,6 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
     _ptp = (lambda y: jax.lax.psum(y, tp_axis)) if tp_axis else (lambda y: y)
     equalize = dp_axis is not None and mesh.shape[dp_axis] > 1
 
-    def _local_scales(scales):
-        """[1, Lp, KH_local] shard_map views -> ([Lp, KH], [Lp, KH])."""
-        if not scales:
-            return None, None
-        return scales[0][0], scales[1][0]
-
     # ---------------------------------------------------------------- decode
     def pp_decode(params, tokens, positions, k_pools, v_pools,
                   page_tables, slot_pages, slot_offsets, seq_lens,
@@ -169,42 +318,16 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
         table = page_tables[0]  # [B, max_pages] this stage's rows
         spages = slot_pages[0]  # [B]
         k_sc, v_sc = _local_scales(scales)
-        int8_kv = jnp.dtype(k_pool.dtype) == jnp.int8
+        decode_walk, _, _, _ = _make_layer_walks(
+            cfg, layers, Lp, H, KH, D, _ptp, interpret, k_sc, v_sc
+        )
 
         def stage_layers(x, rows, k_pool, v_pool, active):
-            pos = positions[rows]
-            sl = seq_lens[rows]
-            tbl = table[rows]
             sp = jnp.where(active, spages[rows], 0)  # inactive → discard
-            so = slot_offsets[rows]
-
-            def layer_fn(carry, layer):
-                x, k_pool, v_pool = carry
-                lp, l_idx = layer["p"], layer["i"]
-                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-                q = rope((h @ lp["wq"]).reshape(mb, H, D)[:, None],
-                         pos[:, None], cfg.rope_theta)[:, 0]
-                k = rope((h @ lp["wk"]).reshape(mb, KH, D)[:, None],
-                         pos[:, None], cfg.rope_theta)[:, 0]
-                v = (h @ lp["wv"]).reshape(mb, KH, D)
-                attn, k_pool, v_pool = paged_attention_decode(
-                    q, k_pool, v_pool, tbl, sl, l_idx,
-                    k if int8_kv else k.astype(k_pool.dtype),
-                    v if int8_kv else v.astype(v_pool.dtype),
-                    sp, so, interpret=interpret,
-                    k_scales=k_sc, v_scales=v_sc,
-                )
-                x = x + _ptp(attn.reshape(mb, H * D) @ lp["wo"])
-                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
-                              * (h @ lp["w_up"])) @ lp["w_down"])
-                return (x, k_pool, v_pool), ((k, v) if equalize else None)
-
-            ls = {"p": layers, "i": jnp.arange(Lp)}
-            (x, k_pool, v_pool), kv = jax.lax.scan(
-                layer_fn, (x, k_pool, v_pool), ls
+            return decode_walk(
+                x, positions[rows], seq_lens[rows], table[rows], sp,
+                slot_offsets[rows], k_pool, v_pool, collect=equalize,
             )
-            return x, k_pool, v_pool, kv
 
         def tick(carry, t):
             x_buf, k_pool, v_pool, logits_buf = carry
@@ -288,6 +411,9 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
         table = page_table[0]  # [max_pages]
         cpages = chunk_pages[0]  # [n_pages]
         k_sc, v_sc = _local_scales(scales)
+        _, _, prefill_walk, _ = _make_layer_walks(
+            cfg, layers, Lp, H, KH, D, _ptp, interpret, k_sc, v_sc
+        )
 
         def stage_layers(x, m, k_pool, v_pool, active):
             # tile m's token span and its pages
@@ -300,38 +426,9 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
                 ),
                 0,
             )
-
-            def layer_fn(carry, layer):
-                x, k_pool, v_pool = carry
-                lp, l_idx = layer["p"], layer["i"]
-                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-                q = rope((h @ lp["wq"]).reshape(tile, H, D), pos,
-                         cfg.rope_theta)
-                k = rope((h @ lp["wk"]).reshape(tile, KH, D), pos,
-                         cfg.rope_theta)
-                v = (h @ lp["wv"]).reshape(tile, KH, D)
-                k_pool, v_pool = write_prefill_kv(
-                    k_pool, v_pool, k.transpose(1, 0, 2),
-                    v.transpose(1, 0, 2), cp, l_idx, interpret=interpret,
-                    k_scale=k_sc[l_idx] if scales else None,
-                    v_scale=v_sc[l_idx] if scales else None,
-                )
-                attn = paged_prefill_attention(
-                    q, k_pool, v_pool, table, q_start + tok0, kv_len,
-                    l_idx, interpret=interpret,
-                    k_scales=k_sc, v_scales=v_sc,
-                )
-                x = x + _ptp(attn.reshape(tile, H * D) @ lp["wo"])
-                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
-                              * (h @ lp["w_up"])) @ lp["w_down"])
-                return (x, k_pool, v_pool), None
-
-            ls = {"p": layers, "i": jnp.arange(Lp)}
-            (x, k_pool, v_pool), _ = jax.lax.scan(
-                layer_fn, (x, k_pool, v_pool), ls
+            return prefill_walk(
+                x, pos, cp, table, q_start + tok0, kv_len, k_pool, v_pool
             )
-            return x, k_pool, v_pool
 
         def tick(carry, t):
             x_buf, k_pool, v_pool, out_buf = carry
@@ -391,42 +488,16 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
         table = page_tables[0]  # [B, max_pages]
         spages = slot_pages[0]  # [B, T]
         k_sc, v_sc = _local_scales(scales)
-        int8_kv = jnp.dtype(k_pool.dtype) == jnp.int8
+        _, verify_walk, _, _ = _make_layer_walks(
+            cfg, layers, Lp, H, KH, D, _ptp, interpret, k_sc, v_sc
+        )
 
         def stage_layers(x, rows, k_pool, v_pool, active):
-            pos = positions[rows]  # [mb, T]
-            sl = seq_lens[rows]
-            tbl = table[rows]
             sp = jnp.where(active, spages[rows], 0)  # [mb, T]
-            so = slot_offsets[rows]
-
-            def layer_fn(carry, layer):
-                x, k_pool, v_pool = carry
-                lp, l_idx = layer["p"], layer["i"]
-                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-                q = rope((h @ lp["wq"]).reshape(mb, T, H, D), pos,
-                         cfg.rope_theta)
-                k = rope((h @ lp["wk"]).reshape(mb, T, KH, D), pos,
-                         cfg.rope_theta)
-                v = (h @ lp["wv"]).reshape(mb, T, KH, D)
-                attn, k_pool, v_pool = paged_attention_verify(
-                    q, k_pool, v_pool, tbl, sl, l_idx,
-                    k if int8_kv else k.astype(k_pool.dtype),
-                    v if int8_kv else v.astype(v_pool.dtype),
-                    sp, so, interpret=interpret,
-                    k_scales=k_sc, v_scales=v_sc,
-                )  # [mb, T, H, D]
-                x = x + _ptp(attn.reshape(mb, T, H * D) @ lp["wo"])
-                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
-                              * (h @ lp["w_up"])) @ lp["w_down"])
-                return (x, k_pool, v_pool), ((k, v) if equalize else None)
-
-            ls = {"p": layers, "i": jnp.arange(Lp)}
-            (x, k_pool, v_pool), kv = jax.lax.scan(
-                layer_fn, (x, k_pool, v_pool), ls
+            return verify_walk(
+                x, positions[rows], seq_lens[rows], table[rows], sp,
+                slot_offsets[rows], k_pool, v_pool, collect=equalize,
             )
-            return x, k_pool, v_pool, kv
 
         def tick(carry, t):
             x_buf, k_pool, v_pool, logits_buf = carry
@@ -506,6 +577,9 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
         tables = page_tables[0]  # [N, max_pages]
         cpages = chunk_pages[0]  # [N, n_pages]
         k_sc, v_sc = _local_scales(scales)
+        _, _, _, prefill_batch_walk = _make_layer_walks(
+            cfg, layers, Lp, H, KH, D, _ptp, interpret, k_sc, v_sc
+        )
 
         def stage_layers(x, m, k_pool, v_pool, active):
             # tile m's token span ([N, tile]) and its pages per row
@@ -518,42 +592,10 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
                 jax.lax.dynamic_slice(cpages, (0, m * tpp), (N, tpp)),
                 0,
             )
-
-            def layer_fn(carry, layer):
-                x, k_pool, v_pool = carry
-                lp, l_idx = layer["p"], layer["i"]
-                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-                q = rope((h @ lp["wq"]).reshape(N, tile, H, D), pos,
-                         cfg.rope_theta)
-                k = rope((h @ lp["wk"]).reshape(N, tile, KH, D), pos,
-                         cfg.rope_theta)
-                v = (h @ lp["wv"]).reshape(N, tile, KH, D)
-                # page writes are sequence-agnostic: flatten the batch into
-                # one [KH, N*tile, D] stream over [N * tpp] pages
-                k_pool, v_pool = write_prefill_kv(
-                    k_pool, v_pool,
-                    k.transpose(2, 0, 1, 3).reshape(KH, N * tile, D),
-                    v.transpose(2, 0, 1, 3).reshape(KH, N * tile, D),
-                    cp.reshape(-1), l_idx, interpret=interpret,
-                    k_scale=k_sc[l_idx] if scales else None,
-                    v_scale=v_sc[l_idx] if scales else None,
-                )
-                attn = paged_prefill_attention_batch(
-                    q, k_pool, v_pool, tables, q_starts + tok0, kv_lens,
-                    l_idx, interpret=interpret,
-                    k_scales=k_sc, v_scales=v_sc,
-                )  # [N, tile, H, D]
-                x = x + _ptp(attn.reshape(N, tile, H * D) @ lp["wo"])
-                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
-                              * (h @ lp["w_up"])) @ lp["w_down"])
-                return (x, k_pool, v_pool), None
-
-            ls = {"p": layers, "i": jnp.arange(Lp)}
-            (x, k_pool, v_pool), _ = jax.lax.scan(
-                layer_fn, (x, k_pool, v_pool), ls
+            return prefill_batch_walk(
+                x, pos, cp, tables, q_starts + tok0, kv_lens,
+                k_pool, v_pool,
             )
-            return x, k_pool, v_pool
 
         def tick(carry, t):
             x_buf, k_pool, v_pool, out_buf = carry
@@ -715,44 +757,16 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
         d_spages = d_slot_pages[0]  # [B]
         p_table = p_page_table[0]  # [max_pages]
         p_cpages = p_chunk_pages[0]  # [n_pages]
-        if scales:
-            k_sc, v_sc = scales[0][0], scales[1][0]
-        else:
-            k_sc = v_sc = None
-        int8_kv = jnp.dtype(k_pool.dtype) == jnp.int8
+        k_sc, v_sc = _local_scales(scales)
+        decode_walk, _, prefill_walk, _ = _make_layer_walks(
+            cfg, layers, Lp, H, KH, D, _ptp, interpret, k_sc, v_sc
+        )
 
         def decode_layers(x, rows, k_pool, v_pool, active):
-            pos = d_positions[rows]
-            sl = d_seq_lens[rows]
-            tbl = d_table[rows]
             sp = jnp.where(active, d_spages[rows], 0)
-            so = d_slot_offsets[rows]
-
-            def layer_fn(carry, layer):
-                x, k_pool, v_pool = carry
-                lp, l_idx = layer["p"], layer["i"]
-                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-                q = rope((h @ lp["wq"]).reshape(mb, H, D)[:, None],
-                         pos[:, None], cfg.rope_theta)[:, 0]
-                k = rope((h @ lp["wk"]).reshape(mb, KH, D)[:, None],
-                         pos[:, None], cfg.rope_theta)[:, 0]
-                v = (h @ lp["wv"]).reshape(mb, KH, D)
-                attn, k_pool, v_pool = paged_attention_decode(
-                    q, k_pool, v_pool, tbl, sl, l_idx,
-                    k if int8_kv else k.astype(k_pool.dtype),
-                    v if int8_kv else v.astype(v_pool.dtype),
-                    sp, so, interpret=interpret,
-                    k_scales=k_sc, v_scales=v_sc,
-                )
-                x = x + _ptp(attn.reshape(mb, H * D) @ lp["wo"])
-                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
-                              * (h @ lp["w_up"])) @ lp["w_down"])
-                return (x, k_pool, v_pool), None
-
-            ls = {"p": layers, "i": jnp.arange(Lp)}
-            (x, k_pool, v_pool), _ = jax.lax.scan(
-                layer_fn, (x, k_pool, v_pool), ls
+            x, k_pool, v_pool, _ = decode_walk(
+                x, d_positions[rows], d_seq_lens[rows], d_table[rows],
+                sp, d_slot_offsets[rows], k_pool, v_pool,
             )
             return x, k_pool, v_pool
 
@@ -764,38 +778,10 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
                 jax.lax.dynamic_slice(p_cpages, (m * tpp,), (tpp,)),
                 0,
             )
-
-            def layer_fn(carry, layer):
-                x, k_pool, v_pool = carry
-                lp, l_idx = layer["p"], layer["i"]
-                h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-                q = rope((h @ lp["wq"]).reshape(tile, H, D), pos,
-                         cfg.rope_theta)
-                k = rope((h @ lp["wk"]).reshape(tile, KH, D), pos,
-                         cfg.rope_theta)
-                v = (h @ lp["wv"]).reshape(tile, KH, D)
-                k_pool, v_pool = write_prefill_kv(
-                    k_pool, v_pool, k.transpose(1, 0, 2),
-                    v.transpose(1, 0, 2), cp, l_idx, interpret=interpret,
-                    k_scale=k_sc[l_idx] if scales else None,
-                    v_scale=v_sc[l_idx] if scales else None,
-                )
-                attn = paged_prefill_attention(
-                    q, k_pool, v_pool, p_table, p_q_start + tok0, kv_len,
-                    l_idx, interpret=interpret,
-                    k_scales=k_sc, v_scales=v_sc,
-                )
-                x = x + _ptp(attn.reshape(tile, H * D) @ lp["wo"])
-                h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-                x = x + _ptp((jax.nn.silu(h @ lp["w_gate"])
-                              * (h @ lp["w_up"])) @ lp["w_down"])
-                return (x, k_pool, v_pool), None
-
-            ls = {"p": layers, "i": jnp.arange(Lp)}
-            (x, k_pool, v_pool), _ = jax.lax.scan(
-                layer_fn, (x, k_pool, v_pool), ls
+            return prefill_walk(
+                x, pos, cp, p_table, p_q_start + tok0, kv_len,
+                k_pool, v_pool,
             )
-            return x, k_pool, v_pool
 
         def tick(carry, t):
             xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits = carry

@@ -289,3 +289,36 @@ class TestInt8Stateful:
         finally:
             single.shutdown()
             meshed.shutdown()
+
+
+class TestScaleShapeContract:
+    def test_colocated_pp_rejects_model_layer_scales(self):
+        """Colocated pp stages share ONE arena, so scales are per ARENA
+        layer [Lp, KH]; a flat [L_total, KH] install (valid under pp
+        PLACEMENT, where it is stage-stacked) must fail loudly instead of
+        silently applying stage-0 scales everywhere (round-4 review
+        finding)."""
+        import numpy as np
+
+        from kvcached_tpu.engine import EngineConfig, LLMEngine
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+        from kvcached_tpu.parallel.pp import PPLlamaAdapter
+
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        eng = LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2),
+            EngineConfig(max_batch=2, max_model_len=64, page_tokens=32,
+                         prefill_buckets=(32,), num_pages=16,
+                         interpret=True, kv_dtype="int8"),
+            params=params,
+        )
+        try:
+            L, KH = cfg.num_layers, cfg.num_kv_heads
+            bad = np.full((L, KH), 0.05, np.float32)  # model layers
+            with pytest.raises(ValueError, match="ARENA"):
+                eng.set_kv_scales(bad, bad)
+            ok = np.full((L // 2, KH), 0.05, np.float32)  # arena layers
+            eng.set_kv_scales(ok, ok)
+        finally:
+            eng.shutdown()

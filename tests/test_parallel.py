@@ -538,6 +538,29 @@ class TestMQAUnderTP:
             "MQA pool must replicate across tp"
         )
 
+    def test_families_without_replication_keep_clear_error(self):
+        """Only adapters that declare kv-replication support take the MQA
+        path; a hybrid config with num_kv_heads=1 must still get the
+        explicit divisibility ValueError, not a TypeError from an
+        unexpected kwarg (round-4 review finding)."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        from kvcached_tpu.engine import EngineConfig, LLMEngine
+        from kvcached_tpu.models.hybrid import HybridConfig
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = HybridConfig.toy(num_layers=4, window=32, num_heads=2,
+                               num_kv_heads=1)
+        with pytest.raises(ValueError, match="num_kv_heads"):
+            LLMEngine(
+                cfg,
+                EngineConfig(num_pages=8, interpret=True, page_tokens=16,
+                             prefill_buckets=(16,), max_model_len=64),
+                mesh=make_mesh(tp=2, dp=1),
+            )
+
     def test_mqa_dp2_tp2_with_spec(self):
         """dp×tp composition + speculative decoding over the replicated
         kv head (dp replica equalization writes through both buffers)."""

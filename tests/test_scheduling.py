@@ -164,3 +164,41 @@ class TestPolicyValidation:
                 ),
                 params=params,
             )
+
+
+class TestPriorityPreemptionDuringDispatch:
+    def test_admission_rescan_after_priority_preemption(self, toy):
+        """Regression (round-4 review): the priority policy's preemption
+        victim can sit BELOW the admission scan index; without a rescan,
+        the sequence that just failed _ensure_blocks slides under the
+        index and is dispatched without its pages — KV writes discard to
+        the zero page and the output silently corrupts.  Outputs under
+        memory pressure must equal the ample-memory run for every tested
+        pool size."""
+        cfg, params = toy
+        sp = SamplingParams(max_new_tokens=16)
+
+        def serve(num_pages):
+            eng = _engine(
+                toy, scheduling_policy="priority", max_batch=3,
+                num_pages=num_pages, max_model_len=96,
+            )
+            try:
+                a = eng.add_request(list(range(1, 9)), sp, priority=5)
+                eng.step()  # admit the low-priority request first
+                b = eng.add_request([21, 22, 23, 24], sp, priority=0)
+                c = eng.add_request([31, 32, 33], sp, priority=0)
+                while eng.has_unfinished():
+                    eng.step()
+                outs = {o.req_id: o.output_tokens
+                        for o in eng.finished_outputs}
+                return [outs[r] for r in (a, b, c)]
+            finally:
+                eng.shutdown()
+
+        want = serve(64)  # ample memory: no preemption
+        for pages in (6, 9, 10, 12):
+            got = serve(pages)
+            assert got == want, (
+                f"priority-policy outputs corrupted at num_pages={pages}"
+            )

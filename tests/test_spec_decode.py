@@ -744,3 +744,17 @@ class TestSpecExactness:
             f"bf16 spec decode prefix agreement collapsed to {rate:.2%} — "
             f"beyond near-tie argmax flips, something is broken"
         )
+
+    def test_spec_exact_guard_rejects_sub_f32_kv(self):
+        """f32 params with bf16 KV pools still break the reduction-order
+        exactness contract — spec_exact must refuse the KV dtype too
+        (round-4 review finding)."""
+        cfg = toy_cfg()  # float32 params
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="kv_dtype"):
+            LLMEngine(
+                cfg,
+                EngineConfig(**{**ECFG, "kv_dtype": "bfloat16"},
+                             spec_decode=True, spec_exact=True),
+                params=params,
+            )
