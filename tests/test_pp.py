@@ -608,6 +608,43 @@ class TestDPxPP:
         assert eng._pb_dispatches >= 1
 
 
+class TestColocatedPPOnTPMesh:
+    """Colocated pp adapter (stages as layer groups over ONE shared
+    arena) composed with a dp×tp mesh — the engine's generic mesh branch
+    reads the stage maps from the ADAPTER (PPLlamaAdapter.group_index /
+    layer_in_group), so dp replica equalization works for staged
+    layer groups too."""
+
+    def test_colocated_pp_dp2_tp2_token_exact(self):
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = LlamaConfig.toy(num_layers=4, num_heads=4, num_kv_heads=2,
+                              vocab_size=512, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(max_batch=4, max_model_len=96, page_tokens=16,
+                    decode_horizon=4, prefill_buckets=(16, 32), num_pages=32,
+                    interpret=True, kv_dtype="float32")
+        prompts = [[1, 2, 3, 4, 5], list(range(7, 27)), [9, 9, 9], [4, 5]]
+        sp = SamplingParams(max_new_tokens=8)
+        single = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        try:
+            want = [o.output_tokens for o in single.generate(prompts, sp)]
+        finally:
+            single.shutdown()
+        eng = LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2), EngineConfig(**ecfg),
+            params=params, mesh=make_mesh(tp=2, dp=2),
+        )
+        try:
+            got = [o.output_tokens for o in eng.generate(prompts, sp)]
+            assert eng.num_groups == 2  # stages as layer groups
+        finally:
+            eng.shutdown()
+        assert got == want, "colocated pp on a dp×tp mesh diverged"
+
+
 class TestPPxTP:
     """pp×tp composition: stages on the pp axis, heads/pools sharded over
     each stage's tp group (Megatron within the stage), token-exact."""
