@@ -2514,11 +2514,16 @@ class LLMEngine:
                 row = seq.blocks_g[g]
                 idx = [j for j, b in enumerate(row) if b is not None]
                 phys_g = np.asarray([pt[row[j]] for j in idx], np.int32)
+                # placed pp: group g's pages live in STAGE g's slice of
+                # the stage-stacked [S, Lp, pages, ...] pool (colocated
+                # multi-group families share one [Lp, pages, ...] arena)
+                kp = self.k_pools[g] if self._pp_axis else self.k_pools
+                vp = self.v_pools[g] if self._pp_axis else self.v_pools
                 payload_groups.append(GroupPayload(
                     indices=idx,
                     n_slots=len(row),
-                    k=wrap(self.k_pools[:, phys_g]),
-                    v=wrap(self.v_pools[:, phys_g]),
+                    k=wrap(kp[:, phys_g]),
+                    v=wrap(vp[:, phys_g]),
                 ))
         else:
             n = len(seq.blocks)
@@ -2604,7 +2609,14 @@ class LLMEngine:
                 phys = jnp.asarray(
                     [pt[seq.blocks_g[g][j]] for j in grp.indices], jnp.int32
                 )
-                self._land_pages(phys, jnp.asarray(grp.k), jnp.asarray(grp.v))
+                if self._pp_axis:
+                    self._land_pages_stage(
+                        g, phys, jnp.asarray(grp.k), jnp.asarray(grp.v)
+                    )
+                else:
+                    self._land_pages(
+                        phys, jnp.asarray(grp.k), jnp.asarray(grp.v)
+                    )
             seq.num_prefilled = seq.prompt_len
             self.running.append(seq)
             return req.req_id
@@ -2634,6 +2646,26 @@ class LLMEngine:
         seq.num_prefilled = seq.prompt_len
         self.running.append(seq)
         return req.req_id
+
+    def _land_pages_stage(self, g: int, phys, pay_k, pay_v) -> None:
+        """PD import under pp PLACEMENT: land payload [Lp, n, KH, P, D]
+        into STAGE g's slice of the stage-stacked pool via an XLA scatter.
+        A scatter implies a full-arena copy (the reason the decode writers
+        are Pallas aliasing kernels), but PD import is off the hot path —
+        one copy per imported sequence is fine, and the scatter composes
+        with any pp(+tp) sharding without a dedicated shard-mapped
+        writer."""
+        P = self.cfg.page_tokens
+        assert pay_k.shape[3] == P, "page geometry mismatch"
+        # x.at[g, :, phys]: the scalar g and the array phys are BOTH
+        # advanced indices separated by a slice, so the result axes move
+        # to the front — the update value's layout is [n, Lp, KH, P, D]
+        self.k_pools = self.k_pools.at[g, :, phys].set(
+            jnp.swapaxes(pay_k, 0, 1).astype(self.k_pools.dtype)
+        )
+        self.v_pools = self.v_pools.at[g, :, phys].set(
+            jnp.swapaxes(pay_v, 0, 1).astype(self.v_pools.dtype)
+        )
 
     def _land_pages(self, phys, pay_k, pay_v) -> None:
         """Write gathered page payloads [L, n, KH, P, D] into the pools at

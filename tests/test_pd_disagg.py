@@ -401,3 +401,69 @@ class TestCrossProcessHandoff:
             assert got == want, "cross-process PD diverged"
         finally:
             proc.wait(timeout=120)
+
+
+class TestPlacedPPHandoff:
+    """PD under pp PLACEMENT (round 4): export gathers each stage's pages
+    from its slice of the stage-stacked pool; import scatters them back
+    into the target's stage slices.  A placed-pp prefiller hands off to a
+    colocated-pp decoder (same stage structure, one chip) and vice versa
+    — both token-exact vs an uninterrupted engine."""
+
+    def _pp_mesh(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        return Mesh(np.array(jax.devices()[:2]), ("pp",))
+
+    def _mk(self, cfg, params, *, placed: bool):
+        from kvcached_tpu.parallel.pp import PPLlamaAdapter
+
+        ecfg = dict(
+            max_batch=2, max_model_len=128, page_tokens=16,
+            decode_horizon=2, prefill_buckets=(16, 32), num_pages=32,
+            interpret=True, enable_prefix_caching=False,
+            kv_dtype="float32",
+        )
+        return LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2), EngineConfig(**ecfg),
+            params=params, mesh=self._pp_mesh() if placed else None,
+        )
+
+    @pytest.mark.parametrize("src_placed,dst_placed",
+                             [(True, False), (False, True), (True, True)])
+    def test_pp_pd_roundtrip(self, src_placed, dst_placed):
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+
+        ref = self._mk(cfg, params, placed=False)
+        try:
+            want = ref.generate(
+                [PROMPT], SamplingParams(max_new_tokens=MAX_NEW)
+            )[0].output_tokens
+        finally:
+            ref.shutdown()
+
+        prefiller = self._mk(cfg, params, placed=src_placed)
+        decoder = self._mk(cfg, params, placed=dst_placed)
+        try:
+            rid = prefiller.add_request(
+                PROMPT, SamplingParams(max_new_tokens=MAX_NEW)
+            )
+            prefiller.step()  # prefill only (one token sampled)
+            assert prefiller.running
+            handoff = prefiller.export_sequence(rid)
+            assert len(handoff.payload_groups) == 2  # one per stage
+            new_id = decoder.import_sequence(handoff)
+            while decoder.has_unfinished():
+                decoder.step()
+            got = next(o for o in decoder.finished_outputs
+                       if o.req_id == new_id).output_tokens
+        finally:
+            prefiller.shutdown()
+            decoder.shutdown()
+        assert got == want, (
+            f"pp PD handoff (placed {src_placed}->{dst_placed}) diverged"
+        )
