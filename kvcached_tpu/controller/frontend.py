@@ -58,16 +58,19 @@ class MultiLLMFrontend:
             max_new_tokens=int(body.get("max_tokens", 32)),
             temperature=float(body.get("temperature", 0.0)),
         )
-        return model, prompt, sampling, bool(body.get("stream", False))
+        return (model, prompt, sampling, bool(body.get("stream", False)),
+                int(body.get("priority", 0)))
 
     async def handle_completion(self, request):
         from aiohttp import web
 
         body = await request.json()
-        model, prompt, sampling, stream = self._parse_request(body)
+        model, prompt, sampling, stream, priority = self._parse_request(body)
         if model not in self.runner.models:
             return web.json_response({"error": f"unknown model {model!r}"}, status=404)
-        fut, q = await self.router.route_request(model, prompt, sampling, stream)
+        fut, q = await self.router.route_request(
+            model, prompt, sampling, stream, priority=priority
+        )
 
         if stream:
             resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})

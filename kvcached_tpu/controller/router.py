@@ -43,6 +43,7 @@ class LLMRouter:
         prompt: list[int],
         sampling: SamplingParams,
         stream: bool = False,
+        priority: int = 0,
     ):
         """Record stats → wake if sleeping → dispatch (reference :125-235).
         Returns (future, stream_queue)."""
@@ -51,7 +52,9 @@ class LLMRouter:
         self.monitor.record_request_start(model)
         self.sleep_manager.handle_model_wakeup_on_request(model)
         try:
-            fut, q = await self.runner.submit(model, prompt, sampling, stream)
+            fut, q = await self.runner.submit(
+                model, prompt, sampling, stream, priority=priority
+            )
         except Exception:
             self.monitor.record_request_end(model, error=True)
             raise

@@ -362,3 +362,32 @@ class TestStopStringsHTTP:
             await client.close()
             runner.stop()
             eng.shutdown()
+
+
+class TestPriorityPlumbing:
+    @pytest.mark.anyio
+    async def test_priority_field_reaches_engine(self, frontend, runtime):
+        """The OpenAI-ish `priority` body field (vLLM's extension) must
+        flow frontend → router → runner.submit → engine.add_request."""
+        client = await _client(frontend)
+        handle = runtime.models["model-a"]
+        seen: list[int] = []
+        orig = handle.engine.add_request
+
+        def spy(prompt, sampling=None, *, priority=0):
+            seen.append(priority)
+            return orig(prompt, sampling, priority=priority)
+
+        handle.engine.add_request = spy
+        try:
+            resp = await client.post("/v1/completions", json={
+                "model": "model-a",
+                "prompt_token_ids": [1, 5, 9],
+                "max_tokens": 4,
+                "priority": 7,
+            })
+            assert resp.status == 200
+            assert 7 in seen, "priority never reached engine.add_request"
+        finally:
+            handle.engine.add_request = orig
+            await client.close()
