@@ -809,6 +809,26 @@ class TestMeshMLA:
         assert got == want, "MLA int8 mesh diverged"
 
 
+def _pp_remote_mirror_proc(ipc: str, q, done) -> None:
+    """Spawn-child for the placed-pp mirror test: a second HOST keeping
+    one TCP page-table mirror PER STAGE, fed only by the broadcast
+    plane."""
+    tables = [np.zeros(4096, np.int32) for _ in range(2)]
+    ws = [
+        WorkerListener(f"{ipc}s{s}", 1, tables[s], tcp=True)
+        for s in range(2)
+    ]
+    try:
+        for w in ws:
+            w.set_ready()
+        q.put("bound")
+        done.wait(timeout=180)
+        q.put([t.tolist() for t in tables])
+    finally:
+        for w in ws:
+            w.close()
+
+
 def _remote_mirror_proc(ipc: str, q, done) -> None:
     """Spawn-child for the consuming-mirror test: stands in for a second
     HOST — a TCP WorkerListener keeps a page-table mirror that is updated
@@ -1014,6 +1034,97 @@ class TestConsumingMirror:
                     err_msg=f"group {g} mirror diverged",
                 )
         finally:
+            for bc in bcs:
+                bc.close()
+            for w in listeners:
+                w.close()
+
+    def test_pp_placed_two_process_mirrors(self):
+        """Placed pp + a SECOND PROCESS (second-host stand-in) keeping a
+        TCP mirror per stage: blocks are handed out only after both the
+        local and the remote mirror of the owning stage ack, so correct
+        serving proves the plane delivers every stage mapping in time —
+        the multi-host pp serving slice."""
+        import multiprocessing as mp
+
+        import jax
+        from jax.sharding import Mesh
+
+        from kvcached_tpu.engine import (
+            EngineConfig, LLMEngine, SamplingParams,
+        )
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+        from kvcached_tpu.parallel.pp import PPLlamaAdapter
+
+        if len(jax.devices()) < 2:
+            import pytest
+
+            pytest.skip("needs 2 virtual devices")
+
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        ecfg = dict(
+            max_batch=2, max_model_len=96, page_tokens=16, decode_horizon=4,
+            prefill_buckets=(16, 32), num_pages=32, interpret=True,
+            kv_dtype="float32",
+        )
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [7] * 5]
+        sps = [SamplingParams(max_new_tokens=10)] * 2
+
+        def serve(eng):
+            try:
+                rids = [eng.add_request(list(p), s)
+                        for p, s in zip(prompts, sps)]
+                while eng.has_unfinished():
+                    eng.step()
+                idx = {r: i for i, r in enumerate(rids)}
+                outs = {idx[o.req_id]: o.output_tokens
+                        for o in eng.finished_outputs}
+                tables = [np.array(m.page_allocator.page_table)
+                          for m in eng.managers]
+                return outs, tables
+            finally:
+                eng.shutdown()
+
+        want, _ = serve(LLMEngine(cfg, EngineConfig(**ecfg), params=params))
+
+        ipc = f"pp2m{uuid.uuid4().hex[:6]}"
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        done = ctx.Event()
+        proc = ctx.Process(
+            target=_pp_remote_mirror_proc, args=(ipc, q, done), daemon=True
+        )
+        proc.start()
+        assert q.get(timeout=60) == "bound"
+
+        mirrors = [np.zeros(4096, np.int32) for _ in range(2)]
+        listeners = [
+            WorkerListener(f"{ipc}s{s}", 0, mirrors[s]) for s in range(2)
+        ]
+        bcs = [PageTableBroadcaster(f"{ipc}s{s}", 2) for s in range(2)]
+        try:
+            eng = LLMEngine(
+                PPLlamaAdapter(cfg, num_stages=2),
+                EngineConfig(**ecfg), params=params,
+                mesh=Mesh(np.array(jax.devices()[:2]), ("pp",)),
+                map_hook=[bc.broadcast_map for bc in bcs],
+                unmap_hook=[bc.broadcast_unmap for bc in bcs],
+                table_mirror=mirrors,
+            )
+            got, tables = serve(eng)
+            assert got == want, "two-process placed-PP mirror serving diverged"
+            done.set()
+            remote = q.get(timeout=60)
+            for s in range(2):
+                np.testing.assert_array_equal(
+                    np.asarray(remote[s], np.int32)[: len(tables[s])],
+                    tables[s],
+                    err_msg=f"remote stage-{s} mirror diverged",
+                )
+        finally:
+            done.set()
+            proc.join(timeout=30)
             for bc in bcs:
                 bc.close()
             for w in listeners:
