@@ -144,7 +144,18 @@ class MultiLLMFrontend:
 
         async def action_sleep(request):
             model = request.match_info["model"]
-            ok = self.sleep_manager.sleep_model(model, manual=True)
+            # ?level=1 offloads weights to host; ?level=2 discards them
+            # (wake reloads from the model's checkpoint dir).  Unset falls
+            # back to SleepConfig.sleep_level.
+            try:
+                level = request.query.get("level")
+                level = int(level) if level is not None else None
+            except ValueError:
+                return web.json_response({"error": "invalid level"}, status=400)
+            try:
+                ok = self.sleep_manager.sleep_model(model, manual=True, level=level)
+            except ValueError as e:
+                return web.json_response({"error": str(e)}, status=400)
             return web.json_response({"ok": ok, "sleeping": self.sleep_manager.is_sleeping(model)})
 
         async def action_wakeup(request):

@@ -117,7 +117,9 @@ def build_runtime(config: dict) -> AsyncEngineRunner:
                 ec_kw["hbm_utilization"] = float(pool_cfg["hbm_utilization"])
             eng = LLMEngine(mcfg, EngineConfig(**ec_kw), params=params)
             shared[geom] = (eng.pool, eng.arrays)
-        runner.add_model(m["name"], eng)
+        # a checkpoint-backed model supports sleep level 2 (discard weights;
+        # wake reloads from this dir)
+        runner.add_model(m["name"], eng, ckpt_dir=m.get("checkpoint"))
         logger.info("model %s (%s) ready", m["name"], family)
     return runner
 

@@ -29,6 +29,10 @@ class SleepConfig:
     min_sleep_duration_s: float = 60.0
     auto_sleep_models: set = field(default_factory=set)  # empty = all
     never_sleep_models: set = field(default_factory=set)
+    #: 1 = offload weights to host RAM (vLLM /sleep?level=1); 2 = discard
+    #: weights, wake reloads from the checkpoint dir (the SGLang
+    #: release + /update_weights_from_disk shape, reference :507-587)
+    sleep_level: int = 1
 
 
 class SleepManager:
@@ -76,11 +80,29 @@ class SleepManager:
 
     # -- actions -------------------------------------------------------------
 
-    def sleep_model(self, model: str, manual: bool = False) -> bool:
+    def sleep_model(
+        self, model: str, manual: bool = False, level: int | None = None
+    ) -> bool:
         h = self.handles.get(model)
         if h is None or getattr(h, "sleeping", False):
             return False
-        h.sleep()
+        lvl = self.config.sleep_level if level is None else level
+        if lvl == 1:
+            h.sleep()  # bare call keeps duck-typed handles working
+        else:
+            try:
+                h.sleep(level=lvl)
+            except ValueError as e:
+                if level is not None:
+                    raise  # explicit request: surface the error to the caller
+                # config-driven auto-sleep, e.g. level 2 on a model with no
+                # checkpoint dir — degrade to the host-offload level rather
+                # than leaving an idle model holding HBM
+                logger.warning(
+                    "sleep level %d unavailable for %s (%s); using level 1",
+                    lvl, model, e,
+                )
+                h.sleep()
         self._sleep_since[model] = time.time()
         if manual:
             self.manual_sleep.add(model)

@@ -606,23 +606,11 @@ class LLMEngine:
                     self.states, NamedSharding(mesh, P())
                 )
 
-        self.params = (
+        self.install_params(
             params
             if params is not None
             else self.adapter.init_params(jax.random.PRNGKey(seed))
         )
-        if self._pp_axis:
-            from ..parallel.mesh import shard_tree
-            from ..parallel.pp_mesh import pp_param_specs, stack_pp_params
-
-            self.params = shard_tree(
-                stack_pp_params(self.params, mesh.shape["pp"]),
-                mesh, pp_param_specs(self._tp_axis),
-            )
-        elif mesh is not None:
-            from ..parallel.mesh import shard_tree
-
-            self.params = shard_tree(self.params, mesh, self._param_specs())
 
         self.max_pages_per_seq = ec.max_model_len // ec.page_tokens
         # sliding-window models reclaim pages mid-sequence; cached pages
@@ -701,6 +689,27 @@ class LLMEngine:
         self._pb_dispatches = 0
         self._pb_prompts = 0
         self._combined_dispatches = 0  # pp 1F1B prefill+decode dispatches
+
+    def install_params(self, params, *, pp_stacked: bool = False) -> None:
+        """(Re)install a parameter pytree with the engine's mesh sharding.
+
+        Used at construction and by the sleep/wake path: level-1 wake
+        restores the host copy of the already-stacked layout
+        (``pp_stacked=True``); level-2 wake reloads raw checkpoint params,
+        which stack onto the pp axis here like at construction.
+        """
+        if self._pp_axis:
+            from ..parallel.mesh import shard_tree
+            from ..parallel.pp_mesh import pp_param_specs, stack_pp_params
+
+            if not pp_stacked:
+                params = stack_pp_params(params, self.mesh.shape["pp"])
+            params = shard_tree(params, self.mesh, pp_param_specs(self._tp_axis))
+        elif self.mesh is not None:
+            from ..parallel.mesh import shard_tree
+
+            params = shard_tree(params, self.mesh, self._param_specs())
+        self.params = params
 
     def _batched_prefill_enabled(self) -> bool:
         return (

@@ -81,18 +81,35 @@ class ModelHandle:
     wake — sleeping a busy model delays its requests, never corrupts them.
     """
 
-    def __init__(self, name: str, engine: LLMEngine):
+    def __init__(self, name: str, engine: LLMEngine, ckpt_dir: str | None = None):
         self.name = name
         self.engine = engine
         self.sleeping = False
+        self.sleep_level = 0
+        #: HF checkpoint directory backing this model, enabling sleep
+        #: level 2 (discard weights entirely; wake reloads from disk —
+        #: the reference's SGLang wake path, which resumes memory
+        #: occupation then /update_weights_from_disk,
+        #: controller/sleep_manager.py:507-587)
+        self.ckpt_dir = ckpt_dir
         self._host_params = None
         self.pending: dict[int, _Pending] = {}
         self.runner: "AsyncEngineRunner | None" = None
 
-    # -- sleep / wake (in-process analogue of vLLM sleep level 1) -----------
+    # -- sleep / wake (in-process analogue of vLLM sleep level 1/2) ---------
 
-    def sleep(self) -> None:
-        self._via_runner("sleep")
+    def sleep(self, level: int = 1) -> None:
+        if level not in (1, 2):
+            raise ValueError(f"sleep level must be 1 or 2, got {level}")
+        if level == 2 and self.ckpt_dir is None:
+            # validate on the caller's thread, before any state is touched
+            raise ValueError(
+                f"model {self.name!r} has no checkpoint directory; sleep "
+                f"level 2 discards weights and must reload them from disk "
+                f"on wake (pass ckpt_dir= to add_model / 'checkpoint:' in "
+                f"the launch YAML)"
+            )
+        self._via_runner("sleep2" if level == 2 else "sleep")
 
     def wake_up(self) -> None:
         self._via_runner("wake")
@@ -101,12 +118,16 @@ class ModelHandle:
         r = self.runner
         if r is not None and r.is_running_elsewhere():
             r.control_sync(self, op)
-        elif op == "sleep":
-            self._do_sleep()
         else:
-            self._do_wake()
+            self._apply_control(op)
 
-    def _do_sleep(self) -> None:
+    def _apply_control(self, op: str) -> None:
+        if op == "wake":
+            self._do_wake()
+        else:
+            self._do_sleep(level=2 if op == "sleep2" else 1)
+
+    def _do_sleep(self, level: int = 1) -> None:
         """Must run on the thread that owns engine stepping."""
         if self.sleeping:
             return
@@ -116,23 +137,47 @@ class ModelHandle:
         while eng.running:
             eng._preempt_one()
         eng.preempt_prefilling()  # a mid-prefill sequence also rolls back
-        # offload weights to host RAM; KV pages go back to the shared pool
-        self._host_params = jax.tree.map(np.asarray, eng.params)
+        if level == 2:
+            # discard weights entirely — wake reloads from the checkpoint
+            self._host_params = None
+        else:
+            # offload weights to host RAM
+            self._host_params = jax.tree.map(np.asarray, eng.params)
         eng.params = None
         evicted = eng.prefix_cache.reset()
         if evicted:
             eng.manager.free(evicted)
         eng.manager.trim()
         self.sleeping = True
-        logger.info("model %s sleeping (weights offloaded to host)", self.name)
+        self.sleep_level = level
+        logger.info(
+            "model %s sleeping at level %d (%s)", self.name, level,
+            "weights discarded" if level == 2 else "weights offloaded to host",
+        )
 
     def _do_wake(self) -> None:
         if not self.sleeping:
             return
-        self.engine.params = jax.tree.map(jax.numpy.asarray, self._host_params)
+        eng = self.engine
+        if self.sleep_level == 2:
+            from .models.hf_loader import params_from_hf
+
+            _, params = params_from_hf(
+                self.ckpt_dir, cfg=eng.model_cfg,
+                dtype=str(getattr(eng.model_cfg, "dtype", "bfloat16")),
+            )
+            eng.install_params(params)
+            logger.info("model %s awake (weights reloaded from %s)",
+                        self.name, self.ckpt_dir)
+        else:
+            eng.install_params(
+                jax.tree.map(jax.numpy.asarray, self._host_params),
+                pp_stacked=True,
+            )
+            logger.info("model %s awake", self.name)
         self._host_params = None
         self.sleeping = False
-        logger.info("model %s awake", self.name)
+        self.sleep_level = 0
 
 
 class AsyncEngineRunner:
@@ -150,8 +195,10 @@ class AsyncEngineRunner:
         # runner thread between steps so state never changes mid-step
         self._controls: list[tuple[ModelHandle, str, threading.Event]] = []
 
-    def add_model(self, name: str, engine: LLMEngine) -> ModelHandle:
-        handle = ModelHandle(name, engine)
+    def add_model(
+        self, name: str, engine: LLMEngine, ckpt_dir: str | None = None
+    ) -> ModelHandle:
+        handle = ModelHandle(name, engine, ckpt_dir=ckpt_dir)
         handle.runner = self
         self.models[name] = handle
         return handle
@@ -192,10 +239,7 @@ class AsyncEngineRunner:
             ctls, self._controls = self._controls, []
         for handle, op, done in ctls:
             try:
-                if op == "sleep":
-                    handle._do_sleep()
-                else:
-                    handle._do_wake()
+                handle._apply_control(op)
             finally:
                 done.set()
 
@@ -227,10 +271,7 @@ class AsyncEngineRunner:
                 ctls, self._controls = self._controls, []
             for handle, op, done in ctls:
                 try:
-                    if op == "sleep":
-                        handle._do_sleep()
-                    else:
-                        handle._do_wake()
+                    handle._apply_control(op)
                 finally:
                     done.set()
             for handle, pending in subs:
@@ -471,10 +512,22 @@ def build_app(runner: AsyncEngineRunner, tokenizer: ByteTokenizer | None = None)
         h = _get_handle(model)
         if h is None:
             return web.json_response({"error": "unknown model"}, status=404)
+        # ?level=1 offloads weights to host RAM; ?level=2 discards them
+        # (wake reloads from the model's checkpoint dir) — vLLM's
+        # /sleep?level=N parameter (controller/sleep_manager.py:305-397)
+        try:
+            level = int(request.query.get("level", "1"))
+        except ValueError:
+            return web.json_response({"error": "invalid level"}, status=400)
         # block an executor thread, not the event loop, while the runner
         # thread finishes its current step and applies the transition
-        await asyncio.get_running_loop().run_in_executor(None, h.sleep)
-        return web.json_response({"status": "sleeping"})
+        try:
+            await asyncio.get_running_loop().run_in_executor(
+                None, lambda: h.sleep(level)
+            )
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response({"status": "sleeping", "level": level})
 
     async def wake_ep(request: web.Request) -> web.Response:
         model = request.match_info["model"]

@@ -96,6 +96,8 @@ class TestBuildRuntime:
         try:
             eng = runner.models["real"].engine
             assert eng.model_cfg.vocab_size == 128
+            # checkpoint-backed models support sleep level 2
+            assert runner.models["real"].ckpt_dir == str(tmp_path)
             out = eng.generate([[1, 5, 9]], SamplingParams(max_new_tokens=4))
             assert len(out[0].output_tokens) == 4
         finally:

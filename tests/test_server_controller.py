@@ -364,6 +364,149 @@ class TestStopStringsHTTP:
             eng.shutdown()
 
 
+class TestSleepLevel2:
+    """Sleep level 2 (reference controller/sleep_manager.py:305-397,507-587:
+    vLLM /sleep?level=2 discards weights; SGLang release + reload-from-disk):
+    weights are DROPPED instead of offloaded, and wake reloads them from the
+    model's checkpoint directory."""
+
+    import os as _os
+
+    CKPT = _os.path.join(_os.path.dirname(__file__), "..",
+                         "benchmarks", "assets", "tinyadd")
+
+    def _engine(self):
+        from kvcached_tpu.engine import EngineConfig
+        from kvcached_tpu.models.hf_loader import engine_from_checkpoint
+
+        return engine_from_checkpoint(self.CKPT, EngineConfig(
+            max_batch=2, max_model_len=64, page_tokens=16,
+            decode_horizon=2, prefill_buckets=(16,), num_pages=32,
+            interpret=True, kv_dtype="float32",
+        ), dtype="float32")
+
+    def test_level2_discards_weights_and_wake_reloads(self):
+        from kvcached_tpu.engine import SamplingParams
+
+        eng = self._engine()
+        runner = AsyncEngineRunner()  # not started: controls apply inline
+        h = runner.add_model("tiny", eng, ckpt_dir=self.CKPT)
+        try:
+            prompt = eng.tokenizer.encode("47+38=")
+            want = eng.generate(
+                [prompt], SamplingParams(max_new_tokens=8)
+            )[0].output_tokens
+
+            h.sleep(level=2)
+            assert h.sleeping and h.sleep_level == 2
+            assert eng.params is None
+            assert h._host_params is None, "level 2 must not keep a host copy"
+
+            h.wake_up()
+            assert not h.sleeping and eng.params is not None
+            got = eng.generate(
+                [prompt], SamplingParams(max_new_tokens=8)
+            )[0].output_tokens
+            assert got == want, "reloaded weights diverge from originals"
+        finally:
+            eng.shutdown()
+
+    def test_level2_without_ckpt_rejected_before_any_state_change(self):
+        cfg = LlamaConfig.toy(vocab_size=300)
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        eng = LLMEngine(cfg, small_engine_cfg(), params=params)
+        runner = AsyncEngineRunner()
+        h = runner.add_model("m", eng)  # no ckpt_dir
+        try:
+            with pytest.raises(ValueError, match="checkpoint"):
+                h.sleep(level=2)
+            assert not h.sleeping and eng.params is not None
+            with pytest.raises(ValueError, match="level"):
+                h.sleep(level=3)
+        finally:
+            eng.shutdown()
+
+    def test_sleep_manager_auto_level2_degrades_to_level1(self):
+        """Config-driven auto-sleep at level 2 on a checkpoint-less model
+        degrades to level 1 (idle model must not keep holding HBM); an
+        EXPLICIT level-2 request surfaces the error instead."""
+        from kvcached_tpu.controller.sleep_manager import SleepManager
+        from kvcached_tpu.controller.traffic_monitor import TrafficMonitor
+
+        cfg = LlamaConfig.toy(vocab_size=300)
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        eng = LLMEngine(cfg, small_engine_cfg(), params=params)
+        runner = AsyncEngineRunner()
+        h = runner.add_model("m", eng)
+        try:
+            sm = SleepManager(
+                runner.models, TrafficMonitor(),
+                SleepConfig(enabled=False, sleep_level=2),
+            )
+            assert sm.sleep_model("m")  # config level: degrade, don't fail
+            assert h.sleeping and h.sleep_level == 1
+            assert h._host_params is not None
+            sm.wake_model("m")
+            with pytest.raises(ValueError, match="checkpoint"):
+                sm.sleep_model("m", level=2)  # explicit level: propagate
+            assert not h.sleeping
+        finally:
+            eng.shutdown()
+
+    @pytest.mark.anyio
+    async def test_http_level_param_server_and_frontend(self):
+        """/sleep/{m}?level=2 (server) and /action/sleep/{m}?level=2
+        (controller frontend) both reject a checkpoint-less model with 400
+        and accept level=1; a checkpoint-backed model round-trips level 2
+        over HTTP."""
+        from kvcached_tpu.server import build_app
+
+        cfg = LlamaConfig.toy(vocab_size=300)
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        eng = LLMEngine(cfg, small_engine_cfg(), params=params)
+        eng2 = self._engine()
+        runner = AsyncEngineRunner()
+        runner.add_model("plain", eng)
+        runner.add_model("ckpt", eng2, ckpt_dir=self.CKPT)
+        runner.start()
+        client = TestClient(TestServer(build_app(runner)))
+        await client.start_server()
+        try:
+            resp = await client.post("/sleep/plain?level=2")
+            assert resp.status == 400
+            assert "checkpoint" in (await resp.json())["error"]
+            resp = await client.post("/sleep/plain?level=oops")
+            assert resp.status == 400
+
+            resp = await client.post("/sleep/ckpt?level=2")
+            assert resp.status == 200
+            assert (await resp.json())["level"] == 2
+            assert eng2.params is None
+            resp = await client.post("/wake_up/ckpt")
+            assert resp.status == 200
+            assert eng2.params is not None
+        finally:
+            await client.close()
+            runner.stop()
+            eng.shutdown()
+            eng2.shutdown()
+
+    @pytest.mark.anyio
+    async def test_frontend_action_sleep_level_param(self, frontend):
+        client = await _client(frontend)
+        try:
+            resp = await client.post("/action/sleep/model-a?level=2")
+            assert resp.status == 400  # no checkpoint dir
+            resp = await client.post("/action/sleep/model-a?level=abc")
+            assert resp.status == 400
+            resp = await client.post("/action/sleep/model-a?level=1")
+            assert resp.status == 200
+            assert (await resp.json())["sleeping"]
+            await client.post("/action/wakeup/model-a")
+        finally:
+            await client.close()
+
+
 class TestPriorityPlumbing:
     @pytest.mark.anyio
     async def test_priority_field_reaches_engine(self, frontend, runtime):
