@@ -45,6 +45,10 @@ F32_CASES = frozenset({
     "verify_basic", "verify_prefetch_mixed", "verify_window", "verify_mla",
     "engine_spec_llama", "engine_spec_mla", "engine_spec_hybrid",
     "engine_pp_spec", "engine_pp_prefill_batch",
+    # the softcap kernel-vs-reference arm scales q to exercise the tanh;
+    # at default MXU precision the f32 pass decomposition alone drifts
+    # the big pre-cap scores ~1e-4, which softmax amplifies to ~5e-3
+    "engine_gemma2",
 })
 
 
@@ -413,6 +417,91 @@ def case_engine_mirror():
         listener.close()
 
 
+def case_engine_qwen2_bias():
+    """Qwen-family deltas on the chip (Qwen2 qkv biases + Qwen3 per-head
+    q/k norms): every touched compiled path (decode, spec verify, batched
+    prefill) agrees token-exactly, and perturbing each term changes the
+    output (proves both terms are live in the compiled kernels, not
+    silently dropped)."""
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=2, head_dim=128,
+                      intermediate_size=256, dtype="float32",
+                      attention_bias=True, qk_norm=True)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    sps = [SamplingParams(max_new_tokens=12)] * 3
+    want, _ = _serve(cfg, params, _PROMPTS, sps)
+    got_spec, spec = _serve(cfg, params, _PROMPTS, sps, spec_decode=True)
+    assert got_spec == want, "bias spec decode diverged on the chip"
+    assert spec["tokens_per_dispatch"] > 1.0
+    got_pb, _ = _serve(cfg, params, _PROMPTS, sps, prefill_batch=4)
+    assert got_pb == want, "bias batched prefill diverged on the chip"
+
+    def perturbed(**changes):
+        p2 = dict(params)
+        p2["layers"] = {**params["layers"], **changes}
+        return p2
+
+    got_zero, _ = _serve(cfg, perturbed(
+        bq=jnp.zeros_like(params["layers"]["bq"]),
+        bk=jnp.zeros_like(params["layers"]["bk"]),
+        bv=jnp.zeros_like(params["layers"]["bv"]),
+    ), _PROMPTS, sps)
+    assert got_zero != want, "zeroing qkv biases changed nothing — dropped?"
+    got_scaled, _ = _serve(cfg, perturbed(
+        q_norm=params["layers"]["q_norm"] * 0.25,
+    ), _PROMPTS, sps)
+    assert got_scaled != want, "scaling q_norm changed nothing — dropped?"
+
+
+def case_engine_gemma2():
+    """Gemma2-class hybrid on the chip: geglu/post-norms/embed-scale/
+    query-scale plus attention+final soft-capping (tanh in the paged
+    kernels) — decode / spec verify / batched prefill agree token-exactly,
+    and removing the attention softcap changes the output (the in-kernel
+    tanh is live in compiled mode)."""
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+
+    cfg = HybridConfig(
+        vocab_size=128, hidden_size=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=128, intermediate_size=256,
+        dtype="float32", layer_windows=(16, None), act="gelu_tanh",
+        norm_offset=True, embed_scale=True, post_norms=True,
+        attn_softcap=20.0, final_softcap=30.0, query_scale=256.0,
+    )
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+    sps = [SamplingParams(max_new_tokens=12)] * 3
+    want, _ = _serve(cfg, params, _PROMPTS, sps)
+    got_spec, spec = _serve(cfg, params, _PROMPTS, sps, spec_decode=True)
+    assert got_spec == want, "gemma2 spec decode diverged on the chip"
+    got_pb, _ = _serve(cfg, params, _PROMPTS, sps, prefill_batch=4)
+    assert got_pb == want, "gemma2 batched prefill diverged on the chip"
+    # softcap liveness + correctness at KERNEL level: random-init engine
+    # logits are far inside the tanh's linear range (cap*tanh(s/cap) ~ s),
+    # so greedy outputs legitimately survive removing the cap — scale q to
+    # push scores into the nonlinear range and check against the dense
+    # reference ON THE CHIP
+    from kvcached_tpu.ops.paged_attention import (
+        paged_attention, paged_attention_reference)
+
+    rng = np.random.default_rng(0)
+    kp = jnp.asarray(rng.normal(size=(1, 8, 2, 16, 128)).astype(np.float32))
+    vp = jnp.asarray(rng.normal(size=(1, 8, 2, 16, 128)).astype(np.float32))
+    qq = jnp.asarray(rng.normal(size=(2, 4, 128)).astype(np.float32)) * 3
+    tb = jnp.asarray(np.array([[1, 2, 3], [4, 5, 0]], np.int32))
+    sl = jnp.asarray(np.array([40, 20], np.int32))
+    capped = paged_attention(qq, kp, vp, tb, sl, 0, logit_softcap=20.0)
+    ref = paged_attention_reference(qq, kp, vp, tb, sl, logit_softcap=20.0)
+    d = float(jnp.abs(capped - ref).max())
+    assert d < 1e-4, f"softcap kernel vs reference diff {d}"
+    plain = paged_attention(qq, kp, vp, tb, sl, 0)
+    assert float(jnp.abs(capped - plain).max()) > 1e-4, \
+        "attn softcap changed nothing — dropped?"
+
+
 def case_engine_spec_llama():
     from kvcached_tpu.engine import SamplingParams
     from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
@@ -541,6 +630,8 @@ CASES = {
     "engine_fp8": case_engine_fp8,
     "engine_mirror": case_engine_mirror,
     "engine_prefill_batch_hybrid": case_engine_prefill_batch_hybrid,
+    "engine_qwen2_bias": case_engine_qwen2_bias,
+    "engine_gemma2": case_engine_gemma2,
     "engine_spec_llama": case_engine_spec_llama,
     "engine_spec_mla": case_engine_spec_mla,
     "engine_spec_hybrid": case_engine_spec_hybrid,

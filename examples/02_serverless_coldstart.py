@@ -69,6 +69,32 @@ def main():
     hot.shutdown()
     cold.shutdown()
 
+    # ---- sleep level 2: discard weights, wake reloads from disk --------
+    # (the reference's SGLang shape: release memory occupation, then
+    # /update_weights_from_disk on resume).  Needs a checkpoint-backed
+    # model; uses the committed trained tinyadd checkpoint.
+    ckpt = os.path.join(os.path.dirname(__file__), "..",
+                        "benchmarks", "assets", "tinyadd")
+    from kvcached_tpu.models.hf_loader import engine_from_checkpoint
+
+    eng = engine_from_checkpoint(ckpt, EngineConfig(
+        max_batch=2, max_model_len=64, page_tokens=16,
+        prefill_buckets=(16,), num_pages=32, interpret=not ON_TPU,
+        kv_dtype="float32"), dtype="float32")
+    h = ModelHandle("tinyadd", eng, ckpt_dir=ckpt)
+    prompt = eng.tokenizer.encode("47+38=")
+    before = eng.generate([prompt], SamplingParams(max_new_tokens=6))[0]
+    h.sleep(level=2)
+    print(f"level-2 sleep: weights discarded entirely "
+          f"(host copy: {h._host_params})")
+    t0 = time.perf_counter()
+    h.wake_up()
+    after = eng.generate([prompt], SamplingParams(max_new_tokens=6))[0]
+    assert after.output_tokens == before.output_tokens
+    print(f"level-2 cold start (reload from disk + request): "
+          f"{(time.perf_counter()-t0)*1e3:.1f} ms, output unchanged")
+    eng.shutdown()
+
 
 if __name__ == "__main__":
     main()

@@ -16,7 +16,7 @@ Config shape (see examples/two_models.yaml):
       check_interval_s: 60
     models:
       - name: llama-a
-        family: llama          # llama | mla | hybrid | hybrid_linear
+        family: llama          # llama | qwen2 | qwen3 | mistral | gemma2 | mla | hybrid | hybrid_linear
         # OR: checkpoint: /path/to/hf_dir   (config.json + safetensors)
         config: {hidden_size: 2048, num_layers: 16, ...}
         engine: {max_batch: 8, max_model_len: 2048}
@@ -44,10 +44,33 @@ def _model_cfg(family: str, cfg: dict):
     for key in ("layer_windows", "layer_types"):
         if key in cfg:
             cfg[key] = tuple(cfg[key])
-    if family == "llama":
+    if family in ("llama", "mistral", "qwen2", "qwen3"):
         from ..models.llama import LlamaConfig
 
+        # qwen2 = llama + additive qkv biases; qwen3 = llama + per-head
+        # q/k norms; mistral = llama + the sliding_window field (all
+        # plain LlamaConfig knobs)
+        if family == "qwen2":
+            cfg.setdefault("attention_bias", True)
+        elif family == "qwen3":
+            cfg.setdefault("qk_norm", True)
         return LlamaConfig(**cfg)
+    if family == "gemma2":
+        from ..models.hybrid import HybridConfig
+
+        # Gemma2 = the hybrid family with the Gemma structural knobs;
+        # layer_windows defaults to the alternating sliding/full pattern
+        cfg.setdefault("act", "gelu_tanh")
+        cfg.setdefault("norm_offset", True)
+        cfg.setdefault("embed_scale", True)
+        cfg.setdefault("post_norms", True)
+        if "layer_windows" not in cfg:
+            sw = cfg.pop("sliding_window", 4096)
+            cfg["layer_windows"] = tuple(
+                sw if i % 2 == 0 else None
+                for i in range(cfg.get("num_layers", 16))
+            )
+        return HybridConfig(**cfg)
     if family == "mla":
         from ..models.mla import MLAConfig
 

@@ -704,7 +704,14 @@ class LLMEngine:
 
             if not pp_stacked:
                 params = stack_pp_params(params, self.mesh.shape["pp"])
-            params = shard_tree(params, self.mesh, pp_param_specs(self._tp_axis))
+            # model_cfg may be the PP adapter itself — the model config
+            # then lives on its .cfg
+            mc = getattr(self.model_cfg, "cfg", self.model_cfg)
+            params = shard_tree(params, self.mesh, pp_param_specs(
+                self._tp_axis,
+                bias=getattr(mc, "attention_bias", False),
+                qk_norm=getattr(mc, "qk_norm", False),
+            ))
         elif self.mesh is not None:
             from ..parallel.mesh import shard_tree
 

@@ -125,7 +125,11 @@ class LlamaAdapter:
     def param_specs(self, tp_axis: str, *, kv_replicated: bool = False) -> dict:
         from ..parallel.mesh import llama_param_specs
 
-        return llama_param_specs(tp_axis, kv_replicated=kv_replicated)
+        return llama_param_specs(
+            tp_axis, kv_replicated=kv_replicated,
+            bias=getattr(self.cfg, "attention_bias", False),
+            qk_norm=getattr(self.cfg, "qk_norm", False),
+        )
 
 
 @dataclass
@@ -283,9 +287,17 @@ class HybridAdapter:
         )
 
     def param_specs(self, tp_axis: str) -> dict:
+        from jax.sharding import PartitionSpec as P
+
         from ..parallel.mesh import llama_param_specs
 
-        return llama_param_specs(tp_axis)  # same stacked param tree
+        # same stacked param tree (+ the optional Gemma/Qwen extras)
+        specs = llama_param_specs(
+            tp_axis, qk_norm=getattr(self.cfg, "qk_norm", False))
+        if getattr(self.cfg, "post_norms", False):
+            specs["layers"]["post_attn_norm"] = P()
+            specs["layers"]["post_ffw_norm"] = P()
+        return specs
 
 
 @dataclass

@@ -123,12 +123,90 @@ def _load_all_tensors(ckpt_dir: str) -> dict[str, np.ndarray]:
     return out
 
 
+#: HF architectures this loader maps onto the Llama-family layout.  Qwen2
+#: differs from Llama only by additive qkv biases (attention_bias below);
+#: Qwen3 only by per-head q/k RMSNorms (qk_norm); Mistral only by
+#: sliding_window — all fields the config/step fns carry.
+_LLAMA_LIKE_ARCHS = (
+    "LlamaForCausalLM", "MistralForCausalLM", "Qwen2ForCausalLM",
+    "Qwen3ForCausalLM",
+)
+
+
+def _gemma2_config(hc: dict, dtype: str):
+    """Gemma2ForCausalLM → HybridConfig: alternating sliding/full layer
+    groups (our hybrid family's shape), geglu-tanh MLP, (1+w) norms,
+    sandwich post-norms, sqrt(E) embedding scale, attention + final logit
+    soft-capping, query_pre_attn_scalar softmax scale."""
+    from .hybrid import HybridConfig
+
+    L = hc["num_hidden_layers"]
+    head_dim = hc.get("head_dim", hc["hidden_size"] // hc["num_attention_heads"])
+    sw = hc.get("sliding_window", 4096)
+    if "layer_types" in hc and hc["layer_types"]:
+        windows = tuple(
+            sw if t == "sliding_attention" else None for t in hc["layer_types"]
+        )
+    else:
+        # transformers Gemma2DecoderLayer: even layer indices are sliding
+        windows = tuple(sw if i % 2 == 0 else None for i in range(L))
+    return HybridConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=hc["hidden_size"],
+        num_layers=L,
+        num_heads=hc["num_attention_heads"],
+        num_kv_heads=hc.get("num_key_value_heads", hc["num_attention_heads"]),
+        head_dim=head_dim,
+        intermediate_size=hc["intermediate_size"],
+        rope_theta=float(hc.get("rope_theta", 10000.0)),
+        rms_eps=float(hc.get("rms_norm_eps", 1e-6)),
+        dtype=dtype,
+        layer_windows=windows,
+        act="gelu_tanh",
+        norm_offset=True,
+        embed_scale=True,
+        post_norms=True,
+        attn_softcap=hc.get("attn_logit_softcapping"),
+        final_softcap=hc.get("final_logit_softcapping"),
+        query_scale=float(hc.get("query_pre_attn_scalar", head_dim)),
+    )
+
+
 def config_from_hf(ckpt_dir: str, dtype: str = "bfloat16") -> LlamaConfig:
     with open(os.path.join(ckpt_dir, "config.json")) as f:
         hc = json.load(f)
+    archs = hc.get("architectures") or []
+    if any(a == "Gemma2ForCausalLM" for a in archs):
+        return _gemma2_config(hc, dtype)
+    if archs and not any(a in _LLAMA_LIKE_ARCHS for a in archs):
+        raise ValueError(
+            f"unsupported HF architecture {archs}: this loader covers the "
+            f"Llama-shaped families {_LLAMA_LIKE_ARCHS} plus "
+            f"Gemma2ForCausalLM"
+        )
     head_dim = hc.get(
         "head_dim", hc["hidden_size"] // hc["num_attention_heads"]
     )
+    # Llama exposes attention_bias explicitly; Qwen2's qkv biases are
+    # architectural (no config field), so key on the architecture name
+    attention_bias = bool(hc.get("attention_bias", False)) or any(
+        a == "Qwen2ForCausalLM" for a in archs
+    )
+    # Qwen3's per-head q/k RMSNorm is likewise architectural
+    qk_norm = any(a == "Qwen3ForCausalLM" for a in archs)
+    # Qwen records sliding_window but only APPLIES it when
+    # use_sliding_window is set (and then only from max_window_layers on —
+    # a per-layer mix this flat config can't express)
+    sliding = hc.get("sliding_window")
+    if "use_sliding_window" in hc:
+        if not hc["use_sliding_window"]:
+            sliding = None
+        elif hc.get("max_window_layers", 0) not in (0, hc["num_hidden_layers"]):
+            raise ValueError(
+                "checkpoint mixes sliding and full layers via "
+                "max_window_layers — express it as the hybrid family "
+                "(per-layer layer_windows) instead of LlamaConfig"
+            )
     return LlamaConfig(
         vocab_size=hc["vocab_size"],
         hidden_size=hc["hidden_size"],
@@ -140,7 +218,9 @@ def config_from_hf(ckpt_dir: str, dtype: str = "bfloat16") -> LlamaConfig:
         rope_theta=float(hc.get("rope_theta", 10000.0)),
         rms_eps=float(hc.get("rms_norm_eps", 1e-5)),
         dtype=dtype,
-        sliding_window=hc.get("sliding_window"),
+        sliding_window=sliding,
+        attention_bias=attention_bias,
+        qk_norm=qk_norm,
     )
 
 
@@ -171,21 +251,86 @@ def params_from_hf(
         return jnp.asarray(np.asarray(x, np.float32)).astype(jdt)
 
     pre = "model.layers.{}."
-    params = {
-        "embed": cast(t["model.embed_tokens.weight"]),
-        "layers": {
+    if getattr(cfg, "post_norms", False):
+        # Gemma2-class sandwich-norm layout: mlp_norm is
+        # pre_feedforward_layernorm (NOT post_attention_layernorm, which
+        # here really is a post-attention norm on the residual branch)
+        layers = {
             "attn_norm": cast(_stack(t, pre + "input_layernorm.weight", L, False)),
             "wq": cast(_stack(t, pre + "self_attn.q_proj.weight", L, True)),
             "wk": cast(_stack(t, pre + "self_attn.k_proj.weight", L, True)),
             "wv": cast(_stack(t, pre + "self_attn.v_proj.weight", L, True)),
             "wo": cast(_stack(t, pre + "self_attn.o_proj.weight", L, True)),
-            "mlp_norm": cast(
+            "post_attn_norm": cast(
                 _stack(t, pre + "post_attention_layernorm.weight", L, False)
+            ),
+            "mlp_norm": cast(
+                _stack(t, pre + "pre_feedforward_layernorm.weight", L, False)
+            ),
+            "post_ffw_norm": cast(
+                _stack(t, pre + "post_feedforward_layernorm.weight", L, False)
             ),
             "w_gate": cast(_stack(t, pre + "mlp.gate_proj.weight", L, True)),
             "w_up": cast(_stack(t, pre + "mlp.up_proj.weight", L, True)),
             "w_down": cast(_stack(t, pre + "mlp.down_proj.weight", L, True)),
-        },
+        }
+        if pre.format(0) + "self_attn.q_norm.weight" in t:  # Gemma3-class
+            layers["q_norm"] = cast(
+                _stack(t, pre + "self_attn.q_norm.weight", L, False))
+            layers["k_norm"] = cast(
+                _stack(t, pre + "self_attn.k_norm.weight", L, False))
+        params = {
+            "embed": cast(t["model.embed_tokens.weight"]),
+            "layers": layers,
+            "final_norm": cast(t["model.norm.weight"]),
+        }
+        if "lm_head.weight" in t:
+            params["lm_head"] = cast(np.asarray(t["lm_head.weight"]).T)
+        else:
+            params["lm_head"] = params["embed"].T  # tied (the Gemma norm)
+        logger.info(
+            "loaded HF Gemma-class checkpoint %s: %d layers, %d tensors",
+            ckpt_dir, L, len(t),
+        )
+        return cfg, params
+    layers = {
+        "attn_norm": cast(_stack(t, pre + "input_layernorm.weight", L, False)),
+        "wq": cast(_stack(t, pre + "self_attn.q_proj.weight", L, True)),
+        "wk": cast(_stack(t, pre + "self_attn.k_proj.weight", L, True)),
+        "wv": cast(_stack(t, pre + "self_attn.v_proj.weight", L, True)),
+        "wo": cast(_stack(t, pre + "self_attn.o_proj.weight", L, True)),
+        "mlp_norm": cast(
+            _stack(t, pre + "post_attention_layernorm.weight", L, False)
+        ),
+        "w_gate": cast(_stack(t, pre + "mlp.gate_proj.weight", L, True)),
+        "w_up": cast(_stack(t, pre + "mlp.up_proj.weight", L, True)),
+        "w_down": cast(_stack(t, pre + "mlp.down_proj.weight", L, True)),
+    }
+    if pre.format(0) + "self_attn.q_norm.weight" in t:
+        # Qwen3-class per-head q/k RMSNorm ([head_dim] vectors)
+        layers["q_norm"] = cast(_stack(t, pre + "self_attn.q_norm.weight", L, False))
+        layers["k_norm"] = cast(_stack(t, pre + "self_attn.k_norm.weight", L, False))
+        if not cfg.qk_norm:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, qk_norm=True)
+    if pre.format(0) + "self_attn.q_proj.bias" in t:
+        # Qwen2-class additive qkv biases (1-D: no transpose)
+        layers["bq"] = cast(_stack(t, pre + "self_attn.q_proj.bias", L, False))
+        layers["bk"] = cast(_stack(t, pre + "self_attn.k_proj.bias", L, False))
+        layers["bv"] = cast(_stack(t, pre + "self_attn.v_proj.bias", L, False))
+        if not cfg.attention_bias:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, attention_bias=True)
+    elif cfg.attention_bias:
+        raise ValueError(
+            "config says attention_bias=True but the checkpoint has no "
+            "q_proj.bias tensors"
+        )
+    params = {
+        "embed": cast(t["model.embed_tokens.weight"]),
+        "layers": layers,
         "final_norm": cast(t["model.norm.weight"]),
     }
     if "lm_head.weight" in t:

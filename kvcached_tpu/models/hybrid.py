@@ -45,7 +45,13 @@ from ..ops.paged_prefill import (
     paged_prefill_attention,
     paged_prefill_attention_batch,
 )
-from .llama import init_llama_params, lm_head_logits, rms_norm, rope
+from .llama import (
+    init_llama_params,
+    lm_head_logits,
+    qkv_heads,
+    rms_norm,
+    rope,
+)
 
 
 @dataclass(frozen=True)
@@ -64,6 +70,30 @@ class HybridConfig:
     dtype: str = "bfloat16"
     #: per-layer window: None = full attention, int = sliding window tokens.
     layer_windows: tuple = ()
+    # ---- Gemma2-class structural knobs (all default to the Llama shape) --
+    #: MLP activation: "silu" (Llama) or "gelu_tanh" (Gemma's
+    #: gelu_pytorch_tanh)
+    act: str = "silu"
+    #: RMSNorm weight convention: effective weight = 1 + stored weight
+    #: (Gemma); init stores zeros so the effective init is ones
+    norm_offset: bool = False
+    #: scale embeddings by sqrt(hidden_size) after lookup (Gemma)
+    embed_scale: bool = False
+    #: sandwich norms: post-attention and post-feedforward RMSNorms on the
+    #: residual branches (Gemma2/3; params add post_attn_norm /
+    #: post_ffw_norm, and mlp_norm maps to pre_feedforward_layernorm)
+    post_norms: bool = False
+    #: attention logit soft-capping cap*tanh(logits/cap) inside the paged
+    #: kernels, pre-mask (Gemma2's attn_logit_softcapping)
+    attn_softcap: float | None = None
+    #: final LM-head logit soft-capping (Gemma2's final_logit_softcapping)
+    final_softcap: float | None = None
+    #: softmax scale = query_scale**-0.5 when set (Gemma2's
+    #: query_pre_attn_scalar; None = 1/sqrt(head_dim))
+    query_scale: float | None = None
+    #: Qwen3/Gemma3-style per-head q/k RMSNorm (init_llama_params adds
+    #: q_norm/k_norm, qkv_heads applies them)
+    qk_norm: bool = False
 
     def __post_init__(self):
         if len(self.layer_windows) != self.num_layers:
@@ -134,12 +164,71 @@ class HybridConfig:
 
 
 def init_hybrid_params(cfg: HybridConfig, key: jax.Array) -> dict:
-    # identical parameter pytree to the Llama family (stacked layers)
-    return init_llama_params(cfg, key)
+    # Llama-family pytree (stacked layers) + the Gemma extras
+    p = init_llama_params(cfg, key)
+    dt = cfg.jdtype
+    L, E = cfg.num_layers, cfg.hidden_size
+    if cfg.post_norms:
+        p["layers"]["post_attn_norm"] = jnp.ones((L, E), dt)
+        p["layers"]["post_ffw_norm"] = jnp.ones((L, E), dt)
+    if cfg.norm_offset:
+        # stored weight w acts as (1 + w): zeros give an effective init of 1.
+        # q_norm/k_norm are exempt: qkv_heads applies them WITHOUT the
+        # offset (the llama/qwen3 convention), so ones is their identity.
+        for key_ in list(p["layers"]):
+            if key_.endswith("norm") and key_ not in ("q_norm", "k_norm"):
+                p["layers"][key_] = jnp.zeros_like(p["layers"][key_])
+        p["final_norm"] = jnp.zeros_like(p["final_norm"])
+    return p
 
 
 def _maybe_psum(x, tp_axis):
     return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+
+def _norm(x, w, cfg):
+    return rms_norm(x, (1.0 + w) if cfg.norm_offset else w, cfg.rms_eps)
+
+
+def _embed(params, tokens, cfg):
+    x = params["embed"][tokens]
+    if cfg.embed_scale:
+        x = x * jnp.asarray(math.sqrt(cfg.hidden_size)).astype(x.dtype)
+    return x
+
+
+def _sm_scale(cfg):
+    return None if cfg.query_scale is None else cfg.query_scale ** -0.5
+
+
+def _attn_residual(x, attn_flat, lp, cfg, tp_axis):
+    """wo projection (+psum) with the optional Gemma post-attention norm
+    on the BRANCH (norm after the full tp sum -- norms are nonlinear)."""
+    out = _maybe_psum(attn_flat @ lp["wo"], tp_axis)
+    if cfg.post_norms:
+        out = _norm(out, lp["post_attn_norm"], cfg)
+    return x + out
+
+
+def _mlp_residual(x, lp, cfg, tp_axis):
+    h = _norm(x, lp["mlp_norm"], cfg)
+    act = (
+        partial(jax.nn.gelu, approximate=True)
+        if cfg.act == "gelu_tanh" else jax.nn.silu
+    )
+    mlp = _maybe_psum((act(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"],
+                      tp_axis)
+    if cfg.post_norms:
+        mlp = _norm(mlp, lp["post_ffw_norm"], cfg)
+    return x + mlp
+
+
+def _final_logits(x, params, cfg, tp_axis):
+    x = _norm(x, params["final_norm"], cfg)
+    logits = lm_head_logits(x, params["lm_head"], tp_axis)
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits
 
 
 def hybrid_decode_step(
@@ -166,7 +255,7 @@ def hybrid_decode_step(
     windows = cfg.group_windows
     G = len(windows)
 
-    x = params["embed"][tokens]
+    x = _embed(params, tokens, cfg)
 
     def layer_fn(carry, layer):
         x, k_pools, v_pools = carry
@@ -174,10 +263,8 @@ def hybrid_decode_step(
         l_in_g = layer["lg"]
         g_idx = layer["g"]
 
-        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q = (h @ lp["wq"]).reshape(B, H, D)
-        k = (h @ lp["wk"]).reshape(B, KH, D)
-        v = (h @ lp["wv"]).reshape(B, KH, D)
+        h = _norm(x, lp["attn_norm"], cfg)
+        q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
         q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
         k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
 
@@ -192,6 +279,8 @@ def hybrid_decode_step(
                     k.astype(k_pools.dtype), v.astype(v_pools.dtype),
                     slot_pages[g], slot_offsets,
                     interpret=interpret, window=w,
+                    sm_scale=_sm_scale(cfg),
+                    logit_softcap=cfg.attn_softcap,
                 )
 
             return branch
@@ -200,12 +289,8 @@ def hybrid_decode_step(
             g_idx, [make_branch(g) for g in range(G)],
             (q, k, v, k_pools, v_pools),
         )
-        attn_out = attn.reshape(B, H * D) @ lp["wo"]
-        x = x + _maybe_psum(attn_out, tp_axis)
-
-        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
-        x = x + _maybe_psum(mlp, tp_axis)
+        x = _attn_residual(x, attn.reshape(B, H * D), lp, cfg, tp_axis)
+        x = _mlp_residual(x, lp, cfg, tp_axis)
         return (x, k_pools, v_pools), ((k, v) if collect_kv else None)
 
     layers = {
@@ -217,8 +302,7 @@ def hybrid_decode_step(
         layer_fn, (x, k_pools, v_pools), layers
     )
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = lm_head_logits(x, params["lm_head"], tp_axis)
+    logits = _final_logits(x, params, cfg, tp_axis)
     if collect_kv:
         return logits, k_pools, v_pools, kv  # per GLOBAL layer [L,B,KH,D]
     return logits, k_pools, v_pools
@@ -254,7 +338,7 @@ def hybrid_verify_step(
     windows = cfg.group_windows
     G = len(windows)
 
-    x = params["embed"][tokens]  # [B, T, E]
+    x = _embed(params, tokens, cfg)  # [B, T, E]
 
     def layer_fn(carry, layer):
         x, k_pools, v_pools = carry
@@ -262,12 +346,10 @@ def hybrid_verify_step(
         l_in_g = layer["lg"]
         g_idx = layer["g"]
 
-        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q = rope((h @ lp["wq"]).reshape(B, T, H, D), positions,
-                 cfg.rope_theta)
-        k = rope((h @ lp["wk"]).reshape(B, T, KH, D), positions,
-                 cfg.rope_theta)
-        v = (h @ lp["wv"]).reshape(B, T, KH, D)
+        h = _norm(x, lp["attn_norm"], cfg)
+        q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
 
         def make_branch(g: int):
             w = windows[g]  # STATIC per branch
@@ -280,6 +362,8 @@ def hybrid_verify_step(
                     k.astype(k_pools.dtype), v.astype(v_pools.dtype),
                     slot_pages[g], slot_offsets,
                     interpret=interpret, window=w,
+                    sm_scale=_sm_scale(cfg),
+                    logit_softcap=cfg.attn_softcap,
                 )
 
             return branch
@@ -288,12 +372,8 @@ def hybrid_verify_step(
             g_idx, [make_branch(g) for g in range(G)],
             (q, k, v, k_pools, v_pools),
         )
-        attn_out = attn.reshape(B, T, H * D) @ lp["wo"]
-        x = x + _maybe_psum(attn_out, tp_axis)
-
-        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
-        x = x + _maybe_psum(mlp, tp_axis)
+        x = _attn_residual(x, attn.reshape(B, T, H * D), lp, cfg, tp_axis)
+        x = _mlp_residual(x, lp, cfg, tp_axis)
         return (x, k_pools, v_pools), ((k, v) if collect_kv else None)
 
     layers = {
@@ -305,8 +385,7 @@ def hybrid_verify_step(
         layer_fn, (x, k_pools, v_pools), layers
     )
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = lm_head_logits(x, params["lm_head"], tp_axis)
+    logits = _final_logits(x, params, cfg, tp_axis)
     if collect_kv:
         return logits, k_pools, v_pools, kv  # per GLOBAL layer [L,B,T,KH,D]
     return logits, k_pools, v_pools
@@ -336,7 +415,7 @@ def hybrid_prefill_step(
     G = len(windows)
     kv_len = q_start + true_len
 
-    x = params["embed"][tokens]
+    x = _embed(params, tokens, cfg)
 
     def layer_fn(carry, layer):
         x, k_pools, v_pools = carry
@@ -344,10 +423,8 @@ def hybrid_prefill_step(
         l_in_g = layer["lg"]
         g_idx = layer["g"]
 
-        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q = (h @ lp["wq"]).reshape(T, H, D)
-        k = (h @ lp["wk"]).reshape(T, KH, D)
-        v = (h @ lp["wv"]).reshape(T, KH, D)
+        h = _norm(x, lp["attn_norm"], cfg)
+        q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
@@ -364,6 +441,8 @@ def hybrid_prefill_step(
                 attn = paged_prefill_attention(
                     q, k_pools, v_pools, page_table[g], q_start, kv_len,
                     l_in_g, interpret=interpret, window=w,
+                    sm_scale=_sm_scale(cfg),
+                    logit_softcap=cfg.attn_softcap,
                 )
                 return attn, k_pools, v_pools
 
@@ -373,12 +452,8 @@ def hybrid_prefill_step(
             g_idx, [make_branch(g) for g in range(G)],
             (q, k, v, k_pools, v_pools),
         )
-        attn_out = attn.reshape(T, H * D) @ lp["wo"]
-        x = x + _maybe_psum(attn_out, tp_axis)
-
-        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
-        x = x + _maybe_psum(mlp, tp_axis)
+        x = _attn_residual(x, attn.reshape(T, H * D), lp, cfg, tp_axis)
+        x = _mlp_residual(x, lp, cfg, tp_axis)
         return (x, k_pools, v_pools), None
 
     layers = {
@@ -388,9 +463,10 @@ def hybrid_prefill_step(
     }
     (x, k_pools, v_pools), _ = jax.lax.scan(layer_fn, (x, k_pools, v_pools), layers)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    last = x[jnp.maximum(true_len - 1, 0)]
+    last = _norm(x, params["final_norm"], cfg)[jnp.maximum(true_len - 1, 0)]
     logits = lm_head_logits(last, params["lm_head"], tp_axis)
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits, k_pools, v_pools
 
 
@@ -422,7 +498,7 @@ def hybrid_prefill_batch_step(
     G = len(windows)
     kv_lens = q_starts + true_lens
 
-    x = params["embed"][tokens]  # [N, T, E]
+    x = _embed(params, tokens, cfg)  # [N, T, E]
 
     def layer_fn(carry, layer):
         x, k_pools, v_pools = carry
@@ -430,10 +506,8 @@ def hybrid_prefill_batch_step(
         l_in_g = layer["lg"]
         g_idx = layer["g"]
 
-        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q = (h @ lp["wq"]).reshape(N, T, H, D)
-        k = (h @ lp["wk"]).reshape(N, T, KH, D)
-        v = (h @ lp["wv"]).reshape(N, T, KH, D)
+        h = _norm(x, lp["attn_norm"], cfg)
+        q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
@@ -455,6 +529,8 @@ def hybrid_prefill_batch_step(
                     q, k_pools, v_pools, page_tables[:, g],
                     q_starts, kv_lens, l_in_g,
                     interpret=interpret, window=w,
+                    sm_scale=_sm_scale(cfg),
+                    logit_softcap=cfg.attn_softcap,
                 )
                 return attn, k_pools, v_pools
 
@@ -464,12 +540,8 @@ def hybrid_prefill_batch_step(
             g_idx, [make_branch(g) for g in range(G)],
             (q, k, v, k_pools, v_pools),
         )
-        attn_out = attn.reshape(N, T, H * D) @ lp["wo"]
-        x = x + _maybe_psum(attn_out, tp_axis)
-
-        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-        mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
-        x = x + _maybe_psum(mlp, tp_axis)
+        x = _attn_residual(x, attn.reshape(N, T, H * D), lp, cfg, tp_axis)
+        x = _mlp_residual(x, lp, cfg, tp_axis)
         return (x, k_pools, v_pools), None
 
     layers = {
@@ -479,7 +551,9 @@ def hybrid_prefill_batch_step(
     }
     (x, k_pools, v_pools), _ = jax.lax.scan(layer_fn, (x, k_pools, v_pools), layers)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = _norm(x, params["final_norm"], cfg)
     last = x[jnp.arange(N), jnp.maximum(true_lens - 1, 0)]  # [N, E]
     logits = lm_head_logits(last, params["lm_head"], tp_axis)
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits, k_pools, v_pools

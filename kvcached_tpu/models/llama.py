@@ -53,6 +53,13 @@ class LlamaConfig:
     #: Mistral-style sliding-window attention (tokens); None = full attention.
     #: The engine reclaims pages that slide fully out of every window.
     sliding_window: int | None = None
+    #: Qwen2-style additive biases on the q/k/v projections (the only
+    #: architectural delta between Qwen2- and Llama-class checkpoints).
+    attention_bias: bool = False
+    #: Qwen3-style per-head RMSNorm on q/k (over head_dim, before rope) —
+    #: the only architectural delta between Qwen3- and Llama-class
+    #: checkpoints (Qwen3 drops Qwen2's qkv biases).
+    qk_norm: bool = False
 
     @property
     def jdtype(self):
@@ -101,19 +108,29 @@ def init_llama_params(cfg: LlamaConfig, key: jax.Array) -> dict:
     def init(key, shape, fan_in):
         return (jax.random.normal(key, shape, jnp.float32) / math.sqrt(fan_in)).astype(dt)
 
+    layers = {
+        "attn_norm": jnp.ones((L, E), dt),
+        "wq": init(k[1], (L, E, H * D), E),
+        "wk": init(k[2], (L, E, KH * D), E),
+        "wv": init(k[3], (L, E, KH * D), E),
+        "wo": init(k[4], (L, H * D, E), H * D),
+        "mlp_norm": jnp.ones((L, E), dt),
+        "w_gate": init(k[5], (L, E, F), E),
+        "w_up": init(k[6], (L, E, F), E),
+        "w_down": init(k[7], (L, F, E), F),
+    }
+    # getattr: duck-typed configs (HybridConfig) reuse this initializer
+    if getattr(cfg, "attention_bias", False):
+        layers["bq"] = init(k[9], (L, H * D), H * D)
+        bk, bv = jax.random.split(k[9])
+        layers["bk"] = init(bk, (L, KH * D), KH * D)
+        layers["bv"] = init(bv, (L, KH * D), KH * D)
+    if getattr(cfg, "qk_norm", False):
+        layers["q_norm"] = jnp.ones((L, D), dt)
+        layers["k_norm"] = jnp.ones((L, D), dt)
     return {
         "embed": init(k[0], (cfg.vocab_size, E), E),
-        "layers": {
-            "attn_norm": jnp.ones((L, E), dt),
-            "wq": init(k[1], (L, E, H * D), E),
-            "wk": init(k[2], (L, E, KH * D), E),
-            "wv": init(k[3], (L, E, KH * D), E),
-            "wo": init(k[4], (L, H * D, E), H * D),
-            "mlp_norm": jnp.ones((L, E), dt),
-            "w_gate": init(k[5], (L, E, F), E),
-            "w_up": init(k[6], (L, E, F), E),
-            "w_down": init(k[7], (L, F, E), F),
-        },
+        "layers": layers,
         "final_norm": jnp.ones((E,), dt),
         "lm_head": init(k[8], (E, cfg.vocab_size), E),
     }
@@ -139,6 +156,38 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 
 def _maybe_psum(x: jax.Array, tp_axis: str | None) -> jax.Array:
     return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+
+def qkv_proj(h: jax.Array, lp: dict) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """q/k/v projections, flat on the last axis ([..., H*D] / [..., KH*D]).
+
+    Adds the Qwen2-class additive biases when the layer tree carries them
+    (``bq``/``bk``/``bv``); the pytree structure is static per trace, so the
+    branch costs nothing under jit.  Under TP the biases are column-sharded
+    exactly like their matrices' output axes."""
+    q, k, v = h @ lp["wq"], h @ lp["wk"], h @ lp["wv"]
+    if "bq" in lp:
+        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    return q, k, v
+
+
+def qkv_heads(
+    h: jax.Array, lp: dict, H: int, KH: int, D: int, eps: float
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-head q/k/v, PRE-rope: projection (+Qwen2 biases via
+    :func:`qkv_proj`), head split, and the Qwen3-class per-head RMSNorm on
+    q/k when the layer tree carries ``q_norm``/``k_norm`` ([D] vectors
+    normalizing over head_dim, shared by all heads).  ``h``'s leading dims
+    are preserved: [B,E] → [B,H,D], [N,T,E] → [N,T,H,D], etc."""
+    q, k, v = qkv_proj(h, lp)
+    lead = h.shape[:-1]
+    q = q.reshape(*lead, H, D)
+    k = k.reshape(*lead, KH, D)
+    v = v.reshape(*lead, KH, D)
+    if "q_norm" in lp:
+        q = rms_norm(q, lp["q_norm"], eps)
+        k = rms_norm(k, lp["k_norm"], eps)
+    return q, k, v
 
 
 def lm_head_logits(
@@ -203,9 +252,7 @@ def llama_decode_step(
         lp, l_idx = layer["p"], layer["i"]
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q = (h @ lp["wq"]).reshape(B, H, D)
-        k = (h @ lp["wk"]).reshape(B, KH, D)
-        v = (h @ lp["wv"]).reshape(B, KH, D)
+        q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
         # rope expects [..., T, heads, D]; decode has T folded into batch
         q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
         k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
@@ -291,9 +338,9 @@ def llama_verify_step(
         lp, l_idx = layer["p"], layer["i"]
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q = rope((h @ lp["wq"]).reshape(B, T, H, D), positions, cfg.rope_theta)
-        k = rope((h @ lp["wk"]).reshape(B, T, KH, D), positions, cfg.rope_theta)
-        v = (h @ lp["wv"]).reshape(B, T, KH, D)
+        q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
 
         attn, k_pools, v_pools = paged_attention_verify(
             q,
@@ -373,9 +420,7 @@ def llama_prefill_step(
         lp, l_idx = layer["p"], layer["i"]
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q = (h @ lp["wq"]).reshape(T, H, D)
-        k = (h @ lp["wk"]).reshape(T, KH, D)
-        v = (h @ lp["wv"]).reshape(T, KH, D)
+        q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
@@ -456,9 +501,7 @@ def llama_prefill_batch_step(
         lp, l_idx = layer["p"], layer["i"]
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q = (h @ lp["wq"]).reshape(N, T, H, D)
-        k = (h @ lp["wk"]).reshape(N, T, KH, D)
-        v = (h @ lp["wv"]).reshape(N, T, KH, D)
+        q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 

@@ -146,6 +146,7 @@ def _attn_body(
     sublane: int = 8,
     window: int | None = None,
     quantized: bool = False,
+    logit_softcap: float | None = None,
 ):
     # MLA mode (v_head_dim set): a single latent buffer serves as both K and
     # V — scores use the full head_dim (c_kv ++ k_rope), values are the
@@ -341,6 +342,10 @@ def _attn_body(
             ) * sm_scale  # [KH, q_pad, chunk_tokens]; scale in fp32 post-dot
             if quantized:
                 s = s * k_sc  # dequantize K via the scores
+            if logit_softcap is not None:
+                # gemma2-style attention logit soft-capping; applied BEFORE
+                # the mask so masked lanes keep DEFAULT_MASK_VALUE
+                s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
             token_idx = base + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, dimension=2
             )
@@ -414,7 +419,7 @@ def _pick_pages_per_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "interpret", "pages_per_chunk", "mla_v_dim",
-                     "window"),
+                     "window", "logit_softcap"),
     donate_argnums=(1, 2),
 )
 def paged_attention_decode(
@@ -436,6 +441,7 @@ def paged_attention_decode(
     window: int | None = None,
     k_scales: jax.Array | None = None,  # [L, KH] f32 (int8 pools)
     v_scales: jax.Array | None = None,
+    logit_softcap: float | None = None,
 ):
     """Fused decode step: write the current token's KV into its page, then
     attend over the sequence.  Returns (out, k_pool, v_pool) with the pools
@@ -454,13 +460,14 @@ def paged_attention_decode(
         sm_scale=sm_scale, interpret=interpret,
         pages_per_chunk=pages_per_chunk, write_kv=True, mla_v_dim=mla_v_dim,
         window=window, k_scales=k_scales, v_scales=v_scales,
+        logit_softcap=logit_softcap,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "interpret", "pages_per_chunk", "mla_v_dim",
-                     "window"),
+                     "window", "logit_softcap"),
 )
 def paged_attention(
     q: jax.Array,
@@ -477,6 +484,7 @@ def paged_attention(
     window: int | None = None,
     k_scales: jax.Array | None = None,
     v_scales: jax.Array | None = None,
+    logit_softcap: float | None = None,
 ) -> jax.Array:
     """Read-only paged attention (no KV write). Returns [B, num_q_heads, D]."""
     if k_pool.ndim == 4:
@@ -492,6 +500,7 @@ def paged_attention(
         sm_scale=sm_scale, interpret=interpret,
         pages_per_chunk=pages_per_chunk, write_kv=False, mla_v_dim=mla_v_dim,
         window=window, k_scales=k_scales, v_scales=v_scales,
+        logit_softcap=logit_softcap,
     )
     return out
 
@@ -500,7 +509,7 @@ def _paged_attention_impl(
     q, k_pool, v_pool, page_tables, seq_lens, layer,
     k_new, v_new, slot_pages, slot_offsets,
     *, sm_scale, interpret, pages_per_chunk, write_kv, mla_v_dim=None,
-    window=None, k_scales=None, v_scales=None,
+    window=None, k_scales=None, v_scales=None, logit_softcap=None,
 ):
     batch, num_q_heads, head_dim = q.shape
     _, _, num_kv_heads, page_tokens, head_dim_k = k_pool.shape
@@ -541,6 +550,7 @@ def _paged_attention_impl(
         sublane=sublane,
         window=window,
         quantized=quantized,
+        logit_softcap=logit_softcap,
     )
     o_spec = pl.BlockSpec(
         (1, num_kv_heads, q_pad, head_dim), lambda b, *_: (b, 0, 0, 0)
@@ -705,6 +715,7 @@ def _verify_body(
     window: int | None,
     quantized: bool,
     v_head_dim: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Speculative-decode verification: write the T fed tokens' KV into
     their slots, then causal attention of T queries per sequence against
@@ -896,6 +907,10 @@ def _verify_body(
             ) * sm_scale  # [KH, R, chunk_tokens]
             if quantized:
                 s_mat = s_mat * head_scales(k_scales_ref, s_mat.shape, 0)
+            if logit_softcap is not None:
+                s_mat = logit_softcap * jnp.tanh(
+                    s_mat * (1.0 / logit_softcap)
+                )
             token_idx = base_tok + jax.lax.broadcasted_iota(
                 jnp.int32, s_mat.shape, dimension=2
             )
@@ -963,7 +978,7 @@ def _verify_body(
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "interpret", "pages_per_chunk", "window",
-                     "mla_v_dim"),
+                     "mla_v_dim", "logit_softcap"),
     donate_argnums=(1, 2),
 )
 def paged_attention_verify(
@@ -985,6 +1000,7 @@ def paged_attention_verify(
     k_scales: jax.Array | None = None,
     v_scales: jax.Array | None = None,
     mla_v_dim: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Fused speculative-decode verification step: write T fed tokens' KV
     per sequence, then causal multi-query paged attention.  Token j of row
@@ -1035,6 +1051,7 @@ def paged_attention_verify(
         window=window,
         quantized=quantized,
         v_head_dim=mla_v_dim,
+        logit_softcap=logit_softcap,
     )
     in_specs = [
         pl.BlockSpec(
@@ -1600,6 +1617,7 @@ def paged_attention_reference(
     seq_lens: jax.Array,
     *,
     sm_scale: float | None = None,
+    logit_softcap: float | None = None,
 ) -> jax.Array:
     batch, num_q_heads, head_dim = q.shape
     if k_pool.ndim == 5:
@@ -1619,6 +1637,8 @@ def paged_attention_reference(
 
     qg = q.reshape(batch, num_kv_heads, q_per_kv, head_dim).astype(jnp.float32)
     s = jnp.einsum("bhqd,bhtd->bhqt", qg, k.astype(jnp.float32)) * sm_scale
+    if logit_softcap is not None:
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
     mask = jnp.arange(max_len)[None, None, None, :] < seq_lens[:, None, None, None]
     s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)

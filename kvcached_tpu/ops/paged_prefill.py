@@ -62,6 +62,7 @@ def _prefill_kernel(
     v_head_dim: int | None = None,
     window: int | None = None,
     quantized: bool = False,
+    logit_softcap: float | None = None,
 ):
     mla = v_head_dim is not None
     b = pl.program_id(0)  # sequence within the prefill batch
@@ -154,6 +155,9 @@ def _prefill_kernel(
             ) * sm_scale  # [KH, rows, chunk_tokens]
             if quantized:
                 s = s * k_sc
+            if logit_softcap is not None:
+                # gemma2-style soft-capping BEFORE the causal mask
+                s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
             kv_idx = base + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, dimension=2
             )
@@ -217,7 +221,7 @@ def _pick_chunk(num_kv_heads, page_tokens, head_dim, itemsize, max_pages):
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "interpret", "pages_per_chunk", "q_tile",
-                     "mla_v_dim", "window"),
+                     "mla_v_dim", "window", "logit_softcap"),
 )
 def paged_prefill_attention(
     q: jax.Array,  # [T, num_q_heads, head_dim] (chunk of new tokens)
@@ -236,6 +240,7 @@ def paged_prefill_attention(
     window: int | None = None,
     k_scales: jax.Array | None = None,  # [L, KH] f32 (int8 pools)
     v_scales: jax.Array | None = None,
+    logit_softcap: float | None = None,
 ) -> jax.Array:
     """Causal attention of a prefill chunk against its sequence's pages.
     Returns [T, num_q_heads, head_dim].  KV for the chunk must already be
@@ -257,6 +262,7 @@ def paged_prefill_attention(
         window=window,
         k_scales=k_scales,
         v_scales=v_scales,
+        logit_softcap=logit_softcap,
     )
     return out[0]
 
@@ -264,7 +270,7 @@ def paged_prefill_attention(
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "interpret", "pages_per_chunk", "q_tile",
-                     "mla_v_dim", "window"),
+                     "mla_v_dim", "window", "logit_softcap"),
 )
 def paged_prefill_attention_batch(
     q: jax.Array,  # [N, T, num_q_heads, head_dim] (N independent chunks)
@@ -283,6 +289,7 @@ def paged_prefill_attention_batch(
     window: int | None = None,
     k_scales: jax.Array | None = None,  # [L, KH] f32 (int8 pools)
     v_scales: jax.Array | None = None,
+    logit_softcap: float | None = None,
 ) -> jax.Array:
     """Batched prefill attention: N sequences' chunks in ONE dispatch
     (grid (N, tiles)); each grid row masks with its own (q_start, kv_len)
@@ -338,6 +345,7 @@ def paged_prefill_attention_batch(
             v_head_dim=mla_v_dim,
             window=window,
             quantized=quantized,
+            logit_softcap=logit_softcap,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,

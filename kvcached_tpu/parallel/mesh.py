@@ -38,7 +38,9 @@ def make_mesh(
 
 
 def llama_param_specs(tp_axis: str = "tp", *,
-                      kv_replicated: bool = False) -> dict:
+                      kv_replicated: bool = False,
+                      bias: bool = False,
+                      qk_norm: bool = False) -> dict:
     """PartitionSpecs for the stacked Llama param tree (Megatron TP).
 
     ``kv_replicated``: MQA (a single shared kv head that tp cannot
@@ -47,19 +49,29 @@ def llama_param_specs(tp_axis: str = "tp", *,
     still shard Megatron-style.  The host engines the reference patches
     serve MQA under TP with the same kv-head replication."""
     t = tp_axis
+    layers = {
+        "attn_norm": P(),
+        "wq": P(None, None, t),
+        "wk": P() if kv_replicated else P(None, None, t),
+        "wv": P() if kv_replicated else P(None, None, t),
+        "wo": P(None, t, None),
+        "mlp_norm": P(),
+        "w_gate": P(None, None, t),
+        "w_up": P(None, None, t),
+        "w_down": P(None, t, None),
+    }
+    if bias:
+        # qkv biases column-shard like their matrices' output axes
+        layers["bq"] = P(None, t)
+        layers["bk"] = P() if kv_replicated else P(None, t)
+        layers["bv"] = P() if kv_replicated else P(None, t)
+    if qk_norm:
+        # [L, head_dim] vectors shared by all heads: replicated
+        layers["q_norm"] = P()
+        layers["k_norm"] = P()
     return {
         "embed": P(),
-        "layers": {
-            "attn_norm": P(),
-            "wq": P(None, None, t),
-            "wk": P() if kv_replicated else P(None, None, t),
-            "wv": P() if kv_replicated else P(None, None, t),
-            "wo": P(None, t, None),
-            "mlp_norm": P(),
-            "w_gate": P(None, None, t),
-            "w_up": P(None, None, t),
-            "w_down": P(None, t, None),
-        },
+        "layers": layers,
         "final_norm": P(),
         # vocab-column sharded: logits all-gathered in lm_head_logits
         "lm_head": P(None, t),
@@ -147,7 +159,9 @@ def shard_tree(tree, mesh: Mesh, specs) -> dict:
 
 
 def shard_params(params: dict, mesh: Mesh, tp_axis: str = "tp") -> dict:
-    return shard_tree(params, mesh, llama_param_specs(tp_axis))
+    return shard_tree(params, mesh, llama_param_specs(
+        tp_axis, bias="bq" in params["layers"],
+        qk_norm="q_norm" in params["layers"]))
 
 
 def build_sharded_decode_step(
@@ -165,7 +179,9 @@ def build_sharded_decode_step(
     slot_offsets, seq_lens) -> (logits, k_pools, v_pools)`` with pools
     donated.
     """
-    pspecs = llama_param_specs(tp_axis)
+    pspecs = llama_param_specs(
+        tp_axis, bias=getattr(cfg, "attention_bias", False),
+        qk_norm=getattr(cfg, "qk_norm", False))
     pool_p = pool_spec_partition(tp_axis)
     bd = P(dp_axis) if dp_axis else P()
     b2 = P(dp_axis, None) if dp_axis else P()

@@ -30,7 +30,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..models.llama import lm_head_logits, rms_norm, rope
+from ..models.llama import lm_head_logits, qkv_heads, rms_norm, rope
 from ..ops.paged_attention import (
     paged_attention_decode,
     paged_attention_verify,
@@ -120,9 +120,7 @@ class PPLlamaAdapter:
             s_idx, l_in_s = layer["s"], layer["ls"]
 
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-            q = (h @ lp["wq"]).reshape(B, H, D)
-            k = (h @ lp["wk"]).reshape(B, KH, D)
-            v = (h @ lp["wv"]).reshape(B, KH, D)
+            q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
             q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
             k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
 
@@ -178,9 +176,7 @@ class PPLlamaAdapter:
             s_idx, l_in_s = layer["s"], layer["ls"]
 
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-            q = (h @ lp["wq"]).reshape(T, H, D)
-            k = (h @ lp["wk"]).reshape(T, KH, D)
-            v = (h @ lp["wv"]).reshape(T, KH, D)
+            q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
             q = rope(q, positions, cfg.rope_theta)
             k = rope(k, positions, cfg.rope_theta)
 
@@ -242,9 +238,7 @@ class PPLlamaAdapter:
             s_idx, l_in_s = layer["s"], layer["ls"]
 
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-            q = (h @ lp["wq"]).reshape(N, T, H, D)
-            k = (h @ lp["wk"]).reshape(N, T, KH, D)
-            v = (h @ lp["wv"]).reshape(N, T, KH, D)
+            q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
             q = rope(q, positions, cfg.rope_theta)
             k = rope(k, positions, cfg.rope_theta)
 
@@ -310,11 +304,9 @@ class PPLlamaAdapter:
             s_idx, l_in_s = layer["s"], layer["ls"]
 
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-            q = rope((h @ lp["wq"]).reshape(B, T, H, D), positions,
-                     cfg.rope_theta)
-            k = rope((h @ lp["wk"]).reshape(B, T, KH, D), positions,
-                     cfg.rope_theta)
-            v = (h @ lp["wv"]).reshape(B, T, KH, D)
+            q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
+            q = rope(q, positions, cfg.rope_theta)
+            k = rope(k, positions, cfg.rope_theta)
 
             attn, k_pools, v_pools = paged_attention_verify(
                 q, k_pools, v_pools,
@@ -348,4 +340,6 @@ class PPLlamaAdapter:
     def param_specs(self, tp_axis: str) -> dict:
         from .mesh import llama_param_specs
 
-        return llama_param_specs(tp_axis)
+        return llama_param_specs(
+            tp_axis, bias=getattr(self.cfg, "attention_bias", False),
+            qk_norm=getattr(self.cfg, "qk_norm", False))

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..models.llama import lm_head_logits, rms_norm, rope
+from ..models.llama import lm_head_logits, qkv_heads, rms_norm, rope
 from ..ops.paged_attention import (
     paged_attention_decode,
     paged_attention_verify,
@@ -44,37 +44,52 @@ from ..ops.paged_prefill import (
 )
 
 
-def pp_param_specs(tp_axis: str | None = None, pp_axis: str = "pp") -> dict:
+def pp_param_specs(tp_axis: str | None = None, pp_axis: str = "pp", *,
+                   bias: bool = False, qk_norm: bool = False) -> dict:
     """Specs for the STAGE-STACKED llama tree ([S, Lp, ...] layers).
 
     With ``tp_axis``, each stage's weights additionally shard
-    Megatron-style within the stage's tp group (pp×tp composition)."""
+    Megatron-style within the stage's tp group (pp×tp composition).
+    ``bias``: the tree carries Qwen2-class qkv biases (bq/bk/bv)."""
     s, t = pp_axis, tp_axis
     if t is None:
         layer = P(s)
+        layers = {
+            "attn_norm": layer, "wq": layer, "wk": layer, "wv": layer,
+            "wo": layer, "mlp_norm": layer, "w_gate": layer,
+            "w_up": layer, "w_down": layer,
+        }
+        if bias:
+            layers.update(bq=layer, bk=layer, bv=layer)
+        if qk_norm:
+            layers.update(q_norm=layer, k_norm=layer)
         return {
             "embed": P(),
-            "layers": {
-                "attn_norm": layer, "wq": layer, "wk": layer, "wv": layer,
-                "wo": layer, "mlp_norm": layer, "w_gate": layer,
-                "w_up": layer, "w_down": layer,
-            },
+            "layers": layers,
             "final_norm": P(),
             "lm_head": P(),
         }
+    layers = {
+        "attn_norm": P(s),
+        "wq": P(s, None, None, t),
+        "wk": P(s, None, None, t),
+        "wv": P(s, None, None, t),
+        "wo": P(s, None, t, None),
+        "mlp_norm": P(s),
+        "w_gate": P(s, None, None, t),
+        "w_up": P(s, None, None, t),
+        "w_down": P(s, None, t, None),
+    }
+    if bias:
+        layers.update(
+            bq=P(s, None, t), bk=P(s, None, t), bv=P(s, None, t)
+        )
+    if qk_norm:
+        # [S, Lp, head_dim]: stage-sharded only (shared by all heads)
+        layers.update(q_norm=P(s), k_norm=P(s))
     return {
         "embed": P(),
-        "layers": {
-            "attn_norm": P(s),
-            "wq": P(s, None, None, t),
-            "wk": P(s, None, None, t),
-            "wv": P(s, None, None, t),
-            "wo": P(s, None, t, None),
-            "mlp_norm": P(s),
-            "w_gate": P(s, None, None, t),
-            "w_up": P(s, None, None, t),
-            "w_down": P(s, None, t, None),
-        },
+        "layers": layers,
         "final_norm": P(),
         # vocab-column sharded within each stage's tp group (lm_head_logits
         # all-gathers); replicated across stages
@@ -135,11 +150,9 @@ def _make_layer_walks(cfg, layers, Lp, H, KH, D, ptp, interpret,
             x, k_pool, v_pool = carry
             lp, l_idx = layer["p"], layer["i"]
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-            q = rope((h @ lp["wq"]).reshape(mb, H, D)[:, None],
-                     pos[:, None], cfg.rope_theta)[:, 0]
-            k = rope((h @ lp["wk"]).reshape(mb, KH, D)[:, None],
-                     pos[:, None], cfg.rope_theta)[:, 0]
-            v = (h @ lp["wv"]).reshape(mb, KH, D)
+            q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
+            q = rope(q[:, None], pos[:, None], cfg.rope_theta)[:, 0]
+            k = rope(k[:, None], pos[:, None], cfg.rope_theta)[:, 0]
             attn, k_pool, v_pool = paged_attention_decode(
                 q, k_pool, v_pool, tbl, sl, l_idx,
                 k if int8_kv else k.astype(k_pool.dtype),
@@ -165,11 +178,9 @@ def _make_layer_walks(cfg, layers, Lp, H, KH, D, ptp, interpret,
             x, k_pool, v_pool = carry
             lp, l_idx = layer["p"], layer["i"]
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-            q = rope((h @ lp["wq"]).reshape(mb, T, H, D), pos,
-                     cfg.rope_theta)
-            k = rope((h @ lp["wk"]).reshape(mb, T, KH, D), pos,
-                     cfg.rope_theta)
-            v = (h @ lp["wv"]).reshape(mb, T, KH, D)
+            q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
+            q = rope(q, pos, cfg.rope_theta)
+            k = rope(k, pos, cfg.rope_theta)
             attn, k_pool, v_pool = paged_attention_verify(
                 q, k_pool, v_pool, tbl, sl, l_idx,
                 k if int8_kv else k.astype(k_pool.dtype),
@@ -193,11 +204,9 @@ def _make_layer_walks(cfg, layers, Lp, H, KH, D, ptp, interpret,
             x, k_pool, v_pool = carry
             lp, l_idx = layer["p"], layer["i"]
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-            q = rope((h @ lp["wq"]).reshape(tile, H, D), pos,
-                     cfg.rope_theta)
-            k = rope((h @ lp["wk"]).reshape(tile, KH, D), pos,
-                     cfg.rope_theta)
-            v = (h @ lp["wv"]).reshape(tile, KH, D)
+            q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
+            q = rope(q, pos, cfg.rope_theta)
+            k = rope(k, pos, cfg.rope_theta)
             k_pool, v_pool = write_prefill_kv(
                 k_pool, v_pool, k.transpose(1, 0, 2),
                 v.transpose(1, 0, 2), cp, l_idx, interpret=interpret,
@@ -225,11 +234,9 @@ def _make_layer_walks(cfg, layers, Lp, H, KH, D, ptp, interpret,
             x, k_pool, v_pool = carry
             lp, l_idx = layer["p"], layer["i"]
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-            q = rope((h @ lp["wq"]).reshape(N, tile, H, D), pos,
-                     cfg.rope_theta)
-            k = rope((h @ lp["wk"]).reshape(N, tile, KH, D), pos,
-                     cfg.rope_theta)
-            v = (h @ lp["wv"]).reshape(N, tile, KH, D)
+            q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
+            q = rope(q, pos, cfg.rope_theta)
+            k = rope(k, pos, cfg.rope_theta)
             # page writes are sequence-agnostic: flatten the batch into
             # one [KH, N*tile, D] stream over [N * tile/P] pages
             k_pool, v_pool = write_prefill_kv(
@@ -649,7 +656,9 @@ def build_pp_impls(cfg, mesh, layers_per_stage: int, *,
     stage2 = P(pp_axis, None)  # [S, n] single-sequence prefill
     stage3 = P(pp_axis, None, None)  # [S, N, ...] batched prefill (dp-rep)
     logit_out = P(dp_axis) if dp_axis else P()
-    pspecs = pp_param_specs(tp_axis, pp_axis=pp_axis)
+    pspecs = pp_param_specs(tp_axis, pp_axis=pp_axis,
+                            bias=getattr(cfg, "attention_bias", False),
+                            qk_norm=getattr(cfg, "qk_norm", False))
     # int8 scales: stage-stacked [S, Lp, KH], head axis sharded under tp
     sc = (P(pp_axis, None, tp_axis) if tp_axis else P(pp_axis))
     sc_specs = (sc, sc) if quantized else ()
@@ -866,7 +875,9 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
     rep = P()
     stage2 = P(pp_axis, None)
     stage3 = P(pp_axis, None, None)
-    pspecs = pp_param_specs(tp_axis, pp_axis=pp_axis)
+    pspecs = pp_param_specs(tp_axis, pp_axis=pp_axis,
+                            bias=getattr(cfg, "attention_bias", False),
+                            qk_norm=getattr(cfg, "qk_norm", False))
     sc = (P(pp_axis, None, tp_axis) if tp_axis else P(pp_axis))
     sc_specs = (sc, sc) if quantized else ()
 

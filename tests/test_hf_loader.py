@@ -62,6 +62,239 @@ def hf_ckpt(tmp_path_factory):
     return str(d), model
 
 
+@pytest.fixture(scope="module")
+def qwen2_ckpt(tmp_path_factory):
+    """Tiny real HF Qwen2 checkpoint (qkv biases, tied embeddings) written
+    by transformers itself."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config as HFConfig
+    from transformers import Qwen2ForCausalLM
+
+    hc = HFConfig(
+        vocab_size=128,
+        hidden_size=512,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=True,
+        # transformers' Qwen2 applies sliding window only when explicitly
+        # enabled; keep full attention for the parity check
+        use_sliding_window=False,
+    )
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(hc).eval()
+    d = tmp_path_factory.mktemp("qwen2_ckpt")
+    model.save_pretrained(str(d), safe_serialization=True)
+    return str(d), model
+
+
+class TestQwen2:
+    """Qwen2-class checkpoints: the additive qkv biases are the only
+    architectural delta from Llama (the reference serves Qwen2 through its
+    host engines; owning the engine means owning this mapping)."""
+
+    def test_config_detects_bias(self, qwen2_ckpt):
+        from kvcached_tpu.models.hf_loader import config_from_hf
+
+        cfg = config_from_hf(qwen2_ckpt[0])
+        assert cfg.attention_bias
+        assert cfg.num_kv_heads == 2
+        # Qwen2 RECORDS sliding_window (4096 default) but gates it behind
+        # use_sliding_window=False — must not be applied
+        assert cfg.sliding_window is None
+
+    def test_greedy_generation_matches_transformers(self, qwen2_ckpt):
+        import torch
+
+        from kvcached_tpu.engine import EngineConfig, SamplingParams
+        from kvcached_tpu.models.hf_loader import engine_from_checkpoint
+
+        ckpt_dir, hf_model = qwen2_ckpt
+        prompt = [1, 17, 42, 99, 5, 64, 101, 7]
+        with torch.no_grad():
+            want = hf_model.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False
+            )[0][len(prompt):].tolist()
+
+        eng = engine_from_checkpoint(
+            ckpt_dir,
+            EngineConfig(
+                max_batch=2, max_model_len=64, page_tokens=16,
+                decode_horizon=2, prefill_buckets=(16, 32), num_pages=32,
+                interpret=True, kv_dtype="float32",
+            ),
+            dtype="float32",
+        )
+        try:
+            assert eng.model_cfg.attention_bias
+            assert "bq" in eng.params["layers"]
+            got = eng.generate([prompt], SamplingParams(max_new_tokens=8))
+            assert got[0].output_tokens == want
+        finally:
+            eng.shutdown()
+
+    def test_unsupported_arch_rejected(self, tmp_path):
+        import json as _json
+
+        from kvcached_tpu.models.hf_loader import config_from_hf
+
+        (tmp_path / "config.json").write_text(_json.dumps({
+            "architectures": ["Phi3ForCausalLM"], "vocab_size": 64,
+            "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 2, "intermediate_size": 64,
+        }))
+        with pytest.raises(ValueError, match="unsupported HF architecture"):
+            config_from_hf(str(tmp_path))
+
+
+class TestQwen3:
+    """Qwen3-class checkpoints: per-head q/k RMSNorm before rope (no qkv
+    biases) — the second Qwen-family delta the loader maps onto the
+    Llama-shaped layout."""
+
+    @pytest.fixture(scope="class")
+    def qwen3_ckpt(self, tmp_path_factory):
+        torch = pytest.importorskip("torch")
+        from transformers import Qwen3Config as HFConfig
+        from transformers import Qwen3ForCausalLM
+
+        hc = HFConfig(
+            vocab_size=128,
+            hidden_size=512,
+            intermediate_size=256,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=128,
+            rms_norm_eps=1e-5,
+            rope_theta=10000.0,
+            tie_word_embeddings=False,
+            use_sliding_window=False,
+        )
+        torch.manual_seed(0)
+        model = Qwen3ForCausalLM(hc).eval()
+        d = tmp_path_factory.mktemp("qwen3_ckpt")
+        model.save_pretrained(str(d), safe_serialization=True)
+        return str(d), model
+
+    def test_config_detects_qk_norm(self, qwen3_ckpt):
+        from kvcached_tpu.models.hf_loader import config_from_hf
+
+        cfg = config_from_hf(qwen3_ckpt[0])
+        assert cfg.qk_norm and not cfg.attention_bias
+
+    def test_greedy_generation_matches_transformers(self, qwen3_ckpt):
+        import torch
+
+        from kvcached_tpu.engine import EngineConfig, SamplingParams
+        from kvcached_tpu.models.hf_loader import engine_from_checkpoint
+
+        ckpt_dir, hf_model = qwen3_ckpt
+        prompt = [1, 17, 42, 99, 5, 64, 101, 7]
+        with torch.no_grad():
+            want = hf_model.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False
+            )[0][len(prompt):].tolist()
+
+        eng = engine_from_checkpoint(
+            ckpt_dir,
+            EngineConfig(
+                max_batch=2, max_model_len=64, page_tokens=16,
+                decode_horizon=2, prefill_buckets=(16, 32), num_pages=32,
+                interpret=True, kv_dtype="float32",
+            ),
+            dtype="float32",
+        )
+        try:
+            assert "q_norm" in eng.params["layers"]
+            got = eng.generate([prompt], SamplingParams(max_new_tokens=8))
+            assert got[0].output_tokens == want
+        finally:
+            eng.shutdown()
+
+
+class TestGemma2:
+    """Gemma2-class checkpoints map onto the HYBRID family: alternating
+    sliding/full layer groups + geglu-tanh MLP, (1+w) norms, sandwich
+    post-norms, sqrt(E) embedding scale, attention/final logit
+    soft-capping, and query_pre_attn_scalar softmax scaling."""
+
+    @pytest.fixture(scope="class")
+    def gemma2_ckpt(self, tmp_path_factory):
+        torch = pytest.importorskip("torch")
+        from transformers import Gemma2Config as HFConfig
+        from transformers import Gemma2ForCausalLM
+
+        hc = HFConfig(
+            vocab_size=128,
+            hidden_size=512,
+            intermediate_size=256,
+            num_hidden_layers=2,  # layer 0 sliding, layer 1 full
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=128,
+            rms_norm_eps=1e-6,
+            rope_theta=10000.0,
+            sliding_window=8,  # small enough to bite in the test prompt
+            query_pre_attn_scalar=256,
+            attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0,
+            # sdpa silently skips attention soft-capping — eager is the
+            # semantics our kernels implement
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        model = Gemma2ForCausalLM(hc).eval()
+        d = tmp_path_factory.mktemp("gemma2_ckpt")
+        model.save_pretrained(str(d), safe_serialization=True)
+        return str(d), model
+
+    def test_config_maps_to_hybrid(self, gemma2_ckpt):
+        from kvcached_tpu.models.hf_loader import config_from_hf
+        from kvcached_tpu.models.hybrid import HybridConfig
+
+        cfg = config_from_hf(gemma2_ckpt[0])
+        assert isinstance(cfg, HybridConfig)
+        assert cfg.layer_windows == (8, None)
+        assert cfg.act == "gelu_tanh" and cfg.norm_offset
+        assert cfg.embed_scale and cfg.post_norms
+        assert cfg.attn_softcap == 50.0 and cfg.final_softcap == 30.0
+        assert cfg.query_scale == 256.0
+
+    def test_greedy_generation_matches_transformers(self, gemma2_ckpt):
+        import torch
+
+        from kvcached_tpu.engine import EngineConfig, SamplingParams
+        from kvcached_tpu.models.hf_loader import engine_from_checkpoint
+
+        ckpt_dir, hf_model = gemma2_ckpt
+        # long enough that the sliding window (8) truncates attention
+        prompt = [1, 17, 42, 99, 5, 64, 101, 7, 9, 33, 2, 58]
+        with torch.no_grad():
+            want = hf_model.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False
+            )[0][len(prompt):].tolist()
+
+        eng = engine_from_checkpoint(
+            ckpt_dir,
+            EngineConfig(
+                max_batch=2, max_model_len=64, page_tokens=16,
+                decode_horizon=2, prefill_buckets=(16, 32), num_pages=32,
+                interpret=True, kv_dtype="float32",
+            ),
+            dtype="float32",
+        )
+        try:
+            assert "post_attn_norm" in eng.params["layers"]
+            got = eng.generate([prompt], SamplingParams(max_new_tokens=8))
+            assert got[0].output_tokens == want
+        finally:
+            eng.shutdown()
+
+
 class TestWeightMapping:
     def test_logits_match_transformers(self, hf_ckpt):
         """The loaded stacked params, run through OUR paged prefill, must

@@ -26,6 +26,12 @@ ENGINE = dict(
 class TestFamilies:
     def test_all_families_resolve(self):
         assert _model_cfg("llama", base_cfg()).num_layers == 2
+        assert _model_cfg("qwen2", base_cfg()).attention_bias
+        assert not _model_cfg("mistral", base_cfg(
+            sliding_window=32)).attention_bias
+        g2 = _model_cfg("gemma2", base_cfg(sliding_window=32))
+        assert g2.act == "gelu_tanh" and g2.post_norms
+        assert g2.layer_windows == (32, None)
         assert _model_cfg("hybrid", base_cfg(
             layer_windows=[None, 32],
         )).group_windows == (None, 32)

@@ -112,6 +112,49 @@ class TestPagedAttention:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    @pytest.mark.parametrize("cap", [20.0, 50.0])
+    def test_logit_softcap_matches_reference(self, cap):
+        """Gemma2-style attention logit soft-capping: the in-kernel
+        cap*tanh(s/cap) (applied pre-mask) must match the dense reference,
+        and must actually change the output vs the uncapped kernel."""
+        key = jax.random.PRNGKey(11)
+        q, k_pool, v_pool, page_tables, seq_lens_arr, _ = make_paged_case(
+            key, seq_lens=(37, 9)
+        )
+        q = q * 3.0  # push logits into the tanh's nonlinear range
+        ref = paged_attention_reference(
+            q, k_pool, v_pool, page_tables, seq_lens_arr, logit_softcap=cap
+        )
+        out = paged_attention(
+            q, k_pool, v_pool, page_tables, seq_lens_arr,
+            interpret=INTERPRET, logit_softcap=cap,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+        uncapped = paged_attention(
+            q, k_pool, v_pool, page_tables, seq_lens_arr, interpret=INTERPRET
+        )
+        assert float(jnp.abs(out - uncapped).max()) > 1e-4
+
+    def test_sm_scale_override(self):
+        """query_pre_attn_scalar-style softmax scaling: sm_scale is honored
+        (checked against the reference at the same override)."""
+        key = jax.random.PRNGKey(12)
+        q, k_pool, v_pool, page_tables, seq_lens_arr, _ = make_paged_case(
+            key, seq_lens=(20,)
+        )
+        ref = paged_attention_reference(
+            q, k_pool, v_pool, page_tables, seq_lens_arr, sm_scale=256.0 ** -0.5
+        )
+        out = paged_attention(
+            q, k_pool, v_pool, page_tables, seq_lens_arr,
+            interpret=INTERPRET, sm_scale=256.0 ** -0.5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
     def test_gqa_ratio_8(self):
         key = jax.random.PRNGKey(7)
         q, k_pool, v_pool, page_tables, seq_lens_arr, _ = make_paged_case(

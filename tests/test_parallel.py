@@ -339,6 +339,83 @@ class TestMeshEngine:
 
         assert got == want, "mesh engine diverged from single-device"
 
+    def test_qwen2_bias_engine_on_mesh_matches_single_device(self):
+        """Qwen-family deltas under tp: Qwen2 qkv biases (columns shard
+        like their matrices' output axes) AND Qwen3 per-head q/k norms
+        (replicated [D] vectors) — a model carrying both must serve
+        bit-identically on the mesh.  Also checks pp placement
+        (pp_param_specs optional keys + the shared layer walks'
+        qkv_heads) and colocated pp."""
+        import jax
+        import numpy as np
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        from jax.sharding import Mesh
+
+        from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+        from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+        from kvcached_tpu.parallel.pp import PPLlamaAdapter
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=256, num_layers=2,
+            num_heads=8, num_kv_heads=4, head_dim=128,
+            intermediate_size=512, dtype="float32", attention_bias=True,
+            qk_norm=True,
+        )
+        params = init_llama_params(cfg, jax.random.PRNGKey(3))
+        assert "bq" in params["layers"] and "q_norm" in params["layers"]
+        ecfg = dict(
+            max_batch=4, max_model_len=128, page_tokens=16,
+            decode_horizon=4, prefill_buckets=(16, 32), num_pages=64,
+            interpret=True, kv_dtype="float32",
+        )
+        prompts = [[1, 2, 3, 4, 5], list(range(7, 27)), [9, 9, 9]]
+        sp = SamplingParams(max_new_tokens=8)
+
+        single = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        try:
+            want = [o.output_tokens for o in single.generate(prompts, sp)]
+        finally:
+            single.shutdown()
+
+        eng = LLMEngine(
+            cfg, EngineConfig(**ecfg), params=params,
+            mesh=make_mesh(tp=4, dp=2),
+        )
+        try:
+            got = [o.output_tokens for o in eng.generate(prompts, sp)]
+            # bias really is column-sharded on the mesh
+            assert eng.params["layers"]["bq"].sharding.spec == (None, "tp")
+        finally:
+            eng.shutdown()
+        assert got == want, "biased mesh engine diverged"
+
+        pp = LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2), EngineConfig(**ecfg),
+            params=params,
+            mesh=Mesh(np.array(jax.devices()[:2]), ("pp",)),
+        )
+        try:
+            got_pp = [o.output_tokens for o in pp.generate(prompts, sp)]
+        finally:
+            pp.shutdown()
+        assert got_pp == want, "biased pp-placed engine diverged"
+
+        # colocated pp (stages as layer groups on one device) has its own
+        # step fns — regression: they used to drop the bias term
+        co = LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2), EngineConfig(**ecfg),
+            params=params,
+        )
+        try:
+            got_co = [o.output_tokens for o in co.generate(prompts, sp)]
+        finally:
+            co.shutdown()
+        assert got_co == want, "biased colocated-pp engine diverged"
+
     def test_dp_migration_and_replica_identity(self):
         """Regression: decode KV writes are per-dp-shard-local in the fused
         kernel; without the replica equalization pass (write_decode_tokens),
@@ -454,6 +531,48 @@ class TestMeshEngine:
         want = serve(None)
         got = serve(make_mesh(tp=2, dp=2))
         assert got == want, "hybrid-group mesh serving diverged"
+
+    def test_gemma2_engine_on_mesh_matches_single_device(self):
+        """Gemma2-class hybrid under tp: the sandwich post-norms must apply
+        AFTER the full tp psum (norms are nonlinear — norming a partial sum
+        per shard would diverge), soft-capping runs in each shard's kernel,
+        and the (1+w) norm convention and geglu survive the sharded path."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+        from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = HybridConfig.toy(
+            num_layers=2, window=16, dtype="float32",
+            act="gelu_tanh", norm_offset=True, embed_scale=True,
+            post_norms=True, attn_softcap=20.0, final_softcap=30.0,
+            query_scale=256.0,
+        )
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(5))
+        assert "post_attn_norm" in params["layers"]
+        ecfg = dict(
+            max_batch=4, max_model_len=128, page_tokens=16,
+            decode_horizon=2, prefill_buckets=(16, 32), num_pages=96,
+            interpret=True, kv_dtype="float32",
+        )
+        prompts = [[1, 2, 3], list(range(5, 30)), [9] * 20]
+        sp = SamplingParams(max_new_tokens=8)
+
+        def serve(mesh):
+            eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params,
+                            mesh=mesh)
+            try:
+                return [o.output_tokens for o in eng.generate(prompts, sp)]
+            finally:
+                eng.shutdown()
+
+        want = serve(None)
+        got = serve(make_mesh(tp=2, dp=2))
+        assert got == want, "gemma2 mesh serving diverged"
 
     def test_engine_mesh_validation(self):
         import jax
