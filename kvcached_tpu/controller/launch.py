@@ -64,6 +64,11 @@ def _model_cfg(family: str, cfg: dict):
         cfg.setdefault("norm_offset", True)
         cfg.setdefault("embed_scale", True)
         cfg.setdefault("post_norms", True)
+        # HF Gemma2Config defaults — weights trained with soft-capping and
+        # query_pre_attn_scalar produce wrong outputs without them
+        cfg.setdefault("attn_softcap", 50.0)
+        cfg.setdefault("final_softcap", 30.0)
+        cfg.setdefault("query_scale", 256.0)
         if "layer_windows" not in cfg:
             sw = cfg.pop("sliding_window", 4096)
             cfg["layer_windows"] = tuple(

@@ -84,15 +84,23 @@ class SleepManager:
         self, model: str, manual: bool = False, level: int | None = None
     ) -> bool:
         h = self.handles.get(model)
-        if h is None or getattr(h, "sleeping", False):
+        if h is None:
             return False
         lvl = self.config.sleep_level if level is None else level
+        if getattr(h, "sleeping", False):
+            # already sleeping: only an explicit UPGRADE (e.g. 1 → 2,
+            # discarding the host copy) passes through to the handle
+            if level is None or lvl <= getattr(h, "sleep_level", 1):
+                return False
         if lvl == 1:
             h.sleep()  # bare call keeps duck-typed handles working
         else:
             try:
                 h.sleep(level=lvl)
-            except ValueError as e:
+            except (ValueError, TypeError) as e:
+                # TypeError: duck-typed handles whose sleep() takes no
+                # level kwarg (this module promises to work against any
+                # object with sleep()/wake_up()/sleeping)
                 if level is not None:
                     raise  # explicit request: surface the error to the caller
                 # config-driven auto-sleep, e.g. level 2 on a model with no

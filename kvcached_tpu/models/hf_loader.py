@@ -195,18 +195,24 @@ def config_from_hf(ckpt_dir: str, dtype: str = "bfloat16") -> LlamaConfig:
     # Qwen3's per-head q/k RMSNorm is likewise architectural
     qk_norm = any(a == "Qwen3ForCausalLM" for a in archs)
     # Qwen records sliding_window but only APPLIES it when
-    # use_sliding_window is set (and then only from max_window_layers on —
-    # a per-layer mix this flat config can't express)
+    # use_sliding_window is set — and then only to layers AT OR ABOVE
+    # max_window_layers (the first max_window_layers layers keep full
+    # attention), a per-layer mix this flat config can't express
     sliding = hc.get("sliding_window")
     if "use_sliding_window" in hc:
-        if not hc["use_sliding_window"]:
-            sliding = None
-        elif hc.get("max_window_layers", 0) not in (0, hc["num_hidden_layers"]):
+        L = hc["num_hidden_layers"]
+        # absent key -> conservative full attention (transformers defaults
+        # max_window_layers to 28, i.e. mostly-full on typical depths)
+        mwl = hc.get("max_window_layers", L)
+        if not hc["use_sliding_window"] or mwl >= L:
+            sliding = None  # no layer is sliding
+        elif mwl > 0:
             raise ValueError(
                 "checkpoint mixes sliding and full layers via "
                 "max_window_layers — express it as the hybrid family "
                 "(per-layer layer_windows) instead of LlamaConfig"
             )
+        # mwl == 0: every layer slides -> keep the uniform window
     return LlamaConfig(
         vocab_size=hc["vocab_size"],
         hidden_size=hc["hidden_size"],
@@ -314,6 +320,11 @@ def params_from_hf(
             import dataclasses
 
             cfg = dataclasses.replace(cfg, qk_norm=True)
+    elif cfg.qk_norm:
+        raise ValueError(
+            "config says qk_norm=True but the checkpoint has no "
+            "q_norm/k_norm tensors"
+        )
     if pre.format(0) + "self_attn.q_proj.bias" in t:
         # Qwen2-class additive qkv biases (1-D: no transpose)
         layers["bq"] = cast(_stack(t, pre + "self_attn.q_proj.bias", L, False))

@@ -223,12 +223,15 @@ def _mlp_residual(x, lp, cfg, tp_axis):
     return x + mlp
 
 
-def _final_logits(x, params, cfg, tp_axis):
-    x = _norm(x, params["final_norm"], cfg)
-    logits = lm_head_logits(x, params["lm_head"], tp_axis)
+def _cap_logits(logits, cfg):
     if cfg.final_softcap is not None:
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits
+
+
+def _final_logits(x, params, cfg, tp_axis):
+    x = _norm(x, params["final_norm"], cfg)
+    return _cap_logits(lm_head_logits(x, params["lm_head"], tp_axis), cfg)
 
 
 def hybrid_decode_step(
@@ -464,9 +467,7 @@ def hybrid_prefill_step(
     (x, k_pools, v_pools), _ = jax.lax.scan(layer_fn, (x, k_pools, v_pools), layers)
 
     last = _norm(x, params["final_norm"], cfg)[jnp.maximum(true_len - 1, 0)]
-    logits = lm_head_logits(last, params["lm_head"], tp_axis)
-    if cfg.final_softcap is not None:
-        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    logits = _cap_logits(lm_head_logits(last, params["lm_head"], tp_axis), cfg)
     return logits, k_pools, v_pools
 
 
@@ -553,7 +554,5 @@ def hybrid_prefill_batch_step(
 
     x = _norm(x, params["final_norm"], cfg)
     last = x[jnp.arange(N), jnp.maximum(true_lens - 1, 0)]  # [N, E]
-    logits = lm_head_logits(last, params["lm_head"], tp_axis)
-    if cfg.final_softcap is not None:
-        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    logits = _cap_logits(lm_head_logits(last, params["lm_head"], tp_axis), cfg)
     return logits, k_pools, v_pools

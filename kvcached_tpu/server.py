@@ -109,15 +109,25 @@ class ModelHandle:
                 f"on wake (pass ckpt_dir= to add_model / 'checkpoint:' in "
                 f"the launch YAML)"
             )
+        if self.sleeping and level < self.sleep_level:
+            # level 2 already discarded the weights — there is nothing to
+            # offload to host RAM, so a downgrade cannot be honored
+            raise ValueError(
+                f"model {self.name!r} is sleeping at level "
+                f"{self.sleep_level}; cannot lower to level {level} "
+                f"(weights are gone — wake it first)"
+            )
         self._via_runner("sleep2" if level == 2 else "sleep")
 
     def wake_up(self) -> None:
-        self._via_runner("wake")
+        # reloading a multi-GB checkpoint from cold disk can far exceed the
+        # default control timeout that host-RAM restores fit in
+        self._via_runner("wake", timeout=600.0 if self.sleep_level == 2 else 30.0)
 
-    def _via_runner(self, op: str) -> None:
+    def _via_runner(self, op: str, timeout: float = 30.0) -> None:
         r = self.runner
         if r is not None and r.is_running_elsewhere():
-            r.control_sync(self, op)
+            r.control_sync(self, op, timeout=timeout)
         else:
             self._apply_control(op)
 
@@ -130,6 +140,13 @@ class ModelHandle:
     def _do_sleep(self, level: int = 1) -> None:
         """Must run on the thread that owns engine stepping."""
         if self.sleeping:
+            if level == 2 and self.sleep_level == 1:
+                # UPGRADE: discard the host copy so level 2 really frees
+                # host RAM (wake will reload from the checkpoint)
+                self._host_params = None
+                self.sleep_level = 2
+                logger.info("model %s sleep upgraded to level 2 "
+                            "(host copy discarded)", self.name)
             return
         eng = self.engine
         # preempt in-flight sequences back to waiting (frees their pages);
@@ -162,9 +179,11 @@ class ModelHandle:
         if self.sleep_level == 2:
             from .models.hf_loader import params_from_hf
 
+            # model_cfg may be a PP adapter wrapping the real config
+            mc = getattr(eng.model_cfg, "cfg", eng.model_cfg)
             _, params = params_from_hf(
-                self.ckpt_dir, cfg=eng.model_cfg,
-                dtype=str(getattr(eng.model_cfg, "dtype", "bfloat16")),
+                self.ckpt_dir, cfg=mc,
+                dtype=str(getattr(mc, "dtype", "bfloat16")),
             )
             eng.install_params(params)
             logger.info("model %s awake (weights reloaded from %s)",
@@ -180,6 +199,19 @@ class ModelHandle:
         self.sleep_level = 0
 
 
+class _Control:
+    """A queued sleep/wake: completion event + the runner-side error (the
+    runner thread must survive a failing control — it steps every model)."""
+
+    __slots__ = ("handle", "op", "done", "error")
+
+    def __init__(self, handle: "ModelHandle", op: str):
+        self.handle = handle
+        self.op = op
+        self.done = threading.Event()
+        self.error: BaseException | None = None
+
+
 class AsyncEngineRunner:
     """Steps all colocated engines on one background thread; bridges to
     asyncio via futures + thread-safe queues."""
@@ -193,7 +225,7 @@ class AsyncEngineRunner:
         self._submissions: list[tuple[ModelHandle, _Pending]] = []
         # (handle, op, done-event) sleep/wake requests, executed on the
         # runner thread between steps so state never changes mid-step
-        self._controls: list[tuple[ModelHandle, str, threading.Event]] = []
+        self._controls: list[_Control] = []
 
     def add_model(
         self, name: str, engine: LLMEngine, ckpt_dir: str | None = None
@@ -212,13 +244,17 @@ class AsyncEngineRunner:
         )
 
     def control_sync(self, handle: ModelHandle, op: str, timeout: float = 30.0) -> None:
-        """Enqueue a sleep/wake for the runner thread and wait for it."""
-        done = threading.Event()
+        """Enqueue a sleep/wake for the runner thread and wait for it.
+        An error on the runner thread (e.g. a level-2 wake whose checkpoint
+        dir vanished) re-raises HERE, on the caller."""
+        ctl = _Control(handle, op)
         with self._lock:
-            self._controls.append((handle, op, done))
+            self._controls.append(ctl)
         self._wake.set()
-        if not done.wait(timeout):
+        if not ctl.done.wait(timeout):
             raise TimeoutError(f"{op} of {handle.name} timed out")
+        if ctl.error is not None:
+            raise ctl.error
 
     def start(self) -> None:
         if self._thread is None:
@@ -237,11 +273,15 @@ class AsyncEngineRunner:
         # run leftover controls inline so control_sync callers don't hang
         with self._lock:
             ctls, self._controls = self._controls, []
-        for handle, op, done in ctls:
+        for ctl in ctls:
             try:
-                handle._apply_control(op)
+                ctl.handle._apply_control(ctl.op)
+            except BaseException as e:  # noqa: BLE001 — reported to caller
+                ctl.error = e
+                logger.error("control %s of %s failed: %s",
+                             ctl.op, ctl.handle.name, e)
             finally:
-                done.set()
+                ctl.done.set()
 
     async def submit(
         self,
@@ -269,11 +309,15 @@ class AsyncEngineRunner:
             with self._lock:
                 subs, self._submissions = self._submissions, []
                 ctls, self._controls = self._controls, []
-            for handle, op, done in ctls:
+            for ctl in ctls:
                 try:
-                    handle._apply_control(op)
+                    ctl.handle._apply_control(ctl.op)
+                except BaseException as e:  # noqa: BLE001
+                    ctl.error = e
+                    logger.error("control %s of %s failed: %s",
+                                 ctl.op, ctl.handle.name, e)
                 finally:
-                    done.set()
+                    ctl.done.set()
             for handle, pending in subs:
                 req_id = handle.engine.add_request(
                     pending.prompt, pending.sampling,

@@ -136,6 +136,46 @@ class TestQwen2:
         finally:
             eng.shutdown()
 
+    def test_max_window_layers_semantics(self, tmp_path):
+        """Review fix: HF applies the sliding window only to layers AT OR
+        ABOVE max_window_layers — mwl >= num_layers means NO sliding (the
+        old code applied the window to every layer)."""
+        import json as _json
+
+        from kvcached_tpu.models.hf_loader import config_from_hf
+
+        base = {
+            "architectures": ["Qwen2ForCausalLM"], "vocab_size": 64,
+            "hidden_size": 64, "num_hidden_layers": 4,
+            "num_attention_heads": 2, "intermediate_size": 64,
+            "sliding_window": 8, "use_sliding_window": True,
+        }
+
+        def cfg_for(**kw):
+            (tmp_path / "config.json").write_text(_json.dumps({**base, **kw}))
+            return config_from_hf(str(tmp_path))
+
+        assert cfg_for(max_window_layers=4).sliding_window is None
+        assert cfg_for(max_window_layers=0).sliding_window == 8
+        assert cfg_for().sliding_window is None  # absent key: conservative
+        with pytest.raises(ValueError, match="max_window_layers"):
+            cfg_for(max_window_layers=2)  # mixed layers need hybrid
+        assert cfg_for(use_sliding_window=False,
+                       max_window_layers=0).sliding_window is None
+
+    def test_qk_norm_config_without_tensors_rejected(self, hf_ckpt):
+        """Review fix: qk_norm=True on a checkpoint without q_norm tensors
+        used to silently skip the norm (and break mesh spec matching)."""
+        import dataclasses
+
+        from kvcached_tpu.models.hf_loader import config_from_hf, params_from_hf
+
+        ckpt_dir, _ = hf_ckpt
+        cfg = dataclasses.replace(
+            config_from_hf(ckpt_dir, dtype="float32"), qk_norm=True)
+        with pytest.raises(ValueError, match="q_norm"):
+            params_from_hf(ckpt_dir, cfg=cfg, dtype="float32")
+
     def test_unsupported_arch_rejected(self, tmp_path):
         import json as _json
 

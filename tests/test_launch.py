@@ -32,6 +32,10 @@ class TestFamilies:
         g2 = _model_cfg("gemma2", base_cfg(sliding_window=32))
         assert g2.act == "gelu_tanh" and g2.post_norms
         assert g2.layer_windows == (32, None)
+        # review fix: the alias must default the soft-caps and query scale
+        # too — gemma2 weights are trained with them
+        assert g2.attn_softcap == 50.0 and g2.final_softcap == 30.0
+        assert g2.query_scale == 256.0
         assert _model_cfg("hybrid", base_cfg(
             layer_windows=[None, 32],
         )).group_windows == (None, 32)

@@ -453,6 +453,142 @@ class TestSleepLevel2:
         finally:
             eng.shutdown()
 
+    def test_level2_wake_on_pp_engine(self):
+        """Review fix: level-2 wake used to pass the PPLlamaAdapter itself
+        (not its .cfg) to params_from_hf → AttributeError, and fell back to
+        bfloat16 for adapter-wrapped f32 configs."""
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from kvcached_tpu.engine import SamplingParams
+        from kvcached_tpu.models.hf_loader import params_from_hf
+        from kvcached_tpu.parallel.pp import PPLlamaAdapter
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        cfg, params = params_from_hf(self.CKPT, dtype="float32")
+        eng = LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2),
+            small_engine_cfg(kv_dtype="float32"), params=params,
+            mesh=Mesh(np.array(jax.devices()[:2]), ("pp",)),
+        )
+        runner = AsyncEngineRunner()
+        h = runner.add_model("pp", eng, ckpt_dir=self.CKPT)
+        try:
+            prompt = [1, 17, 14, 16]
+            want = eng.generate(
+                [prompt], SamplingParams(max_new_tokens=6))[0].output_tokens
+            h.sleep(level=2)
+            h.wake_up()
+            assert eng.params["embed"].dtype == jnp.float32
+            got = eng.generate(
+                [prompt], SamplingParams(max_new_tokens=6))[0].output_tokens
+            assert got == want
+        finally:
+            eng.shutdown()
+
+    @pytest.mark.anyio
+    async def test_failed_wake_reports_error_and_runner_survives(self):
+        """Review fix: an exception inside a runner-thread control used to
+        kill the runner thread (every model stopped being stepped) while
+        the caller was told the op succeeded."""
+        from kvcached_tpu.engine import SamplingParams
+
+        eng = self._engine()
+        cfg2 = LlamaConfig.toy(vocab_size=300)
+        eng2 = LLMEngine(cfg2, small_engine_cfg(),
+                         params=init_llama_params(cfg2, jax.random.PRNGKey(0)))
+        runner = AsyncEngineRunner()
+        h = runner.add_model("tiny", eng, ckpt_dir=self.CKPT)
+        runner.add_model("other", eng2)
+        runner.start()
+        try:
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, lambda: h.sleep(level=2))
+            h.ckpt_dir = "/nonexistent/ckpt"  # wake will fail on disk
+            with pytest.raises(FileNotFoundError):
+                await loop.run_in_executor(None, h.wake_up)
+            assert h.sleeping and eng.params is None  # state consistent
+            # the runner thread survived: the OTHER model still serves
+            fut, _ = await runner.submit(
+                "other", [1, 2, 3], SamplingParams(max_new_tokens=3))
+            out = await asyncio.wait_for(fut, 120)
+            assert len(out.output_tokens) == 3
+            # and a repaired path wakes cleanly
+            h.ckpt_dir = self.CKPT
+            await loop.run_in_executor(None, h.wake_up)
+            assert not h.sleeping
+        finally:
+            runner.stop()
+            eng.shutdown()
+            eng2.shutdown()
+
+    def test_sleep_upgrade_1_to_2_and_no_downgrade(self):
+        """Review fix: level 2 on a level-1 sleeper used to silently no-op
+        (host copy kept) while the endpoint reported level 2."""
+        eng = self._engine()
+        runner = AsyncEngineRunner()
+        h = runner.add_model("tiny", eng, ckpt_dir=self.CKPT)
+        try:
+            h.sleep(level=1)
+            assert h._host_params is not None and h.sleep_level == 1
+            h.sleep(level=2)  # upgrade really discards the host copy
+            assert h._host_params is None and h.sleep_level == 2
+            with pytest.raises(ValueError, match="cannot lower"):
+                h.sleep(level=1)
+            h.wake_up()
+            assert eng.params is not None
+        finally:
+            eng.shutdown()
+
+    def test_sleep_manager_routes_explicit_upgrade(self):
+        """Review follow-up: the manager's already-sleeping guard used to
+        short-circuit the 1→2 upgrade, so /action/sleep/{m}?level=2 on a
+        level-1 sleeper reported ok=false and kept the host copy."""
+        from kvcached_tpu.controller.sleep_manager import SleepManager
+        from kvcached_tpu.controller.traffic_monitor import TrafficMonitor
+
+        eng = self._engine()
+        runner = AsyncEngineRunner()
+        h = runner.add_model("tiny", eng, ckpt_dir=self.CKPT)
+        try:
+            sm = SleepManager(runner.models, TrafficMonitor(),
+                              SleepConfig(enabled=False))
+            assert sm.sleep_model("tiny", level=1)
+            assert h._host_params is not None
+            assert sm.sleep_model("tiny", level=2)  # upgrade passes through
+            assert h._host_params is None and h.sleep_level == 2
+            assert not sm.sleep_model("tiny", level=2)  # same level: no-op
+            assert not sm.sleep_model("tiny", level=1)  # downgrade refused
+            sm.wake_model("tiny")
+            assert eng.params is not None
+        finally:
+            eng.shutdown()
+
+    def test_duck_typed_handle_degrades_under_level2_config(self):
+        """Review fix: a duck-typed handle whose sleep() takes no level
+        kwarg raised TypeError through the auto-sleep degrade path."""
+        from kvcached_tpu.controller.sleep_manager import SleepManager
+        from kvcached_tpu.controller.traffic_monitor import TrafficMonitor
+
+        class Duck:
+            sleeping = False
+
+            def sleep(self):  # no level kwarg
+                self.sleeping = True
+
+            def wake_up(self):
+                self.sleeping = False
+
+        d = Duck()
+        sm = SleepManager(
+            {"d": d}, TrafficMonitor(),
+            SleepConfig(enabled=False, sleep_level=2),
+        )
+        assert sm.sleep_model("d")  # degrades to the bare call
+        assert d.sleeping
+
     @pytest.mark.anyio
     async def test_http_level_param_server_and_frontend(self):
         """/sleep/{m}?level=2 (server) and /action/sleep/{m}?level=2
