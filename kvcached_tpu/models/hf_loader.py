@@ -169,6 +169,35 @@ def _gemma2_config(hc: dict, dtype: str):
         attn_softcap=hc.get("attn_logit_softcapping"),
         final_softcap=hc.get("final_logit_softcapping"),
         query_scale=float(hc.get("query_pre_attn_scalar", head_dim)),
+        rope_scaling=_rope_scaling_from_hf(hc),
+    )
+
+
+def _rope_scaling_from_hf(hc: dict) -> tuple | None:
+    """config.json rope_scaling → the hashable tuple rope_inv_freqs eats.
+
+    Llama-3.1/3.2 checkpoints carry {"rope_type": "llama3", ...} and are
+    TRAINED with it — loading them unscaled is silently wrong at every
+    position, so unknown scaling kinds abort loudly rather than fall back.
+    """
+    rs = hc.get("rope_scaling")
+    if not rs:
+        return None
+    kind = rs.get("rope_type", rs.get("type", "default"))
+    if kind == "default":
+        return None
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    if kind == "llama3":
+        return (
+            "llama3", float(rs["factor"]),
+            float(rs["low_freq_factor"]), float(rs["high_freq_factor"]),
+            float(rs["original_max_position_embeddings"]),
+        )
+    raise ValueError(
+        f"unsupported rope_scaling type {kind!r} (supported: linear, "
+        f"llama3) — loading this checkpoint unscaled would be silently "
+        f"wrong"
     )
 
 
@@ -194,6 +223,7 @@ def config_from_hf(ckpt_dir: str, dtype: str = "bfloat16") -> LlamaConfig:
     )
     # Qwen3's per-head q/k RMSNorm is likewise architectural
     qk_norm = any(a == "Qwen3ForCausalLM" for a in archs)
+    rope_scaling = _rope_scaling_from_hf(hc)
     # Qwen records sliding_window but only APPLIES it when
     # use_sliding_window is set — and then only to layers AT OR ABOVE
     # max_window_layers (the first max_window_layers layers keep full
@@ -227,6 +257,7 @@ def config_from_hf(ckpt_dir: str, dtype: str = "bfloat16") -> LlamaConfig:
         sliding_window=sliding,
         attention_bias=attention_bias,
         qk_norm=qk_norm,
+        rope_scaling=rope_scaling,
     )
 
 

@@ -94,6 +94,9 @@ class HybridConfig:
     #: Qwen3/Gemma3-style per-head q/k RMSNorm (init_llama_params adds
     #: q_norm/k_norm, qkv_heads applies them)
     qk_norm: bool = False
+    #: RoPE frequency scaling ("linear", factor) / ("llama3", ...) — see
+    #: llama.rope_inv_freqs
+    rope_scaling: tuple | None = None
 
     def __post_init__(self):
         if len(self.layer_windows) != self.num_layers:
@@ -268,8 +271,10 @@ def hybrid_decode_step(
 
         h = _norm(x, lp["attn_norm"], cfg)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
-        k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+        q = rope(q[:, None], positions[:, None], cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))[:, 0]
+        k = rope(k[:, None], positions[:, None], cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))[:, 0]
 
         def make_branch(g: int):
             w = windows[g]  # STATIC per branch
@@ -351,8 +356,10 @@ def hybrid_verify_step(
 
         h = _norm(x, lp["attn_norm"], cfg)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+        k = rope(k, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
 
         def make_branch(g: int):
             w = windows[g]  # STATIC per branch
@@ -428,8 +435,10 @@ def hybrid_prefill_step(
 
         h = _norm(x, lp["attn_norm"], cfg)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+        k = rope(k, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
 
         def make_branch(g: int):
             w = windows[g]
@@ -509,8 +518,10 @@ def hybrid_prefill_batch_step(
 
         h = _norm(x, lp["attn_norm"], cfg)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+        k = rope(k, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
 
         def make_branch(g: int):
             w = windows[g]

@@ -60,6 +60,11 @@ class LlamaConfig:
     #: the only architectural delta between Qwen3- and Llama-class
     #: checkpoints (Qwen3 drops Qwen2's qkv biases).
     qk_norm: bool = False
+    #: RoPE frequency scaling (long-context checkpoints):
+    #: ("linear", factor) or Llama-3.1's ("llama3", factor,
+    #: low_freq_factor, high_freq_factor, original_max_position_embeddings).
+    #: None = unscaled.  A tuple keeps the frozen config hashable.
+    rope_scaling: tuple | None = None
 
     @property
     def jdtype(self):
@@ -89,6 +94,17 @@ class LlamaConfig:
             num_kv_heads=8,
             head_dim=128,
             intermediate_size=14336,
+        )
+
+    @classmethod
+    def llama31_8b(cls):
+        """Llama-3.1-8B: the 3.0 geometry + the llama3 long-context rope
+        scaling its checkpoints are trained with."""
+        import dataclasses
+
+        return dataclasses.replace(
+            cls.llama3_8b(),
+            rope_scaling=("llama3", 8.0, 1.0, 4.0, 8192.0),
         )
 
 
@@ -142,10 +158,39 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+def rope_inv_freqs(d: int, theta: float, scaling: tuple | None) -> jax.Array:
+    """Inverse frequencies with optional long-context scaling.
+
+    ``("llama3", factor, low_f, high_f, orig_max)`` is transformers'
+    _compute_llama3_parameters: long wavelengths (> orig/low_f) divide by
+    factor, short ones (< orig/high_f) stay, the band between blends —
+    Llama-3.1/3.2 checkpoints are trained WITH this; loading them unscaled
+    skews every position past ~orig_max/2pi cycles."""
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    if scaling is None:
+        return freqs
+    kind = scaling[0]
+    if kind == "linear":
+        return freqs / scaling[1]
+    if kind == "llama3":
+        _, factor, low_f, high_f, orig = scaling
+        wavelen = 2.0 * math.pi / freqs
+        smooth = (orig / wavelen - low_f) / (high_f - low_f)
+        blended = (1.0 - smooth) * freqs / factor + smooth * freqs
+        return jnp.where(
+            wavelen > orig / low_f, freqs / factor,
+            jnp.where(wavelen < orig / high_f, freqs, blended),
+        )
+    raise ValueError(f"unsupported rope scaling {kind!r}")
+
+
+def rope(
+    x: jax.Array, positions: jax.Array, theta: float,
+    scaling: tuple | None = None,
+) -> jax.Array:
     """Rotary embedding. x: [..., T, heads, head_dim], positions: [..., T]."""
     d = x.shape[-1]
-    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    freqs = rope_inv_freqs(d, theta, scaling)
     angles = positions[..., :, None].astype(jnp.float32) * freqs  # [..., T, d/2]
     cos = jnp.cos(angles)[..., :, None, :]  # broadcast over heads
     sin = jnp.sin(angles)[..., :, None, :]
@@ -254,8 +299,10 @@ def llama_decode_step(
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
         # rope expects [..., T, heads, D]; decode has T folded into batch
-        q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
-        k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+        q = rope(q[:, None], positions[:, None], cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))[:, 0]
+        k = rope(k[:, None], positions[:, None], cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))[:, 0]
 
         # fused kernel: write this token's K/V into its page (in-place via
         # buffer aliasing), then attend over everything incl. itself.
@@ -339,8 +386,10 @@ def llama_verify_step(
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+        k = rope(k, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
 
         attn, k_pools, v_pools = paged_attention_verify(
             q,
@@ -421,8 +470,10 @@ def llama_prefill_step(
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+        k = rope(k, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
 
         k_sc, v_sc = (
             (quant_scales[0][l_idx], quant_scales[1][l_idx])
@@ -502,8 +553,10 @@ def llama_prefill_batch_step(
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+        k = rope(k, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
 
         k_sc, v_sc = (
             (quant_scales[0][l_idx], quant_scales[1][l_idx])

@@ -121,8 +121,10 @@ class PPLlamaAdapter:
 
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
             q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-            q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
-            k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+            q = rope(q[:, None], positions[:, None], cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))[:, 0]
+            k = rope(k[:, None], positions[:, None], cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))[:, 0]
 
             # dynamic stage select: geometry is identical across stages, so
             # the kernel compiles once and the table row is a cheap gather
@@ -177,8 +179,10 @@ class PPLlamaAdapter:
 
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
             q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-            q = rope(q, positions, cfg.rope_theta)
-            k = rope(k, positions, cfg.rope_theta)
+            q = rope(q, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+            k = rope(k, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
 
             k_sc, v_sc = (
                 (quant_scales[0][l_in_s], quant_scales[1][l_in_s])
@@ -239,8 +243,10 @@ class PPLlamaAdapter:
 
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
             q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-            q = rope(q, positions, cfg.rope_theta)
-            k = rope(k, positions, cfg.rope_theta)
+            q = rope(q, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+            k = rope(k, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
 
             k_sc, v_sc = (
                 (quant_scales[0][l_in_s], quant_scales[1][l_in_s])
@@ -305,8 +311,10 @@ class PPLlamaAdapter:
 
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
             q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-            q = rope(q, positions, cfg.rope_theta)
-            k = rope(k, positions, cfg.rope_theta)
+            q = rope(q, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+            k = rope(k, positions, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
 
             attn, k_pools, v_pools = paged_attention_verify(
                 q, k_pools, v_pools,

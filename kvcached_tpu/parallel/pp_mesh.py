@@ -151,8 +151,10 @@ def _make_layer_walks(cfg, layers, Lp, H, KH, D, ptp, interpret,
             lp, l_idx = layer["p"], layer["i"]
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
             q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-            q = rope(q[:, None], pos[:, None], cfg.rope_theta)[:, 0]
-            k = rope(k[:, None], pos[:, None], cfg.rope_theta)[:, 0]
+            q = rope(q[:, None], pos[:, None], cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))[:, 0]
+            k = rope(k[:, None], pos[:, None], cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))[:, 0]
             attn, k_pool, v_pool = paged_attention_decode(
                 q, k_pool, v_pool, tbl, sl, l_idx,
                 k if int8_kv else k.astype(k_pool.dtype),
@@ -179,8 +181,10 @@ def _make_layer_walks(cfg, layers, Lp, H, KH, D, ptp, interpret,
             lp, l_idx = layer["p"], layer["i"]
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
             q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-            q = rope(q, pos, cfg.rope_theta)
-            k = rope(k, pos, cfg.rope_theta)
+            q = rope(q, pos, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+            k = rope(k, pos, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
             attn, k_pool, v_pool = paged_attention_verify(
                 q, k_pool, v_pool, tbl, sl, l_idx,
                 k if int8_kv else k.astype(k_pool.dtype),
@@ -205,8 +209,10 @@ def _make_layer_walks(cfg, layers, Lp, H, KH, D, ptp, interpret,
             lp, l_idx = layer["p"], layer["i"]
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
             q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-            q = rope(q, pos, cfg.rope_theta)
-            k = rope(k, pos, cfg.rope_theta)
+            q = rope(q, pos, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+            k = rope(k, pos, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
             k_pool, v_pool = write_prefill_kv(
                 k_pool, v_pool, k.transpose(1, 0, 2),
                 v.transpose(1, 0, 2), cp, l_idx, interpret=interpret,
@@ -235,8 +241,10 @@ def _make_layer_walks(cfg, layers, Lp, H, KH, D, ptp, interpret,
             lp, l_idx = layer["p"], layer["i"]
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
             q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-            q = rope(q, pos, cfg.rope_theta)
-            k = rope(k, pos, cfg.rope_theta)
+            q = rope(q, pos, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
+            k = rope(k, pos, cfg.rope_theta,
+                 getattr(cfg, "rope_scaling", None))
             # page writes are sequence-agnostic: flatten the batch into
             # one [KH, N*tile, D] stream over [N * tile/P] pages
             k_pool, v_pool = write_prefill_kv(

@@ -256,6 +256,136 @@ class TestQwen3:
             eng.shutdown()
 
 
+class TestRopeScaling:
+    """Llama-3.1-style rope_scaling: checkpoints are TRAINED with the
+    scaled frequencies, so the loader must reproduce transformers'
+    _compute_llama3_parameters exactly (and refuse unknown kinds instead
+    of silently loading unscaled)."""
+
+    SCALING = {
+        "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+        "high_freq_factor": 4.0,
+        # tiny so the scaling actually bites at test positions
+        "original_max_position_embeddings": 32,
+    }
+
+    @pytest.fixture(scope="class")
+    def llama31_ckpt(self, tmp_path_factory):
+        torch = pytest.importorskip("torch")
+        from transformers import LlamaConfig as HFConfig
+        from transformers import LlamaForCausalLM
+
+        hc = HFConfig(
+            vocab_size=128, hidden_size=512, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rms_norm_eps=1e-5, rope_theta=10000.0,
+            tie_word_embeddings=False, rope_scaling=dict(self.SCALING),
+            max_position_embeddings=256,
+        )
+        torch.manual_seed(0)
+        model = LlamaForCausalLM(hc).eval()
+        d = tmp_path_factory.mktemp("llama31_ckpt")
+        model.save_pretrained(str(d), safe_serialization=True)
+        return str(d), model
+
+    def test_config_parses_scaling(self, llama31_ckpt):
+        from kvcached_tpu.models.hf_loader import config_from_hf
+
+        cfg = config_from_hf(llama31_ckpt[0])
+        assert cfg.rope_scaling == ("llama3", 8.0, 1.0, 4.0, 32.0)
+
+    def test_inv_freqs_match_transformers(self, llama31_ckpt):
+        import numpy as np
+
+        from kvcached_tpu.models.llama import rope_inv_freqs
+
+        _, hf_model = llama31_ckpt
+        want = hf_model.model.rotary_emb.inv_freq.numpy()
+        got = np.asarray(rope_inv_freqs(
+            128, 10000.0, ("llama3", 8.0, 1.0, 4.0, 32.0)))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # the scaling must actually change something at this orig_max
+        plain = np.asarray(rope_inv_freqs(128, 10000.0, None))
+        assert np.abs(got - plain).max() > 1e-6
+
+    def test_greedy_generation_matches_transformers(self, llama31_ckpt):
+        import torch
+
+        from kvcached_tpu.engine import EngineConfig, SamplingParams
+        from kvcached_tpu.models.hf_loader import engine_from_checkpoint
+
+        ckpt_dir, hf_model = llama31_ckpt
+        import numpy as np
+
+        # prompt long enough that scaled long-wavelength channels matter
+        prompt = list(range(1, 41))
+        with torch.no_grad():
+            want = hf_model.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False
+            )[0][len(prompt):].tolist()
+            want_logits = hf_model(
+                torch.tensor([prompt])).logits[0, -1].numpy()
+
+        eng = engine_from_checkpoint(
+            ckpt_dir,
+            EngineConfig(
+                max_batch=2, max_model_len=128, page_tokens=16,
+                decode_horizon=2, prefill_buckets=(16, 64), num_pages=32,
+                interpret=True, kv_dtype="float32",
+            ),
+            dtype="float32",
+        )
+        try:
+            # strong gate: full 40-token logits parity (the scaling bites
+            # well before position 40 with orig_max=32)
+            from kvcached_tpu.models.llama import (
+                llama_prefill_step,
+            )
+            import jax.numpy as jnp
+
+            cfg = eng.model_cfg
+            L, KH, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+            kp = jnp.zeros((L, 8, KH, 16, D), jnp.float32)
+            toks = np.zeros(48, np.int32)
+            toks[:40] = prompt
+            pt = np.zeros(4, np.int32)
+            pt[:3] = [1, 2, 3]
+            logits, _, _ = llama_prefill_step(
+                eng.params, cfg, jnp.asarray(toks),
+                jnp.arange(48, dtype=jnp.int32), kp, jnp.zeros_like(kp),
+                jnp.asarray([1, 2, 3], jnp.int32), jnp.asarray(pt),
+                jnp.asarray(0, jnp.int32), jnp.asarray(40, jnp.int32),
+                interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(logits), want_logits, atol=2e-2, rtol=2e-2)
+
+            # generation with SYMMETRIC eos semantics (this random model
+            # emits the default eos=2 immediately; transformers stops on
+            # it, so must we — the engine includes the stop token)
+            got = eng.generate(
+                [prompt],
+                SamplingParams(max_new_tokens=8, stop_token_ids=(2,)),
+            )
+            assert got[0].output_tokens == want
+        finally:
+            eng.shutdown()
+
+    def test_unknown_scaling_kind_rejected(self, tmp_path):
+        import json as _json
+
+        from kvcached_tpu.models.hf_loader import config_from_hf
+
+        (tmp_path / "config.json").write_text(_json.dumps({
+            "architectures": ["LlamaForCausalLM"], "vocab_size": 64,
+            "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 2, "intermediate_size": 64,
+            "rope_scaling": {"rope_type": "yarn", "factor": 4.0},
+        }))
+        with pytest.raises(ValueError, match="rope_scaling"):
+            config_from_hf(str(tmp_path))
+
+
 class TestGemma2:
     """Gemma2-class checkpoints map onto the HYBRID family: alternating
     sliding/full layer groups + geglu-tanh MLP, (1+w) norms, sandwich
