@@ -65,10 +65,15 @@ def _model_cfg(family: str, cfg: dict):
         cfg.setdefault("embed_scale", True)
         cfg.setdefault("post_norms", True)
         # HF Gemma2Config defaults — weights trained with soft-capping and
-        # query_pre_attn_scalar produce wrong outputs without them
+        # query_pre_attn_scalar produce wrong outputs without them.
+        # query_pre_attn_scalar equals head_dim (256) for the 2B/9B
+        # geometries but hidden/heads (144) for 27B, so default from the
+        # config's head_dim rather than a constant — a 27B-shaped config
+        # must still pass query_scale explicitly (its scalar is NOT its
+        # head_dim; HybridConfig can't derive it)
         cfg.setdefault("attn_softcap", 50.0)
         cfg.setdefault("final_softcap", 30.0)
-        cfg.setdefault("query_scale", 256.0)
+        cfg.setdefault("query_scale", float(cfg.get("head_dim", 256)))
         if "layer_windows" not in cfg:
             sw = cfg.pop("sliding_window", 4096)
             cfg["layer_windows"] = tuple(

@@ -781,23 +781,32 @@ class LLMEngine:
             S = self.mesh.shape["pp"]
             ks = ks.reshape(S, -1, ks.shape[-1])
             vs = vs.reshape(S, -1, vs.shape[-1])
-        # loud shape contract: kernels index scales by ARENA layer —
-        # under pp placement [S, Lp, KH]; everywhere else (including
-        # COLOCATED pp, whose stages share one arena and therefore one
-        # [Lp, KH] scale set) [arena_layers, KH]
+        # loud shape contract: under pp placement [S, Lp, KH]
+        # (stage-stacked); plain models [arena_layers, KH].  COLOCATED pp
+        # accepts BOTH [Lp, KH] (one set shared across stages) and
+        # [num_layers, KH] (per-MODEL-layer: true per-stage calibration —
+        # each layer's row rides the step fns' layer scan and is broadcast
+        # to the arena shape, so the kernels' arena-layer lookup resolves
+        # this layer's own scale even though stages alias arena indices)
         KH = self.adapter.num_kv_heads
         Lp = self.kv_cfg.num_layers
-        want = (
-            (self.mesh.shape["pp"], Lp, KH) if self._pp_axis else (Lp, KH)
+        colocated_pp = (
+            not self._pp_axis
+            and getattr(self.adapter, "num_stages", 0) > 1
         )
-        if tuple(ks.shape) != want or tuple(vs.shape) != want:
+        if self._pp_axis:
+            want = [(self.mesh.shape["pp"], Lp, KH)]
+        elif colocated_pp:
+            want = [(Lp, KH), (self.adapter.num_layers, KH)]
+        else:
+            want = [(Lp, KH)]
+        if tuple(ks.shape) not in want or tuple(vs.shape) != tuple(ks.shape):
             raise ValueError(
-                f"set_kv_scales: expected shape {want} "
+                f"set_kv_scales: expected shape in {want} "
                 f"(arena layers x kv heads"
                 + (", stage-stacked" if self._pp_axis else "")
-                + f"), got k={tuple(ks.shape)} v={tuple(vs.shape)}; "
-                "note colocated pp stages share one arena, so scales are "
-                "per ARENA layer, not per model layer"
+                + (", or per model layer" if colocated_pp else "")
+                + f"), got k={tuple(ks.shape)} v={tuple(vs.shape)}"
             )
         self.quant_scales = (ks, vs)
         self._build_step_impls(reset_scales=False)
@@ -872,19 +881,21 @@ class LLMEngine:
             # 1F1B prefill/decode overlap: one dispatch pipelines a
             # prefill chunk's tiles AND a one-step decode together, so a
             # mid-flight chunked prefill no longer starves decode (and
-            # vice versa).  Not composed with dp (see pp_mesh docstring).
-            if self._dp_axis is None:
-                c_impl = build_pp_combined_impl(
-                    adapter.cfg, self.mesh, adapter.layers_per_group,
-                    microbatches=ec.pp_microbatches,
-                    interpret=ec.interpret, tp_axis=self._tp_axis,
-                    quantized=qs is not None,
-                )
-                self._combined_step_impl = (
-                    (lambda *a: c_impl(*a, *qs)) if qs is not None
-                    else c_impl
-                )
-                self._combined_fn = self._build_combined_fn()
+            # vice versa).  Under dp the decode batch shards and the
+            # replay equalizer runs once at the dispatch boundary (see
+            # pp_mesh build_pp_combined_impl).
+            c_impl = build_pp_combined_impl(
+                adapter.cfg, self.mesh, adapter.layers_per_group,
+                microbatches=ec.pp_microbatches,
+                interpret=ec.interpret, tp_axis=self._tp_axis,
+                dp_axis=self._dp_axis,
+                quantized=qs is not None,
+            )
+            self._combined_step_impl = (
+                (lambda *a: c_impl(*a, *qs)) if qs is not None
+                else c_impl
+            )
+            self._combined_fn = self._build_combined_fn()
             return
         if reset_scales:
             if ec.kv_dtype == "int8":
@@ -1381,18 +1392,7 @@ class LLMEngine:
         seq_p = self._prefilling
 
         # ---- decode side (the _do_decode admission pattern, K=1)
-        batch = self.running[:B]
-        i = 0
-        while i < len(batch):
-            seq = batch[i]
-            if self._ensure_blocks(seq, len(seq.tokens) + 1):
-                i += 1
-                continue
-            if not self._preempt_one():
-                break
-            batch = self.running[:B]
-            i = 0  # rescan: the priority victim may sit below the index
-        batch = [s for s in batch if s in self.running]
+        batch = self._admit_running(lambda s: len(s.tokens) + 1)
         if not batch:
             return False
 
@@ -1675,6 +1675,32 @@ class LLMEngine:
             _retained, to_free = self.prefix_cache.release(seq.blocks)
             self.manager.free(to_free)
         seq.blocks = []
+
+    def _admit_running(self, need_fn) -> list:
+        """Admission scan shared by _do_decode / _do_spec_decode /
+        _combined_chunk_step: take the head of the running queue (up to
+        max_batch) and ensure each sequence has blocks for
+        ``need_fn(seq)`` tokens, preempting under pressure.  The scan
+        RESTARTS after every preemption — the priority policy's victim may
+        sit BELOW the scan index, shifting a not-yet-checked sequence
+        under it; that sequence would be dispatched without its pages
+        (zero-page discard → silent corruption).  _ensure_blocks is cheap
+        when already satisfied, so the rescan is O(B) bookkeeping.
+        Returns the admitted batch (sequences still running, in queue
+        order); empty when even one sequence cannot be backed."""
+        B = self.cfg.max_batch
+        batch = self.running[:B]
+        i = 0
+        while i < len(batch):
+            seq = batch[i]
+            if self._ensure_blocks(seq, need_fn(seq)):
+                i += 1
+                continue
+            if not self._preempt_one():
+                break
+            batch = self.running[:B]  # repair view after preemption
+            i = 0
+        return [s for s in batch if s in self.running]
 
     def _preempt_one(self) -> bool:
         """Evict a running sequence back to waiting (recompute): the newest
@@ -2001,22 +2027,7 @@ class LLMEngine:
             K = ec.decode_horizon
 
         # ensure every sequence has blocks for +K tokens; preempt on pressure
-        i = 0
-        while i < len(batch):
-            seq = batch[i]
-            if self._ensure_blocks(seq, len(seq.tokens) + K):
-                i += 1
-                continue
-            if not self._preempt_one():
-                break
-            batch = self.running[:B]  # repair view after preemption
-            # restart the scan: the priority policy's victim may sit BELOW
-            # i, shifting a not-yet-checked sequence under the index — it
-            # would be dispatched without its pages (zero-page discard →
-            # silent corruption).  _ensure_blocks is cheap when satisfied.
-            i = 0
-
-        batch = [s for s in batch if s in self.running]
+        batch = self._admit_running(lambda s: len(s.tokens) + K)
         if not batch:
             return
 
@@ -2288,18 +2299,9 @@ class LLMEngine:
                 S = min(S, ec.spec_horizon)
         # worst case a dispatch advances a row by S*T tokens (capped at the
         # row's own cap); reserve pages up front, preempting on pressure
-        i = 0
-        while i < len(batch):
-            seq = batch[i]
-            need = min(len(seq.tokens) + S * T, self._row_cap(seq))
-            if self._ensure_blocks(seq, need):
-                i += 1
-                continue
-            if not self._preempt_one():
-                break
-            batch = self.running[:B]
-            i = 0  # rescan: the priority victim may sit below the index
-        batch = [s for s in batch if s in self.running]
+        batch = self._admit_running(
+            lambda s: min(len(s.tokens) + S * T, self._row_cap(s))
+        )
         if not batch:
             return
 

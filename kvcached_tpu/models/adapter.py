@@ -231,6 +231,10 @@ class HybridAdapter:
         self.window = None  # windows are per-group, not global
         self.group_windows = c.group_windows  # engine: one manager per group
         self.layers_per_group = c.layers_per_group  # shared-arena layer dim
+        # MQA under tp (e.g. a single-kv-head Gemma2-class checkpoint):
+        # the hybrid step fns derive per-shard head counts from weight
+        # shapes, so the engine may replicate the kv head across tp
+        self.supports_kv_replication = True
 
     def init_params(self, key):
         from .hybrid import init_hybrid_params
@@ -286,14 +290,16 @@ class HybridAdapter:
             tp_axis=tp_axis, interpret=interpret, collect_kv=collect_kv,
         )
 
-    def param_specs(self, tp_axis: str) -> dict:
+    def param_specs(self, tp_axis: str, *, kv_replicated: bool = False) -> dict:
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.mesh import llama_param_specs
 
         # same stacked param tree (+ the optional Gemma/Qwen extras)
         specs = llama_param_specs(
-            tp_axis, qk_norm=getattr(self.cfg, "qk_norm", False))
+            tp_axis, kv_replicated=kv_replicated,
+            bias=getattr(self.cfg, "attention_bias", False),
+            qk_norm=getattr(self.cfg, "qk_norm", False))
         if getattr(self.cfg, "post_norms", False):
             specs["layers"]["post_attn_norm"] = P()
             specs["layers"]["post_ffw_norm"] = P()

@@ -231,18 +231,29 @@ def config_from_hf(ckpt_dir: str, dtype: str = "bfloat16") -> LlamaConfig:
     sliding = hc.get("sliding_window")
     if "use_sliding_window" in hc:
         L = hc["num_hidden_layers"]
-        # absent key -> conservative full attention (transformers defaults
-        # max_window_layers to 28, i.e. mostly-full on typical depths)
-        mwl = hc.get("max_window_layers", L)
-        if not hc["use_sliding_window"] or mwl >= L:
+        if not hc["use_sliding_window"]:
             sliding = None  # no layer is sliding
-        elif mwl > 0:
-            raise ValueError(
-                "checkpoint mixes sliding and full layers via "
-                "max_window_layers — express it as the hybrid family "
-                "(per-layer layer_windows) instead of LlamaConfig"
-            )
-        # mwl == 0: every layer slides -> keep the uniform window
+        else:
+            # transformers defaults max_window_layers to 28 when absent — a
+            # >28-layer checkpoint relying on that default would silently
+            # get full attention on layers trained sliding, so the absent
+            # key is a loud error (real configs always carry it)
+            if "max_window_layers" not in hc:
+                raise ValueError(
+                    "use_sliding_window=true without max_window_layers: "
+                    "refusing to guess which layers slide — add the key "
+                    "(transformers' implicit default is 28)"
+                )
+            mwl = hc["max_window_layers"]
+            if mwl >= L:
+                sliding = None  # no layer is sliding
+            elif mwl > 0:
+                raise ValueError(
+                    "checkpoint mixes sliding and full layers via "
+                    "max_window_layers — express it as the hybrid family "
+                    "(per-layer layer_windows) instead of LlamaConfig"
+                )
+            # mwl == 0: every layer slides -> keep the uniform window
     return LlamaConfig(
         vocab_size=hc["vocab_size"],
         hidden_size=hc["hidden_size"],

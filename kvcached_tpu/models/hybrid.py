@@ -94,6 +94,10 @@ class HybridConfig:
     #: Qwen3/Gemma3-style per-head q/k RMSNorm (init_llama_params adds
     #: q_norm/k_norm, qkv_heads applies them)
     qk_norm: bool = False
+    #: Qwen2-style additive qkv biases (init_llama_params adds bq/bk/bv,
+    #: qkv_proj applies them) — lets per-layer-window Qwen2 checkpoints be
+    #: expressed as this family, as the loader's mixed-window error suggests
+    attention_bias: bool = False
     #: RoPE frequency scaling ("linear", factor) / ("llama3", ...) — see
     #: llama.rope_inv_freqs
     rope_scaling: tuple | None = None
@@ -254,10 +258,13 @@ def hybrid_decode_step(
     collect_kv: bool = False,
 ):
     B = tokens.shape[0]
-    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if tp_axis:
-        tp = jax.lax.axis_size(tp_axis)
-        H, KH = H // tp, KH // tp
+    # per-shard head counts come from the (possibly tp-sharded) weight
+    # shapes, not cfg//tp: under MQA the single kv head REPLICATES across
+    # tp (wk/wv full-width on every shard) while q heads shard — same
+    # derivation as the llama step fns (models/llama.py)
+    D = cfg.head_dim
+    H = params["layers"]["wq"].shape[-1] // D
+    KH = params["layers"]["wk"].shape[-1] // D
     windows = cfg.group_windows
     G = len(windows)
 
@@ -339,10 +346,13 @@ def hybrid_verify_step(
     sibling of the decode branch above).  Returns
     (logits [B, T, vocab], k_pools, v_pools[, (k, v) per global layer])."""
     B, T = tokens.shape
-    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if tp_axis:
-        tp = jax.lax.axis_size(tp_axis)
-        H, KH = H // tp, KH // tp
+    # per-shard head counts come from the (possibly tp-sharded) weight
+    # shapes, not cfg//tp: under MQA the single kv head REPLICATES across
+    # tp (wk/wv full-width on every shard) while q heads shard — same
+    # derivation as the llama step fns (models/llama.py)
+    D = cfg.head_dim
+    H = params["layers"]["wq"].shape[-1] // D
+    KH = params["layers"]["wk"].shape[-1] // D
     windows = cfg.group_windows
     G = len(windows)
 
@@ -417,10 +427,13 @@ def hybrid_prefill_step(
     interpret: bool = False,
 ):
     T = tokens.shape[0]
-    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if tp_axis:
-        tp = jax.lax.axis_size(tp_axis)
-        H, KH = H // tp, KH // tp
+    # per-shard head counts come from the (possibly tp-sharded) weight
+    # shapes, not cfg//tp: under MQA the single kv head REPLICATES across
+    # tp (wk/wv full-width on every shard) while q heads shard — same
+    # derivation as the llama step fns (models/llama.py)
+    D = cfg.head_dim
+    H = params["layers"]["wq"].shape[-1] // D
+    KH = params["layers"]["wk"].shape[-1] // D
     windows = cfg.group_windows
     G = len(windows)
     kv_len = q_start + true_len
@@ -500,10 +513,13 @@ def hybrid_prefill_batch_step(
     masking with its group's static window — bit-identical to N serial
     hybrid_prefill_step calls (rows are independent in the kernel)."""
     N, T = tokens.shape
-    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if tp_axis:
-        tp = jax.lax.axis_size(tp_axis)
-        H, KH = H // tp, KH // tp
+    # per-shard head counts come from the (possibly tp-sharded) weight
+    # shapes, not cfg//tp: under MQA the single kv head REPLICATES across
+    # tp (wk/wv full-width on every shard) while q heads shard — same
+    # derivation as the llama step fns (models/llama.py)
+    D = cfg.head_dim
+    H = params["layers"]["wq"].shape[-1] // D
+    KH = params["layers"]["wk"].shape[-1] // D
     windows = cfg.group_windows
     G = len(windows)
     kv_lens = q_starts + true_lens

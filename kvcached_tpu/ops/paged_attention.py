@@ -1338,6 +1338,7 @@ def _decode_tokens_write_kernel(
     sublane: int,
     num_kv_heads: int,
     quantized: bool,
+    scales_by_kv_layer: bool = False,
 ):
     li = pl.program_id(0)
     b = pl.program_id(1)
@@ -1366,12 +1367,16 @@ def _decode_tokens_write_kernel(
         v_val = v_new_ref[0][:, None, :].astype(jnp.float32)
         if quantized:
             # same formula as the fused kernel's quantize-on-write, so
-            # rewriting a slot it already wrote is bit-identical
+            # rewriting a slot it already wrote is bit-identical.
+            # scales_by_kv_layer: scales are keyed by KV (model) layer —
+            # colocated-pp per-stage calibration, where layers of
+            # different stages alias pool layers but carry their own rows
+            sc_row = li if scales_by_kv_layer else layer
             k_sc = _select_head_scales(
-                k_scales_ref, layer, num_kv_heads, k_val.shape, 0
+                k_scales_ref, sc_row, num_kv_heads, k_val.shape, 0
             )
             v_sc = _select_head_scales(
-                v_scales_ref, layer, num_kv_heads, v_val.shape, 0
+                v_scales_ref, sc_row, num_kv_heads, v_val.shape, 0
             )
             k_val = jnp.clip(jnp.round(k_val / k_sc), -127, 127)
             v_val = jnp.clip(jnp.round(v_val / v_sc), -127, 127)
@@ -1428,6 +1433,13 @@ def write_decode_tokens(
     Lk, B, _, _ = k_new.shape
     sublane = _sublane_for(k_pool.dtype)
     quantized = jnp.dtype(k_pool.dtype) == jnp.int8
+    # scales keyed by KV (model) layer instead of pool layer: the
+    # colocated-pp per-stage calibration contract (rows == Lk != L; when
+    # Lk == L the two indexings coincide — pool_layers is the identity)
+    scales_by_kv_layer = (
+        quantized and k_scales is not None and k_scales.shape[0] == Lk
+        and Lk != L
+    )
     if quantized:
         assert k_scales is not None and v_scales is not None
     else:
@@ -1449,6 +1461,7 @@ def write_decode_tokens(
             sublane=sublane,
             num_kv_heads=num_kv_heads,
             quantized=quantized,
+            scales_by_kv_layer=scales_by_kv_layer,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,

@@ -91,17 +91,33 @@ class PPLlamaAdapter:
         in_stage = [l % Lp for l in range(self.cfg.num_layers)]
         return stage, in_stage
 
+    def _per_model_scales(self, quant_scales) -> bool:
+        """True when the scales are keyed by MODEL layer ([L, KH]) rather
+        than arena layer ([Lp, KH]) — static shape switch at trace time."""
+        return (
+            quant_scales is not None
+            and self.num_stages > 1
+            and quant_scales[0].shape[0] == self.cfg.num_layers
+        )
+
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
                     *, tp_axis=None, interpret=False, quant_scales=None,
                     collect_kv=False):
         """page_tables: [S, B, max_pages]; slot_pages: [S, B].
 
-        ``quant_scales``: ([Lp, KH], [Lp, KH]) for int8 pools, keyed by
-        ARENA layer.  Stages share one physical arena here, and the read
-        kernel dequantizes by pool layer — so scales are shared across
-        stages (per-stage scale resolution needs stage PLACEMENT, where
-        each stage owns its pool: parallel/pp_mesh.py)."""
+        ``quant_scales``: int8 pools.  Two accepted shapes, keyed by the
+        leading dim (static at trace time):
+
+        - ([Lp, KH], [Lp, KH]) keyed by ARENA layer — one scale set
+          shared by every stage (the pre-round-5 contract);
+        - ([L, KH], [L, KH]) keyed by MODEL layer — true per-stage
+          calibration under the shared arena.  Each layer's scale row
+          rides the scan and is broadcast to the arena shape, so the
+          kernel's arena-layer lookup reads THIS layer's own scale even
+          though stages alias arena indices (stage PLACEMENT gets the
+          same resolution from stage-stacked scales: parallel/pp_mesh.py).
+        """
         cfg = self.cfg
         B = tokens.shape[0]
         H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -111,6 +127,8 @@ class PPLlamaAdapter:
         stage_of, in_stage = self._stage_maps()
         int8_kv = jnp.dtype(k_pools.dtype) == jnp.int8
         k_scales, v_scales = quant_scales if quant_scales else (None, None)
+        per_model = self._per_model_scales(quant_scales)
+        Lp = self.layers_per_group
 
         x = params["embed"][tokens]
 
@@ -118,6 +136,11 @@ class PPLlamaAdapter:
             x, k_pools, v_pools = carry
             lp = layer["p"]
             s_idx, l_in_s = layer["s"], layer["ls"]
+            k_sc, v_sc = (
+                (jnp.broadcast_to(layer["ksc"][None], (Lp, layer["ksc"].shape[0])),
+                 jnp.broadcast_to(layer["vsc"][None], (Lp, layer["vsc"].shape[0])))
+                if per_model else (k_scales, v_scales)
+            )
 
             h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
             q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
@@ -135,7 +158,7 @@ class PPLlamaAdapter:
                 v if int8_kv else v.astype(v_pools.dtype),
                 slot_pages[s_idx], slot_offsets,
                 interpret=interpret,
-                k_scales=k_scales, v_scales=v_scales,
+                k_scales=k_sc, v_scales=v_sc,
             )
             x = x + _maybe_psum(attn.reshape(B, H * D) @ lp["wo"], tp_axis)
             h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
@@ -148,6 +171,8 @@ class PPLlamaAdapter:
             "s": jnp.asarray(stage_of, jnp.int32),
             "ls": jnp.asarray(in_stage, jnp.int32),
         }
+        if per_model:
+            layers["ksc"], layers["vsc"] = k_scales, v_scales
         (x, k_pools, v_pools), kv = jax.lax.scan(
             layer_fn, (x, k_pools, v_pools), layers
         )
@@ -168,6 +193,8 @@ class PPLlamaAdapter:
             tp = jax.lax.axis_size(tp_axis)
             H, KH = H // tp, KH // tp
         stage_of, in_stage = self._stage_maps()
+        per_model = self._per_model_scales(quant_scales)
+        Lp = self.layers_per_group
         kv_len = q_start + true_len
 
         x = params["embed"][tokens]
@@ -184,20 +211,24 @@ class PPLlamaAdapter:
             k = rope(k, positions, cfg.rope_theta,
                  getattr(cfg, "rope_scaling", None))
 
-            k_sc, v_sc = (
-                (quant_scales[0][l_in_s], quant_scales[1][l_in_s])
-                if quant_scales else (None, None)
-            )
+            if per_model:
+                k_w, v_w = layer["ksc"], layer["vsc"]
+                k_sc = jnp.broadcast_to(k_w[None], (Lp, k_w.shape[0]))
+                v_sc = jnp.broadcast_to(v_w[None], (Lp, v_w.shape[0]))
+            elif quant_scales:
+                k_w, v_w = quant_scales[0][l_in_s], quant_scales[1][l_in_s]
+                k_sc, v_sc = quant_scales
+            else:
+                k_w = v_w = k_sc = v_sc = None
             k_pools, v_pools = write_prefill_kv(
                 k_pools, v_pools, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
                 chunk_pages[s_idx], l_in_s, interpret=interpret,
-                k_scale=k_sc, v_scale=v_sc,
+                k_scale=k_w, v_scale=v_w,
             )
             attn = paged_prefill_attention(
                 q, k_pools, v_pools, page_table[s_idx], q_start, kv_len,
                 l_in_s, interpret=interpret,
-                k_scales=quant_scales[0] if quant_scales else None,
-                v_scales=quant_scales[1] if quant_scales else None,
+                k_scales=k_sc, v_scales=v_sc,
             )
             x = x + _maybe_psum(attn.reshape(T, H * D) @ lp["wo"], tp_axis)
             h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
@@ -210,6 +241,8 @@ class PPLlamaAdapter:
             "s": jnp.asarray(stage_of, jnp.int32),
             "ls": jnp.asarray(in_stage, jnp.int32),
         }
+        if per_model:
+            layers["ksc"], layers["vsc"] = quant_scales
         (x, k_pools, v_pools), _ = jax.lax.scan(
             layer_fn, (x, k_pools, v_pools), layers
         )
@@ -232,6 +265,8 @@ class PPLlamaAdapter:
             tp = jax.lax.axis_size(tp_axis)
             H, KH = H // tp, KH // tp
         stage_of, in_stage = self._stage_maps()
+        per_model = self._per_model_scales(quant_scales)
+        Lp = self.layers_per_group
         kv_lens = q_starts + true_lens
 
         x = params["embed"][tokens]  # [N, T, E]
@@ -248,10 +283,15 @@ class PPLlamaAdapter:
             k = rope(k, positions, cfg.rope_theta,
                  getattr(cfg, "rope_scaling", None))
 
-            k_sc, v_sc = (
-                (quant_scales[0][l_in_s], quant_scales[1][l_in_s])
-                if quant_scales else (None, None)
-            )
+            if per_model:
+                k_w, v_w = layer["ksc"], layer["vsc"]
+                k_sc = jnp.broadcast_to(k_w[None], (Lp, k_w.shape[0]))
+                v_sc = jnp.broadcast_to(v_w[None], (Lp, v_w.shape[0]))
+            elif quant_scales:
+                k_w, v_w = quant_scales[0][l_in_s], quant_scales[1][l_in_s]
+                k_sc, v_sc = quant_scales
+            else:
+                k_w = v_w = k_sc = v_sc = None
             # flatten the batch into one [KH, N*T, D] stream over this
             # stage's [N * T/P] pages (page writes are sequence-agnostic)
             k_pools, v_pools = write_prefill_kv(
@@ -259,13 +299,12 @@ class PPLlamaAdapter:
                 k.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
                 v.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
                 chunk_pages[:, s_idx].reshape(-1), l_in_s,
-                interpret=interpret, k_scale=k_sc, v_scale=v_sc,
+                interpret=interpret, k_scale=k_w, v_scale=v_w,
             )
             attn = paged_prefill_attention_batch(
                 q, k_pools, v_pools, page_tables[:, s_idx], q_starts,
                 kv_lens, l_in_s, interpret=interpret,
-                k_scales=quant_scales[0] if quant_scales else None,
-                v_scales=quant_scales[1] if quant_scales else None,
+                k_scales=k_sc, v_scales=v_sc,
             )  # [N, T, H, D]
             x = x + _maybe_psum(attn.reshape(N, T, H * D) @ lp["wo"], tp_axis)
             h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
@@ -278,6 +317,8 @@ class PPLlamaAdapter:
             "s": jnp.asarray(stage_of, jnp.int32),
             "ls": jnp.asarray(in_stage, jnp.int32),
         }
+        if per_model:
+            layers["ksc"], layers["vsc"] = quant_scales
         (x, k_pools, v_pools), _ = jax.lax.scan(
             layer_fn, (x, k_pools, v_pools), layers
         )
@@ -301,6 +342,8 @@ class PPLlamaAdapter:
         stage_of, in_stage = self._stage_maps()
         int8_kv = jnp.dtype(k_pools.dtype) == jnp.int8
         k_scales, v_scales = quant_scales if quant_scales else (None, None)
+        per_model = self._per_model_scales(quant_scales)
+        Lp = self.layers_per_group
 
         x = params["embed"][tokens]  # [B, T, E]
 
@@ -316,6 +359,11 @@ class PPLlamaAdapter:
             k = rope(k, positions, cfg.rope_theta,
                  getattr(cfg, "rope_scaling", None))
 
+            k_sc, v_sc = (
+                (jnp.broadcast_to(layer["ksc"][None], (Lp, layer["ksc"].shape[0])),
+                 jnp.broadcast_to(layer["vsc"][None], (Lp, layer["vsc"].shape[0])))
+                if per_model else (k_scales, v_scales)
+            )
             attn, k_pools, v_pools = paged_attention_verify(
                 q, k_pools, v_pools,
                 page_tables[s_idx], seq_lens, l_in_s,
@@ -323,7 +371,7 @@ class PPLlamaAdapter:
                 v if int8_kv else v.astype(v_pools.dtype),
                 slot_pages[s_idx], slot_offsets,
                 interpret=interpret,
-                k_scales=k_scales, v_scales=v_scales,
+                k_scales=k_sc, v_scales=v_sc,
             )  # [B, T, H, D]
             x = x + _maybe_psum(attn.reshape(B, T, H * D) @ lp["wo"], tp_axis)
             h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
@@ -336,6 +384,8 @@ class PPLlamaAdapter:
             "s": jnp.asarray(stage_of, jnp.int32),
             "ls": jnp.asarray(in_stage, jnp.int32),
         }
+        if per_model:
+            layers["ksc"], layers["vsc"] = quant_scales
         (x, k_pools, v_pools), kv = jax.lax.scan(
             layer_fn, (x, k_pools, v_pools), layers
         )

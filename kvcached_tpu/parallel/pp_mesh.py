@@ -709,6 +709,7 @@ def x_dtype(params) -> jnp.dtype:
 def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
                            microbatches: int = 2, interpret: bool = False,
                            pp_axis: str = "pp", tp_axis: str | None = None,
+                           dp_axis: str | None = None,
                            quantized: bool = False):
     """1F1B-style prefill/decode overlap: ONE dispatch pipelines a prefill
     chunk's page-aligned microtiles AND a one-step decode's microbatches
@@ -736,10 +737,15 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
     k_pools, v_pools).  Token-exact vs separate pp_decode + pp_prefill
     dispatches: the two item families touch disjoint sequences/pages.
 
-    dp is NOT composed here (the engine falls back to separate
-    dispatches under dp>1 — mixing a dp-sharded decode batch with a
-    dp-replicated prefill chunk in one schedule would force the replay
-    equalizer into every tick).
+    ``dp_axis``: the decode side shards its batch over dp exactly like
+    pp_decode while the prefill side stays dp-replicated (every replica
+    computes identical prefill writes).  The replay equalizer does NOT
+    enter every tick: each tick's collected per-layer K/V rides the scan's
+    ys (zeros on prefill/fill/drain ticks), and after the schedule drains
+    each stage slices its decode-ACTIVE ticks — exactly [Mt+s, Mt+s+M),
+    since decode item i hits stage s at tick i+s — all-gathers them over
+    dp ONCE, and replays all rows so stage-pool replicas stay
+    bit-identical (the same one-shot equalization pp_decode uses).
     """
     S = mesh.shape[pp_axis]
     Lp = layers_per_stage
@@ -750,6 +756,7 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
     H, KH = H // tp, KH // tp
     perm = _stage_perm(S)
     _ptp = (lambda y: jax.lax.psum(y, tp_axis)) if tp_axis else (lambda y: y)
+    equalize = dp_axis is not None and mesh.shape[dp_axis] > 1
 
     def pp_combined(params, d_tokens, d_positions, k_pools, v_pools,
                     d_page_tables, d_slot_pages, d_slot_offsets, d_seq_lens,
@@ -781,11 +788,12 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
 
         def decode_layers(x, rows, k_pool, v_pool, active):
             sp = jnp.where(active, d_spages[rows], 0)
-            x, k_pool, v_pool, _ = decode_walk(
+            x, k_pool, v_pool, kv = decode_walk(
                 x, d_positions[rows], d_seq_lens[rows], d_table[rows],
                 sp, d_slot_offsets[rows], k_pool, v_pool,
+                collect=equalize,
             )
-            return x, k_pool, v_pool
+            return x, k_pool, v_pool, kv
 
         def prefill_layers(x, m, k_pool, v_pool, active):
             tok0 = m * tile
@@ -799,6 +807,15 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
                 x, pos, cp, p_table, p_q_start + tok0, kv_len,
                 k_pool, v_pool,
             )
+
+        # the dp replay equalizer's per-tick collection slot: zeros on
+        # prefill/fill/drain ticks, the microbatch's per-layer (k, v) on
+        # active decode ticks
+        kv_zero = (
+            (jnp.zeros((Lp, mb, KH, D), x_dtype(params)),
+             jnp.zeros((Lp, mb, KH, D), x_dtype(params)))
+            if equalize else None
+        )
 
         def tick(carry, t):
             xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits = carry
@@ -824,7 +841,7 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
                 p_out = jax.lax.dynamic_update_slice(
                     p_out, jnp.where(write, x_out, old), (m_p * tile, 0)
                 )
-                return x_out, xd, k_pool, v_pool, p_out, d_logits
+                return (x_out, xd, k_pool, v_pool, p_out, d_logits), kv_zero
 
             def run_decode(args):
                 xp, xd, k_pool, v_pool, p_out, d_logits = args
@@ -832,7 +849,7 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
                 x_in = jnp.where(
                     s == 0, params["embed"][d_tokens[rows]], xd
                 )
-                x_out, k_pool, v_pool = decode_layers(
+                x_out, k_pool, v_pool, kv = decode_layers(
                     x_in, rows, k_pool, v_pool, is_d
                 )
                 xf = rms_norm(x_out, params["final_norm"], cfg.rms_eps)
@@ -844,18 +861,20 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
                 d_logits = jax.lax.dynamic_update_slice(
                     d_logits, jnp.where(write, lg, old), (m_d * mb, 0)
                 )
-                return xp, x_out, k_pool, v_pool, p_out, d_logits
+                return (xp, x_out, k_pool, v_pool, p_out, d_logits), kv
 
             # fill/drain ticks (neither family active) still run a branch
             # — route them through decode with is_d False: writes discard
             # via the zero page, outputs are never kept
-            xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits = jax.lax.cond(
-                is_p, run_prefill, run_decode,
-                (xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits),
+            (xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits), kv = (
+                jax.lax.cond(
+                    is_p, run_prefill, run_decode,
+                    (xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits),
+                )
             )
             xp_buf = jax.lax.ppermute(xp_buf, pp_axis, perm)
             xd_buf = jax.lax.ppermute(xd_buf, pp_axis, perm)
-            return (xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits), None
+            return (xp_buf, xd_buf, k_pool, v_pool, p_out, d_logits), kv
 
         carry = (
             jnp.zeros((tile, E), x_dtype(params)),
@@ -864,10 +883,35 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
             jnp.zeros((T, E), x_dtype(params)),
             jnp.zeros((B, V), jnp.float32),
         )
-        carry, _ = jax.lax.scan(
+        carry, kvs = jax.lax.scan(
             tick, carry, jnp.arange(Mt + M + S - 1)
         )
         _, _, k_pool, v_pool, p_out, d_logits = carry
+        if equalize:
+            # slice this stage's decode-ACTIVE ticks ([Mt+s, Mt+s+M) —
+            # decode item i runs on stage s at tick i+s), all-gather the
+            # per-token K/V over dp once, and replay ALL rows so
+            # stage-pool replicas stay bit-identical (pp_decode's
+            # equalization, hoisted to the dispatch boundary)
+            ks, vs = kvs  # [ticks, Lp, mb, KH, D]
+
+            def flat(a):
+                a = jax.lax.dynamic_slice_in_dim(a, Mt + s, M, axis=0)
+                a = jnp.moveaxis(a, 0, 1)  # [Lp, M, mb, ...]
+                return a.reshape(Lp, M * mb, *a.shape[3:])
+
+            ks = jax.lax.all_gather(flat(ks), dp_axis, axis=1, tiled=True)
+            vs = jax.lax.all_gather(flat(vs), dp_axis, axis=1, tiled=True)
+            sp = jax.lax.all_gather(d_spages, dp_axis, axis=0, tiled=True)
+            so = jax.lax.all_gather(
+                d_slot_offsets, dp_axis, axis=0, tiled=True
+            )
+            sp_l = jnp.broadcast_to(sp[None], (Lp, sp.shape[0]))
+            k_pool, v_pool = write_decode_tokens(
+                k_pool, v_pool, ks, vs, jnp.arange(Lp, dtype=jnp.int32),
+                sp_l, so, interpret=interpret,
+                k_scales=k_sc, v_scales=v_sc,
+            )
 
         xf = rms_norm(
             p_out[jnp.maximum(p_true_len - 1, 0)], params["final_norm"],
@@ -882,7 +926,12 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
     pool = (P(pp_axis, None, None, tp_axis) if tp_axis else P(pp_axis))
     rep = P()
     stage2 = P(pp_axis, None)
-    stage3 = P(pp_axis, None, None)
+    # decode batch arrays shard over dp (replicated when absent); the
+    # prefill args always replicate over dp
+    bd = P(dp_axis) if dp_axis else P()  # [B]
+    tbl = P(pp_axis, dp_axis, None)  # [S, B, max_pages]
+    sp2 = P(pp_axis, dp_axis)  # [S, B]
+    logit_out = P(dp_axis) if dp_axis else P()
     pspecs = pp_param_specs(tp_axis, pp_axis=pp_axis,
                             bias=getattr(cfg, "attention_bias", False),
                             qk_norm=getattr(cfg, "qk_norm", False))
@@ -891,8 +940,8 @@ def build_pp_combined_impl(cfg, mesh, layers_per_stage: int, *,
 
     return jax.shard_map(
         pp_combined, mesh=mesh,
-        in_specs=(pspecs, rep, rep, pool, pool, stage3, stage2, rep, rep,
+        in_specs=(pspecs, bd, bd, pool, pool, tbl, sp2, bd, bd,
                   rep, rep, stage2, stage2, rep, rep) + sc_specs,
-        out_specs=(rep, rep, pool, pool),
+        out_specs=(logit_out, rep, pool, pool),
         check_vma=False,
     )

@@ -157,7 +157,10 @@ class TestQwen2:
 
         assert cfg_for(max_window_layers=4).sliding_window is None
         assert cfg_for(max_window_layers=0).sliding_window == 8
-        assert cfg_for().sliding_window is None  # absent key: conservative
+        # absent key with use_sliding_window=true: LOUD error (transformers
+        # would default to 28 — silently full attention on deep models)
+        with pytest.raises(ValueError, match="max_window_layers"):
+            cfg_for()
         with pytest.raises(ValueError, match="max_window_layers"):
             cfg_for(max_window_layers=2)  # mixed layers need hybrid
         assert cfg_for(use_sliding_window=False,

@@ -292,12 +292,11 @@ class TestInt8Stateful:
 
 
 class TestScaleShapeContract:
-    def test_colocated_pp_rejects_model_layer_scales(self):
-        """Colocated pp stages share ONE arena, so scales are per ARENA
-        layer [Lp, KH]; a flat [L_total, KH] install (valid under pp
-        PLACEMENT, where it is stage-stacked) must fail loudly instead of
-        silently applying stage-0 scales everywhere (round-4 review
-        finding)."""
+    def test_colocated_pp_scale_shapes(self):
+        """Colocated pp accepts BOTH [Lp, KH] (arena-keyed, shared across
+        stages) and — since round 5 — [L_total, KH] (per-MODEL-layer:
+        true per-stage calibration; the rows ride the step fns' layer
+        scan).  Genuinely wrong shapes still fail loudly."""
         import numpy as np
 
         from kvcached_tpu.engine import EngineConfig, LLMEngine
@@ -315,10 +314,14 @@ class TestScaleShapeContract:
         )
         try:
             L, KH = cfg.num_layers, cfg.num_kv_heads
-            bad = np.full((L, KH), 0.05, np.float32)  # model layers
-            with pytest.raises(ValueError, match="ARENA"):
+            per_model = np.full((L, KH), 0.05, np.float32)
+            eng.set_kv_scales(per_model, per_model)
+            assert eng.quant_scales[0].shape == (L, KH)
+            arena = np.full((L // 2, KH), 0.05, np.float32)
+            eng.set_kv_scales(arena, arena)
+            assert eng.quant_scales[0].shape == (L // 2, KH)
+            bad = np.full((L + 1, KH), 0.05, np.float32)
+            with pytest.raises(ValueError, match="set_kv_scales"):
                 eng.set_kv_scales(bad, bad)
-            ok = np.full((L // 2, KH), 0.05, np.float32)  # arena layers
-            eng.set_kv_scales(ok, ok)
         finally:
             eng.shutdown()

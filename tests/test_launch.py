@@ -33,9 +33,13 @@ class TestFamilies:
         assert g2.act == "gelu_tanh" and g2.post_norms
         assert g2.layer_windows == (32, None)
         # review fix: the alias must default the soft-caps and query scale
-        # too — gemma2 weights are trained with them
+        # too — gemma2 weights are trained with them; query_scale defaults
+        # from head_dim (query_pre_attn_scalar == head_dim for 2B/9B; 27B
+        # must pass it explicitly)
         assert g2.attn_softcap == 50.0 and g2.final_softcap == 30.0
-        assert g2.query_scale == 256.0
+        assert g2.query_scale == float(g2.head_dim)
+        g2b = _model_cfg("gemma2", base_cfg(sliding_window=32, head_dim=256))
+        assert g2b.query_scale == 256.0
         assert _model_cfg("hybrid", base_cfg(
             layer_windows=[None, 32],
         )).group_windows == (None, 32)

@@ -657,21 +657,54 @@ class TestMQAUnderTP:
             "MQA pool must replicate across tp"
         )
 
+    def test_hybrid_mqa_tp_token_exact(self):
+        """A single-kv-head HYBRID (sliding/full layer groups) checkpoint
+        under tp: the kv head replicates across shards exactly like the
+        llama family (was a hard divisibility error before round 5) —
+        tokens must match the single-device engine bit-for-bit."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
+        from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+        from kvcached_tpu.parallel.mesh import make_mesh
+
+        cfg = HybridConfig.toy(num_layers=4, window=32, num_heads=2,
+                               num_kv_heads=1)
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[1, 2, 3, 4, 5], list(range(7, 27)), [9, 9, 9]]
+        sp = SamplingParams(max_new_tokens=8)
+        ecfg = dict(max_batch=4, max_model_len=96, page_tokens=16,
+                    decode_horizon=4, prefill_buckets=(16, 32), num_pages=64,
+                    interpret=True, kv_dtype="float32")
+
+        def serve(mesh):
+            eng = LLMEngine(cfg, EngineConfig(**ecfg), params=params,
+                            mesh=mesh)
+            try:
+                outs = eng.generate(prompts, sp)
+                return [o.output_tokens for o in outs], eng
+            finally:
+                eng.shutdown()
+
+        want, _ = serve(None)
+        got, eng2 = serve(make_mesh(tp=2, dp=1))
+        assert got == want, "hybrid MQA tp=2 engine diverged"
+
     def test_families_without_replication_keep_clear_error(self):
-        """Only adapters that declare kv-replication support take the MQA
-        path; a hybrid config with num_kv_heads=1 must still get the
-        explicit divisibility ValueError, not a TypeError from an
-        unexpected kwarg (round-4 review finding)."""
+        """Families that can't replicate a lone kv head (the stateful
+        mamba hybrid) must still get the explicit divisibility ValueError,
+        not a TypeError from an unexpected kwarg."""
         import jax
 
         if len(jax.devices()) < 2:
             pytest.skip("needs 2 virtual devices")
         from kvcached_tpu.engine import EngineConfig, LLMEngine
-        from kvcached_tpu.models.hybrid import HybridConfig
+        from kvcached_tpu.models.mamba import HybridLinearConfig
         from kvcached_tpu.parallel.mesh import make_mesh
 
-        cfg = HybridConfig.toy(num_layers=4, window=32, num_heads=2,
-                               num_kv_heads=1)
+        cfg = HybridLinearConfig.toy(num_kv_heads=1)
         with pytest.raises(ValueError, match="num_kv_heads"):
             LLMEngine(
                 cfg,

@@ -361,6 +361,67 @@ class TestPPFeatureMatrix:
             eng.shutdown()
         assert got == want, "placed pp custom int8 scales diverged"
 
+    def test_int8_colocated_per_model_scales(self, f32):
+        """Round-5 fix: COLOCATED pp accepts per-MODEL-layer scales
+        [L, KH] (true per-stage calibration despite the shared arena) —
+        token-exact vs the plain engine given the same per-layer scales,
+        and vs the PLACED pp engine's stage-stacked install."""
+        import numpy as np
+
+        cfg, params = f32
+        L, KH = cfg.num_layers, cfg.num_kv_heads
+        # scales that DIFFER across stages, so arena-layer sharing would
+        # produce different tokens (liveness of the per-stage resolution)
+        ks = (0.02 + 0.01 * np.arange(L * KH, dtype=np.float32)
+              ).reshape(L, KH)
+        vs = ks * 1.5
+        prompts = [[1, 2, 3, 4, 5], [9, 9, 9]]
+        sp = SamplingParams(max_new_tokens=6)
+        ecfg = dict(max_batch=2, max_model_len=96, page_tokens=32,
+                    decode_horizon=4, prefill_buckets=(32,), num_pages=32,
+                    interpret=True, kv_dtype="int8")
+
+        plain = LLMEngine(cfg, EngineConfig(**ecfg), params=params)
+        try:
+            plain.set_kv_scales(ks, vs)
+            want = [o.output_tokens for o in plain.generate(prompts, sp)]
+        finally:
+            plain.shutdown()
+
+        # colocated pp (stages as layer groups, ONE shared arena)
+        eng = LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2), EngineConfig(**ecfg),
+            params=params,
+        )
+        try:
+            eng.set_kv_scales(ks, vs)  # [L, KH]: per MODEL layer
+            assert eng.quant_scales[0].shape == (L, KH)
+            got = [o.output_tokens for o in eng.generate(prompts, sp)]
+            pool_per_model = np.asarray(eng.k_pools)
+        finally:
+            eng.shutdown()
+        assert got == want, "colocated pp per-model int8 scales diverged"
+
+        # liveness: collapsing to stage-0's rows (the old shared-arena
+        # contract) must change the QUANTIZED pool bytes — stage-1 layers
+        # now quantize on stage-0's grid — or the per-layer rows never
+        # reached the quantizer.  (Greedy tokens can survive the small
+        # perturbation; the pool bytes cannot.)
+        eng = LLMEngine(
+            PPLlamaAdapter(cfg, num_stages=2), EngineConfig(**ecfg),
+            params=params,
+        )
+        try:
+            eng.set_kv_scales(ks[: L // 2], vs[: L // 2])  # arena-keyed
+            [o.output_tokens for o in eng.generate(prompts, sp)]
+            pool_collapsed = np.asarray(eng.k_pools)
+        finally:
+            eng.shutdown()
+        assert not np.array_equal(pool_per_model, pool_collapsed), (
+            "per-stage scales made no difference to the quantized pool — "
+            "scale rows unused?"
+        )
+
     def test_spec_decode_colocated(self, f32):
         """Greedy speculative decoding under colocated pp is token-exact
         vs plain decode by construction."""
@@ -454,7 +515,7 @@ class TestPPCombined1F1B:
         prompts = [[1, 2, 3], [7] * 5, long_prompt, [2, 4, 6, 8]]
         return prompts, SamplingParams(max_new_tokens=10)
 
-    def _serve(self, cfg, params, *, stages=None, **over):
+    def _serve(self, cfg, params, *, stages=None, mesh=None, **over):
         prompts, sp = self._workload()
         ecfg = dict(max_batch=4, max_model_len=96, page_tokens=16,
                     decode_horizon=4, prefill_buckets=(16, 32), num_pages=32,
@@ -465,7 +526,8 @@ class TestPPCombined1F1B:
         else:
             eng = LLMEngine(PPLlamaAdapter(cfg, num_stages=stages),
                             EngineConfig(**ecfg), params=params,
-                            mesh=self._mesh(stages))
+                            mesh=mesh if mesh is not None
+                            else self._mesh(stages))
         try:
             # stagger arrivals: shorts first so they are RUNNING when the
             # long prompt starts chunking (the overlap scenario)
@@ -511,6 +573,26 @@ class TestPPCombined1F1B:
         want, _ = self._serve(cfg, params)
         got, _ = self._serve(cfg, params, stages=2, pp_microbatches=1)
         assert got == want
+
+    def test_combined_under_dp(self):
+        """dp×pp: the combined 1F1B dispatch shards its decode batch over
+        dp with the replay equalizer hoisted to the dispatch boundary
+        (was a fallback to alternating chunk/decode before round 5) —
+        token-exact vs single-device AND actually taken."""
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = LlamaConfig.toy(num_layers=4, dtype="float32")
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        want, _ = self._serve(cfg, params)
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "pp"))
+        got, eng = self._serve(cfg, params, stages=2, mesh=mesh)
+        assert got == want, "dp×pp combined 1F1B dispatch diverged"
+        assert eng._combined_dispatches >= 1, (
+            "combined path never taken under dp — the gate is back"
+        )
 
 
 class TestDPxPP:
