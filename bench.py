@@ -235,17 +235,70 @@ def _main():
         float(jnp.sum(toks))
         return time.time() - t0
 
+    # Prefill throughput (the MXU-bound side; decode above is the
+    # bandwidth-bound side): 8 sequences' full-model batched prefill at
+    # the serving bucket, tokens/s = B*T / per-call cost.  Chained like
+    # decode; pools carried (the step writes KV).
+    from kvcached_tpu.models.llama import llama_prefill_batch_step
+
+    T_P = 512 if ON_TPU else 32
+    n_pp = T_P // P
+    # dedicated (smaller) pools: the chain is not donated at the jit
+    # boundary, so its pool copy must not double the main 2 GB arenas
+    NP_PF = max(B * n_pp + 8, 256 if ON_TPU else 16)
+    k_pools_pf = jax.random.normal(
+        jax.random.PRNGKey(7), (L, NP_PF, KH, P, D), jnp.bfloat16)
+    v_pools_pf = jax.random.normal(
+        jax.random.PRNGKey(8), (L, NP_PF, KH, P, D), jnp.bfloat16)
+    pf_perm = rng.permutation(np.arange(1, NP_PF))
+    pf_tables_np = np.zeros((B, max(n_per, n_pp)), np.int32)
+    pf_tables_np[:, :n_pp] = pf_perm[: B * n_pp].reshape(B, n_pp)
+    pf_tables = jnp.asarray(pf_tables_np)
+    pf_chunk = jnp.asarray(pf_tables_np[:, :n_pp])
+    pf_tokens = jnp.ones((B, T_P), jnp.int32)
+    pf_positions = jnp.tile(jnp.arange(T_P, dtype=jnp.int32)[None], (B, 1))
+    pf_qstarts = jnp.zeros((B,), jnp.int32)
+    pf_truelens = jnp.full((B,), T_P, jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("K",))
+    def run_prefill(params, k_pools, v_pools, tokens0, K):
+        def one(carry, _):
+            tokens, k_pools, v_pools = carry
+            logits, k_pools, v_pools = llama_prefill_batch_step(
+                params, cfg, tokens, pf_positions, k_pools, v_pools,
+                pf_chunk, pf_tables, pf_qstarts, pf_truelens,
+                interpret=interpret,
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # data dependency: next round's first token is this round's
+            # greedy pick, so the scan cannot be hoisted
+            tokens = tokens.at[:, 0].set(nxt)
+            return (tokens, k_pools, v_pools), None
+        (tokens, k_pools, v_pools), _ = jax.lax.scan(
+            one, (tokens0, k_pools, v_pools), None,
+            length=K)
+        return tokens
+
+    def prefill_call(K):
+        t0 = time.time()
+        toks = run_prefill(params, k_pools_pf, v_pools_pf, pf_tokens, K=K)
+        float(jnp.sum(toks))
+        return time.time() - t0
+
     # long chains so per-dispatch tunnel noise (~30 ms, high variance) is
     # small relative to the measured work; median of 5 slopes
     K_LO, K_HI = (8, 128) if ON_TPU else (2, 4)
+    KP_LO, KP_HI = (4, 16) if ON_TPU else (1, 2)
     paged_call(K_LO)  # warm (single compile serves both K and both tables)
     dense_call(K_LO)
     i8_call(K_LO)
+    prefill_call(KP_LO)
     n_rep = 5 if ON_TPU else 1
 
-    def median_slope(call):
+    def median_slope(call, lo=None, hi=None):
+        lo, hi = lo or K_LO, hi or K_HI
         slopes = sorted(
-            (call(K_HI) - call(K_LO)) / (K_HI - K_LO) for _ in range(n_rep)
+            (call(hi) - call(lo)) / (hi - lo) for _ in range(n_rep)
         )
         return slopes[n_rep // 2]
 
@@ -253,11 +306,13 @@ def _main():
     t_dense = median_slope(dense_call)
     t_kstatic = median_slope(kstatic_call)
     t_i8 = median_slope(i8_call)
+    t_prefill = median_slope(prefill_call, KP_LO, KP_HI)
 
     paged_tps = B / max(t_paged, 1e-9)
     dense_tps = B / max(t_dense, 1e-9)
     kstatic_tps = B / max(t_kstatic, 1e-9)
     i8_tps = B / max(t_i8, 1e-9)
+    prefill_tps = B * T_P / max(t_prefill, 1e-9)
     print(json.dumps({
         "metric": "paged_decode_tps_1B_class_B8_maxlen2048_live512",
         "value": round(paged_tps, 1),
@@ -271,6 +326,10 @@ def _main():
         # bonus: int8 KV pools through the same paged path (half the KV
         # bytes on the same bandwidth ceiling)
         "tps_int8_kv": round(i8_tps, 1),
+        # bonus: the MXU-bound side — full-model batched prefill tok/s at
+        # the serving bucket (8 x 512 new tokens per dispatch); kernel
+        # MFU detail in benchmarks/bench_kernel_mfu.py
+        "prefill_tps": round(prefill_tps, 1),
     }))
 
 

@@ -225,6 +225,104 @@ def addition_eval(ckpt: str, n: int, max_new: int = 6) -> int:
     return 0 if ok else 1
 
 
+def winadd_eval(ckpt: str, n: int, max_new: int = 6) -> int:
+    """Flagship-feature trained-weights gate (round 5): the committed
+    ``winadd`` checkpoint (benchmarks/train_winadd.py — 12M params, GQA
+    4:2, 24-token sliding window that BITES in every prompt, linear rope
+    scaling ×2, qkv biases) scored through the FULL paged engine at
+    float32 / bfloat16 / int8 / fp8 KV, against transformers' own
+    generate.  Publishes the quantized-KV accuracy delta on TRAINED
+    logits — int8 scales are CALIBRATED from the f32 run's own pool
+    (amax/127 per layer×head read straight from the written pages).
+    Gate: f32 must be token-exact vs transformers AND match its accuracy
+    (the reference's GSM8K-parity shape)."""
+    import json
+    import os
+    import time
+
+    import numpy as np
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from kvcached_tpu.engine import EngineConfig, SamplingParams
+    from kvcached_tpu.models.hf_loader import (
+        HFTokenizer,
+        engine_from_checkpoint,
+    )
+
+    with open(os.path.join(ckpt, "heldout.json")) as f:
+        held = json.load(f)["examples"][:n]
+    tok = HFTokenizer(ckpt)
+    prompts = [tok.encode(p) for p, _ in held]
+    answers = [a for _, a in held]
+    eos = tok.eos_token_id
+    n = len(held)
+
+    def run(kv_dtype: str, scales=None):
+        eng = engine_from_checkpoint(ckpt, EngineConfig(
+            max_batch=8, max_model_len=128, page_tokens=32,
+            decode_horizon=2, prefill_buckets=(64,), num_pages=256,
+            interpret=not ON_TPU, kv_dtype=kv_dtype,
+            adaptive_horizon=False,
+        ), dtype="float32")
+        try:
+            if scales is not None:
+                eng.set_kv_scales(*scales)
+            t0 = time.time()
+            outs = eng.generate(prompts, SamplingParams(
+                max_new_tokens=max_new, stop_token_ids=(eos,),
+            ))
+            dt = time.time() - t0
+            toks = [o.output_tokens for o in outs]
+            correct = sum(
+                tok.decode(t) == a for t, a in zip(toks, answers)
+            )
+            pools = None
+            if kv_dtype == "float32":
+                pools = (np.asarray(eng.k_pools), np.asarray(eng.v_pools))
+            return correct, toks, dt, pools
+        finally:
+            eng.shutdown()
+
+    f32_correct, f32_toks, dt, pools = run("float32")
+
+    # int8 calibration from the f32 pool: unused pages are zeros, so the
+    # per-(layer, head) amax over (pages, tokens, dim) is the live amax
+    kmax = np.abs(pools[0]).max(axis=(1, 3, 4))  # [L, KH]
+    vmax = np.abs(pools[1]).max(axis=(1, 3, 4))
+    k_sc = np.maximum(kmax / 127.0, 1e-6).astype(np.float32)
+    v_sc = np.maximum(vmax / 127.0, 1e-6).astype(np.float32)
+
+    bf16_correct, _, _, _ = run("bfloat16")
+    i8_correct, _, _, _ = run("int8", scales=(k_sc, v_sc))
+    fp8_correct, _, _, _ = run("float8_e4m3fn")
+
+    hf = AutoModelForCausalLM.from_pretrained(
+        ckpt, attn_implementation="eager").eval()
+    hf_correct = parity = 0
+    with torch.no_grad():
+        for p, ans, et in zip(prompts, answers, f32_toks):
+            want = hf.generate(
+                torch.tensor([p]), max_new_tokens=max_new, do_sample=False,
+                eos_token_id=eos, pad_token_id=hf.config.pad_token_id,
+            )[0][len(p):].tolist()
+            hf_correct += tok.decode(want) == ans
+            parity += et[: len(want)] == want
+
+    print(f"winadd eval (trained 12M, GQA+window+rope-scaling, n={n}):")
+    print(f"  transformers : {hf_correct}/{n} = {hf_correct / n:.3f}")
+    print(f"  engine f32   : {f32_correct}/{n} = {f32_correct / n:.3f}  "
+          f"(token parity {parity}/{n}, "
+          f"{sum(len(t) for t in f32_toks) / dt:.0f} tok/s)")
+    print(f"  engine bf16  : {bf16_correct}/{n} = {bf16_correct / n:.3f}")
+    print(f"  engine int8  : {i8_correct}/{n} = {i8_correct / n:.3f}  "
+          f"(pool-calibrated scales)")
+    print(f"  engine fp8   : {fp8_correct}/{n} = {fp8_correct / n:.3f}")
+    ok = f32_correct == hf_correct and parity == n
+    print("PARITY GATE:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 INVALID = -9999999
 
 
@@ -316,7 +414,15 @@ def main() -> int:
     ap.add_argument("--addition-eval", action="store_true",
                     help="held-out accuracy + parity on the committed "
                          "trained checkpoint (with --ckpt)")
+    ap.add_argument("--winadd-eval", action="store_true",
+                    help="flagship-feature trained checkpoint: accuracy "
+                         "at f32/bf16/int8/fp8 KV + parity (with --ckpt)")
     args = ap.parse_args()
+    if args.winadd_eval:
+        if not args.ckpt:
+            ap.error("--winadd-eval requires --ckpt")
+        return winadd_eval(args.ckpt, args.num_questions,
+                           args.max_new or 6)
     if args.addition_eval:
         if not args.ckpt:
             ap.error("--addition-eval requires --ckpt")

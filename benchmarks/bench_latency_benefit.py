@@ -42,7 +42,8 @@ def run_burst(elastic: bool, *, num_pages=96, burst=8, max_new=160,
               interpret=True, model_cfg=None, page_tokens=16,
               adaptive_horizon=True, max_model_len=256, hold_frac=0.02,
               max_batch=None, prefill_buckets=(64,), prefill_batch=1,
-              prompt_base=32, prompt_step=16, decode_horizon=4):
+              prompt_base=32, prompt_step=16, decode_horizon=4,
+              n_idle=2, distinct_weights=False):
     import jax
 
     from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
@@ -58,20 +59,27 @@ def run_burst(elastic: bool, *, num_pages=96, burst=8, max_new=160,
         enable_prefix_caching=False, adaptive_horizon=adaptive_horizon,
         prefill_batch=prefill_batch,
     )
-    # three colocated engines over ONE pool and ONE copy of the weights
+    # colocated engines over ONE pool; ``distinct_weights`` gives each
+    # engine its OWN GB-scale parameter copy (the reference's colocated
+    # instances are independent serving processes with their own weights)
     a = LLMEngine(cfg, EngineConfig(**ec), params=params)
     idle = [
-        LLMEngine(cfg, EngineConfig(**ec), params=params,
-                  shared_pool=a.pool, pool_arrays=a.arrays)
-        for _ in range(2)
+        LLMEngine(
+            cfg, EngineConfig(**ec),
+            params=(init_llama_params(cfg, jax.random.PRNGKey(1 + i))
+                    if distinct_weights else params),
+            shared_pool=a.pool, pool_arrays=a.arrays,
+        )
+        for i in range(n_idle)
     ]
 
     if not elastic:
-        # static partition: pin each model to a third of the pool
-        third = (num_pages // 3) * a.kv_cfg.page_bytes
-        a.manager.resize(third)
+        # static partition: pin each model to an equal share of the pool
+        n = 1 + n_idle
+        share = (num_pages // n) * a.kv_cfg.page_bytes
+        a.manager.resize(share)
         for e in idle:
-            e.manager.resize(third)
+            e.manager.resize(share)
 
     # idle models hold a small steady-state working set each
     hold_blocks = int(num_pages * hold_frac) * a.kv_cfg.blocks_per_page
@@ -137,6 +145,10 @@ def run_burst(elastic: bool, *, num_pages=96, burst=8, max_new=160,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--tpu3b", action="store_true",
+                    help="2 colocated 3B-class models with DISTINCT "
+                         "GB-scale weight copies (BASELINE.md north-star "
+                         "scale on one v5e)")
     ap.add_argument("--burst", type=int, default=None)
     ap.add_argument("--max-batch", type=int, default=None)
     ap.add_argument("--num-pages", type=int, default=None)
@@ -144,7 +156,31 @@ def main():
 
     kw = {}
     burst = args.burst or 12
-    if args.tpu:
+    if args.tpu3b:
+        from kvcached_tpu.models.llama import LlamaConfig
+
+        # Llama-3.2-3B geometry (hidden 3072, 28 layers, 24/8 heads, ffn
+        # 8192) at 32k vocab: 3.0B params, 6.0 GB bf16 — TWO DISTINCT
+        # copies (12 GB) + a 2 GB shared pool fill the v5e's 16 GB like
+        # the reference's 3×8B fill an A100-80G.  One engine bursts while
+        # the other idles; page_tokens 32 halves page-table overhead at
+        # this depth (page = 28L × 8KH × 32 × 128 × 2B × 2 = 3.7 MB).
+        burst = args.burst or 12
+        kw = dict(
+            interpret=False, page_tokens=32,
+            num_pages=args.num_pages or 560,  # ≈2.1 GB pool
+            adaptive_horizon=False, max_model_len=2048, max_new=1200,
+            hold_frac=0.02, prefill_buckets=(512,), prefill_batch=6,
+            prompt_base=256, prompt_step=64, decode_horizon=8,
+            max_batch=args.max_batch or 12,
+            n_idle=1, distinct_weights=True,
+            model_cfg=LlamaConfig(
+                vocab_size=32000, hidden_size=3072, num_layers=28,
+                num_heads=24, num_kv_heads=8, head_dim=128,
+                intermediate_size=8192,
+            ),
+        )
+    elif args.tpu:
         from kvcached_tpu.models.llama import LlamaConfig
 
         # 1B-class model, multi-GB pool, DEFAULT prealloc knobs (5-10

@@ -62,10 +62,19 @@ def encode(s: str) -> list[int]:
     return [VOCAB.index(c) for c in s]
 
 
+def _sample_operand(rng) -> int:
+    """Digit-count-uniform operand (1/2/3 digits equally likely): uniform
+    0-999 is 90% 3-digit, which starves the easy carry sub-tasks the
+    model bootstraps from — the mixed curriculum trains reliably."""
+    n = int(rng.integers(1, 4))
+    lo = 0 if n == 1 else 10 ** (n - 1)
+    return int(rng.integers(lo, 10 ** n))
+
+
 def make_doc(rng) -> str:
     doc = ""
     while True:
-        a, b = int(rng.integers(0, 1000)), int(rng.integers(0, 1000))
+        a, b = _sample_operand(rng), _sample_operand(rng)
         if _held_out_pair(a, b):
             continue
         nxt = problem(a, b)
@@ -228,7 +237,8 @@ def heldout_prompts(n: int = 300):
     rng = np.random.default_rng(HELD_OUT_SEED)
     out = []
     while len(out) < n:
-        a, b = int(rng.integers(0, 1000)), int(rng.integers(0, 1000))
+        # same digit-count-uniform distribution the model trains on
+        a, b = _sample_operand(rng), _sample_operand(rng)
         if not _held_out_pair(a, b):
             continue
         ctx = ""
@@ -275,15 +285,22 @@ def main(out_dir: str = "benchmarks/assets/winadd", steps: int = 3000):
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"params: {n_params / 1e6:.2f}M on {jax.devices()[0].platform}")
 
-    sched = optax.cosine_decay_schedule(1e-3, steps, alpha=0.02)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 1e-3, warmup_steps=min(500, steps // 10),
+        decay_steps=steps, end_value=3e-5,
+    )
     optim = optax.adamw(sched, weight_decay=0.01)
     opt_state = optim.init(params)
 
     def loss_fn(params, x, y):
         logits = forward(params, cfg, x)
-        valid = y >= 0
+        # causal shift: logits[t] predicts the token AT t+1 (labels sit at
+        # their own positions, like transformers' internal shift)
+        lg = logits[:, :-1]
+        tgt = y[:, 1:]
+        valid = tgt >= 0
         losses = optax.softmax_cross_entropy_with_integer_labels(
-            logits, jnp.maximum(y, 0)
+            lg, jnp.maximum(tgt, 0)
         )
         return (losses * valid).sum() / jnp.maximum(valid.sum(), 1)
 
@@ -294,7 +311,7 @@ def main(out_dir: str = "benchmarks/assets/winadd", steps: int = 3000):
         return optax.apply_updates(params, updates), opt_state, loss
 
     rng = np.random.default_rng(0)
-    batch = 64
+    batch = 96
     for i in range(steps):
         x, y = batch_arrays(rng, batch)
         params, opt_state, loss = step(params, opt_state, x, y)

@@ -60,14 +60,27 @@ def device_hbm_total() -> int | None:
         return None
 
 
-def cmd_list(_args) -> int:
-    segs = shm.list_segments()
+def _backend(args):
+    """Local shm module, or a RemoteShm client when --remote is given —
+    same verbs, so every subcommand works across hosts (SURVEY §2f's
+    N≥2-hosts aggregation layer; reference kvctl is single-node)."""
+    remote = getattr(args, "remote", None)
+    if remote:
+        from ..controller.shm_http import RemoteShm
+
+        return RemoteShm(remote)
+    return shm
+
+
+def cmd_list(args) -> int:
+    be = _backend(args)
+    segs = be.list_segments()
     if not segs:
         print("no kvcached segments found")
         return 0
     print(f"{'IPC NAME':<40} {'LIMIT':>10} {'USED':>10} {'PREALLOC':>10} {'UTIL':>6}")
     for name in segs:
-        info = shm.get_kv_cache_info(name)
+        info = be.get_kv_cache_info(name)
         if info is None:
             continue
         util = info.used_size / info.total_size if info.total_size else 0.0
@@ -79,8 +92,8 @@ def cmd_list(_args) -> int:
     return 0
 
 
-def _resolve(name: str) -> str:
-    segs = shm.list_segments()
+def _resolve(name: str, be=shm) -> str:
+    segs = be.list_segments()
     if name in segs:
         return name
     matches = [s for s in segs if s.startswith(name)]
@@ -92,15 +105,23 @@ def _resolve(name: str) -> str:
 
 
 def cmd_limit(args) -> int:
-    name = _resolve(args.ipc_name)
+    be = _backend(args)
+    name = _resolve(args.ipc_name, be)
     size = parse_size(args.size)
-    info = shm.update_kv_cache_limit(name, size)
+    info = be.update_kv_cache_limit(name, size)
     print(f"{name}: limit set to {fmt_size(size)} (used {fmt_size(info.used_size)})")
     return 0
 
 
 def cmd_limit_percent(args) -> int:
-    name = _resolve(args.ipc_name)
+    be = _backend(args)
+    name = _resolve(args.ipc_name, be)
+    if be is not shm:
+        # percent of the REMOTE host's accelerator — resolved there
+        info = be.limit_percent(name, args.percent)
+        print(f"{name}: limit set to {fmt_size(info.total_size)} "
+              f"({args.percent}% of remote HBM)")
+        return 0
     total = device_hbm_total()
     if total is None:
         raise SystemExit("cannot determine device HBM size (no accelerator?)")
@@ -121,8 +142,9 @@ def cmd_watch(args) -> int:
 
 
 def cmd_delete(args) -> int:
-    name = _resolve(args.ipc_name)
-    ok = shm.delete_kv_cache_segment(name)
+    be = _backend(args)
+    name = _resolve(args.ipc_name, be)
+    ok = be.delete_kv_cache_segment(name)
     print(f"{name}: {'deleted' if ok else 'not found'}")
     return 0 if ok else 1
 
@@ -169,6 +191,11 @@ def cmd_shell(_args) -> int:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kvctl", description=__doc__)
+    p.add_argument(
+        "--remote", metavar="HOST:PORT", default=None,
+        help="operate on another host's segments via its shm HTTP surface "
+             "(the frontend, or `python -m kvcached_tpu.controller.shm_http`)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("list").set_defaults(fn=cmd_list)
     sp = sub.add_parser("limit")

@@ -42,7 +42,28 @@ def _bar(width: int, fracs: list[tuple[float, int]]) -> list[tuple[str, int]]:
     return out
 
 
-def draw(stdscr, paused: bool) -> None:
+def gather(remotes=()) -> list[tuple[str, "shm.MemInfo"]]:
+    """All visible segments: local first, then each remote host's
+    (prefixed ``host:port/name``).  An unreachable remote renders as one
+    error row instead of killing the monitor."""
+    rows = []
+    for name in shm.list_segments():
+        info = shm.get_kv_cache_info(name)
+        if info is not None and info.total_size > 0:
+            rows.append((name, info))
+    for client in remotes:
+        try:
+            for name in client.list_segments():
+                info = client.get_kv_cache_info(name)
+                if info is not None and info.total_size > 0:
+                    rows.append((f"{client.addr.split('//')[-1]}/{name}", info))
+        except Exception as e:  # noqa: BLE001 — keep the monitor alive
+            rows.append((f"{client.addr.split('//')[-1]} UNREACHABLE "
+                         f"({type(e).__name__})", shm.MemInfo()))
+    return rows
+
+
+def draw(stdscr, paused: bool, remotes=()) -> None:
     stdscr.erase()
     h, w = stdscr.getmaxyx()
     bar_w = max(20, w - 45)
@@ -67,12 +88,13 @@ def draw(stdscr, paused: bool) -> None:
         put(row, x + 1, f"{fmt_size(in_use)}/{fmt_size(limit)}")
         row += 2
 
-    segs = shm.list_segments()
-    if not segs:
+    rows = gather(remotes)
+    if not rows:
         put(row, 0, "no kvcached engines running")
-    for name in segs:
-        info = shm.get_kv_cache_info(name)
-        if info is None or info.total_size <= 0:
+    for name, info in rows:
+        if info.total_size <= 0:
+            put(row, 0, name[: w - 1], curses.A_DIM)
+            row += 1
             continue
         used_f = info.used_size / info.total_size
         pre_f = info.prealloc_size / info.total_size
@@ -90,7 +112,7 @@ def draw(stdscr, paused: bool) -> None:
     stdscr.refresh()
 
 
-def _loop(stdscr) -> int:
+def _loop(stdscr, remotes=()) -> int:
     curses.curs_set(0)
     curses.use_default_colors()
     curses.init_pair(1, curses.COLOR_CYAN, -1)
@@ -100,18 +122,31 @@ def _loop(stdscr) -> int:
     paused = False
     while True:
         if not paused:
-            draw(stdscr, paused)
+            draw(stdscr, paused, remotes)
         ch = stdscr.getch()
         if ch in (ord("q"), ord("Q")):
             return 0
         if ch == ord(" "):
             paused = not paused
-            draw(stdscr, paused)
+            draw(stdscr, paused, remotes)
         time.sleep(0.5)
 
 
-def main() -> int:
-    return curses.wrapper(_loop)
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="kvtop", description=__doc__)
+    p.add_argument(
+        "--remote", action="append", default=[], metavar="HOST:PORT",
+        help="also monitor another host's segments (repeatable)",
+    )
+    args = p.parse_args(argv)
+    remotes = []
+    if args.remote:
+        from ..controller.shm_http import RemoteShm
+
+        remotes = [RemoteShm(a) for a in args.remote]
+    return curses.wrapper(lambda scr: _loop(scr, tuple(remotes)))
 
 
 if __name__ == "__main__":

@@ -192,6 +192,11 @@ class MultiLLMFrontend:
         r.add_post("/action/sleep/{model}", action_sleep)
         r.add_post("/action/wakeup/{model}", action_wakeup)
         r.add_get("/metrics", metrics)
+        # cross-host operator plane: this host's shm segments over HTTP
+        # (kvctl/kvtop --remote; SURVEY §2f N≥2-hosts aggregation)
+        from .shm_http import add_shm_routes
+
+        add_shm_routes(app)
         app.on_startup.append(on_startup)
         app.on_cleanup.append(on_cleanup)
         return app

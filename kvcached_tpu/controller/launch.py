@@ -81,6 +81,28 @@ def _model_cfg(family: str, cfg: dict):
                 for i in range(cfg.get("num_layers", 16))
             )
         return HybridConfig(**cfg)
+    if family == "gemma3":
+        from ..models.hybrid import HybridConfig
+
+        # Gemma3 = Gemma2's structural knobs minus soft-capping plus
+        # per-head q/k norms, split rope, and the 5:1 local:global layer
+        # pattern (UNEQUAL groups — the engine gives each its own arena)
+        cfg.setdefault("act", "gelu_tanh")
+        cfg.setdefault("norm_offset", True)
+        cfg.setdefault("embed_scale", True)
+        cfg.setdefault("post_norms", True)
+        cfg.setdefault("qk_norm", True)
+        cfg.setdefault("query_scale", 256.0)
+        cfg.setdefault("rope_theta", 1_000_000.0)
+        cfg.setdefault("local_rope_theta", 10_000.0)
+        if "layer_windows" not in cfg:
+            sw = cfg.pop("sliding_window", 512)
+            sp = int(cfg.pop("sliding_window_pattern", 6))
+            cfg["layer_windows"] = tuple(
+                None if (i + 1) % sp == 0 else sw
+                for i in range(cfg.get("num_layers", 12))
+            )
+        return HybridConfig(**cfg)
     if family == "mla":
         from ..models.mla import MLAConfig
 

@@ -455,26 +455,61 @@ class LLMEngine:
             self.adapter, "group_windows", None
         ) or (getattr(self.adapter, "window", None),)
         self.num_groups = len(self.group_windows)
-        arena_layers = (
-            self.adapter.layers_per_group
-            if self.num_groups > 1
-            else self.adapter.num_layers
-        )
+        # unequal layer groups (Gemma3's 5:1 local:global pattern): each
+        # group gets its OWN arena + pool — pages are not fungible across
+        # groups (their byte geometry differs), but accounting, limits,
+        # and elasticity stay per-group exactly as before
+        self._group_layers: tuple | None = None
+        if (self.num_groups > 1
+                and getattr(self.adapter, "layers_per_group", 0) is None):
+            self._group_layers = tuple(self.adapter.group_layers)
+            if mesh is not None:
+                raise NotImplementedError(
+                    "unequal layer groups (per-group arenas) are "
+                    "single-device for now — no mesh"
+                )
+            if ec.kv_dtype == "int8":
+                raise NotImplementedError(
+                    "int8 KV with unequal layer groups is not supported"
+                )
+            arena_layers = self._group_layers[0]
+        else:
+            arena_layers = (
+                self.adapter.layers_per_group
+                if self.num_groups > 1
+                else self.adapter.num_layers
+            )
 
-        self.kv_cfg = KVConfig(
-            num_layers=arena_layers,
-            num_kv_heads=self.adapter.num_kv_heads,
-            head_dim=self.adapter.head_dim,
-            block_tokens=ec.page_tokens,  # block == page on TPU
-            page_tokens=ec.page_tokens,
-            kv_dtype=ec.kv_dtype,
-            num_kv_buffers=self.adapter.num_kv_buffers,
-        )
+        def _kv_cfg(layers: int, g: int = 0) -> KVConfig:
+            return KVConfig(
+                num_layers=layers,
+                num_kv_heads=self.adapter.num_kv_heads,
+                head_dim=self.adapter.head_dim,
+                block_tokens=ec.page_tokens,  # block == page on TPU
+                page_tokens=ec.page_tokens,
+                kv_dtype=ec.kv_dtype,
+                num_kv_buffers=self.adapter.num_kv_buffers,
+                group_id=g,
+            )
+
+        self.kv_cfg = _kv_cfg(arena_layers)
+        if self._group_layers is not None:
+            self.kv_cfgs = [
+                _kv_cfg(n, g) for g, n in enumerate(self._group_layers)
+            ]
+        else:
+            self.kv_cfgs = None
 
         self._stage_pools = None
+        self._group_pools = None
         if shared_pool is not None:
             if self._pp_axis:
                 raise NotImplementedError("pp placement with a shared pool")
+            if self._group_layers is not None:
+                raise NotImplementedError(
+                    "unequal layer groups cannot share a colocated pool "
+                    "(their page geometries differ)"
+                )
             self.pool = shared_pool
             assert pool_arrays is not None, "shared pool requires shared arrays"
             self.arrays = (
@@ -497,6 +532,37 @@ class LLMEngine:
                 jnp.zeros((S, *spec.kv_shape), spec.dtype), pool_sharding
             )
             self.arrays = PoolArrays(k, v)
+        elif self._group_layers is not None:
+            # per-GROUP arenas (unequal layer counts): one pool + one
+            # [L_g, pages, KH, P, D] arena per group; the step fns take
+            # the pools as tuples.  An HBM budget splits proportional to
+            # each group's page bytes (∝ L_g), so groups get equal PAGE
+            # counts — block accounting stays uniform.
+            self._group_pools = []
+            ks, vs = [], []
+            total_layers = sum(self._group_layers)
+            for g, cfg_g in enumerate(self.kv_cfgs):
+                if ec.num_pages is not None:
+                    spec_g = PoolSpec.from_config(
+                        cfg_g, num_pages=ec.num_pages)
+                else:
+                    budget = hbm_free_bytes()
+                    if budget is None:
+                        budget = 2 << 30
+                    spec_g = PoolSpec.from_config(
+                        cfg_g,
+                        hbm_budget_bytes=int(
+                            budget * ec.hbm_utilization
+                            * self._group_layers[g] / total_layers
+                        ),
+                    )
+                pool_g = DevicePagePool(spec_g)
+                self._group_pools.append(pool_g)
+                k_g, v_g = pool_g.allocate_arrays()
+                ks.append(k_g)
+                vs.append(v_g)
+            self.pool = self._group_pools[0]
+            self.arrays = PoolArrays(tuple(ks), tuple(vs))
         else:
             if ec.num_pages is not None:
                 spec = PoolSpec.from_config(self.kv_cfg, num_pages=ec.num_pages)
@@ -532,11 +598,21 @@ class LLMEngine:
         map_hooks = _per_group(map_hook, "map_hook")
         unmap_hooks = _per_group(unmap_hook, "unmap_hook")
         self.table_mirrors = _per_group(table_mirror, "table_mirror")
+        def _group_cfg(g):
+            if self.kv_cfgs is not None:
+                return self.kv_cfgs[g]  # per-group arenas: own layer count
+            return (self.kv_cfg if g == 0 else
+                    KVConfig(**{**self.kv_cfg.__dict__, "group_id": g}))
+
+        def _group_pool(g):
+            if self._group_pools is not None:
+                return self._group_pools[g]
+            return self._stage_pools[g] if self._stage_pools else self.pool
+
         self.managers = [
             create_kv_cache_manager(
-                self.kv_cfg if g == 0 else
-                KVConfig(**{**self.kv_cfg.__dict__, "group_id": g}),
-                self._stage_pools[g] if self._stage_pools else self.pool,
+                _group_cfg(g),
+                _group_pool(g),
                 ipc_name=ec.ipc_name,
                 reserve_null_block=True,
                 map_hook=map_hooks[g],
@@ -2533,10 +2609,12 @@ class LLMEngine:
                 idx = [j for j, b in enumerate(row) if b is not None]
                 phys_g = np.asarray([pt[row[j]] for j in idx], np.int32)
                 # placed pp: group g's pages live in STAGE g's slice of
-                # the stage-stacked [S, Lp, pages, ...] pool (colocated
-                # multi-group families share one [Lp, pages, ...] arena)
-                kp = self.k_pools[g] if self._pp_axis else self.k_pools
-                vp = self.v_pools[g] if self._pp_axis else self.v_pools
+                # the stage-stacked [S, Lp, pages, ...] pool; unequal
+                # layer groups keep per-group arenas (tuple); colocated
+                # equal-group families share one [Lp, pages, ...] arena
+                per_g = self._pp_axis or self._group_pools is not None
+                kp = self.k_pools[g] if per_g else self.k_pools
+                vp = self.v_pools[g] if per_g else self.v_pools
                 payload_groups.append(GroupPayload(
                     indices=idx,
                     n_slots=len(row),
@@ -2633,7 +2711,8 @@ class LLMEngine:
                     )
                 else:
                     self._land_pages(
-                        phys, jnp.asarray(grp.k), jnp.asarray(grp.v)
+                        phys, jnp.asarray(grp.k), jnp.asarray(grp.v),
+                        group=g,
                     )
             seq.num_prefilled = seq.prompt_len
             self.running.append(seq)
@@ -2685,13 +2764,40 @@ class LLMEngine:
             jnp.swapaxes(pay_v, 0, 1).astype(self.v_pools.dtype)
         )
 
-    def _land_pages(self, phys, pay_k, pay_v) -> None:
+    def _land_pages(self, phys, pay_k, pay_v, group: int | None = None) -> None:
         """Write gathered page payloads [L, n, KH, P, D] into the pools at
         physical pages ``phys``, through the Pallas page writers — via a
         shard-mapped writer when serving over a mesh (payload shards on the
         kv-head axis like the pool; dp shards perform identical writes).
-        Recompiles per distinct page count n; PD import is not the decode
-        hot path."""
+        ``group``: under per-group arenas (unequal layer groups) the
+        payload lands in that group's own pool.  Recompiles per distinct
+        page count n; PD import is not the decode hot path."""
+        if self._group_pools is not None:
+            assert group is not None, "per-group arenas need a group id"
+            kp, vp = self.k_pools[group], self.v_pools[group]
+            L = pay_k.shape[0]
+            n, P = pay_k.shape[1], pay_k.shape[3]
+            KH, D = pay_k.shape[2], pay_k.shape[4]
+            from ..ops.paged_attention import write_prefill_kv
+
+            for layer in range(L):
+                k_new = jnp.transpose(pay_k[layer], (1, 0, 2, 3)).reshape(
+                    KH, n * P, D
+                )
+                v_new = jnp.transpose(pay_v[layer], (1, 0, 2, 3)).reshape(
+                    KH, n * P, D
+                )
+                kp, vp = write_prefill_kv(
+                    kp, vp, k_new, v_new, phys, layer,
+                    interpret=self.cfg.interpret,
+                )
+            self.k_pools = tuple(
+                kp if i == group else p for i, p in enumerate(self.k_pools)
+            )
+            self.v_pools = tuple(
+                vp if i == group else p for i, p in enumerate(self.v_pools)
+            )
+            return
         from ..ops.paged_attention import (
             write_prefill_kv,
             write_prefill_kv_single,

@@ -230,7 +230,16 @@ class HybridAdapter:
         self.num_kv_buffers = 2
         self.window = None  # windows are per-group, not global
         self.group_windows = c.group_windows  # engine: one manager per group
-        self.layers_per_group = c.layers_per_group  # shared-arena layer dim
+        if c.equal_groups:
+            # equal layer counts: groups share ONE physical arena (pages
+            # fungible across groups)
+            self.layers_per_group = c.layers_per_group
+        else:
+            # unequal groups (Gemma3's 5:1 local:global): per-GROUP arenas
+            # — the engine allocates one pool per group and the step fns
+            # take pools as tuples (hybrid._pool_g)
+            self.layers_per_group = None
+            self.group_layers = c.group_layer_counts
         # MQA under tp (e.g. a single-kv-head Gemma2-class checkpoint):
         # the hybrid step fns derive per-shard head counts from weight
         # shapes, so the engine may replicate the kv head across tp

@@ -173,6 +173,52 @@ def _gemma2_config(hc: dict, dtype: str):
     )
 
 
+def _gemma3_config(hc: dict, dtype: str):
+    """Gemma3ForCausalLM (text) → HybridConfig.  Gemma3 = the Gemma2
+    structural knobs MINUS soft-capping PLUS per-head q/k RMSNorm (the
+    (1+w) convention — pre-applied at load so qkv_heads' plain rms_norm
+    is exact), a 5:1 local:global layer pattern (UNEQUAL layer groups —
+    the engine gives each group its own arena), and split RoPE: local
+    (sliding) layers at rope_local_base_freq unscaled, global layers at
+    rope_theta with the config's rope_scaling."""
+    from .hybrid import HybridConfig
+
+    L = hc["num_hidden_layers"]
+    head_dim = hc.get("head_dim", hc["hidden_size"] // hc["num_attention_heads"])
+    sw = hc.get("sliding_window", 512)
+    if "layer_types" in hc and hc["layer_types"]:
+        windows = tuple(
+            sw if t == "sliding_attention" else None for t in hc["layer_types"]
+        )
+    else:
+        # transformers Gemma3TextConfig default: every 6th layer is global
+        sp = int(hc.get("sliding_window_pattern", 6))
+        windows = tuple(
+            None if (i + 1) % sp == 0 else sw for i in range(L)
+        )
+    return HybridConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=hc["hidden_size"],
+        num_layers=L,
+        num_heads=hc["num_attention_heads"],
+        num_kv_heads=hc.get("num_key_value_heads", hc["num_attention_heads"]),
+        head_dim=head_dim,
+        intermediate_size=hc["intermediate_size"],
+        rope_theta=float(hc.get("rope_theta", 1_000_000.0)),
+        rms_eps=float(hc.get("rms_norm_eps", 1e-6)),
+        dtype=dtype,
+        layer_windows=windows,
+        act="gelu_tanh",
+        norm_offset=True,
+        embed_scale=True,
+        post_norms=True,
+        qk_norm=True,
+        query_scale=float(hc.get("query_pre_attn_scalar", 256.0)),
+        rope_scaling=_rope_scaling_from_hf(hc),
+        local_rope_theta=float(hc.get("rope_local_base_freq", 10_000.0)),
+    )
+
+
 def _rope_scaling_from_hf(hc: dict) -> tuple | None:
     """config.json rope_scaling → the hashable tuple rope_inv_freqs eats.
 
@@ -207,11 +253,16 @@ def config_from_hf(ckpt_dir: str, dtype: str = "bfloat16") -> LlamaConfig:
     archs = hc.get("architectures") or []
     if any(a == "Gemma2ForCausalLM" for a in archs):
         return _gemma2_config(hc, dtype)
+    if any(a in ("Gemma3ForCausalLM", "Gemma3ForConditionalGeneration")
+           for a in archs):
+        if "text_config" in hc:  # multimodal wrapper: the text tower
+            hc = {**hc["text_config"], "architectures": archs}
+        return _gemma3_config(hc, dtype)
     if archs and not any(a in _LLAMA_LIKE_ARCHS for a in archs):
         raise ValueError(
             f"unsupported HF architecture {archs}: this loader covers the "
             f"Llama-shaped families {_LLAMA_LIKE_ARCHS} plus "
-            f"Gemma2ForCausalLM"
+            f"Gemma2ForCausalLM and Gemma3ForCausalLM"
         )
     head_dim = hc.get(
         "head_dim", hc["hidden_size"] // hc["num_attention_heads"]
@@ -322,11 +373,21 @@ def params_from_hf(
             "w_up": cast(_stack(t, pre + "mlp.up_proj.weight", L, True)),
             "w_down": cast(_stack(t, pre + "mlp.down_proj.weight", L, True)),
         }
-        if pre.format(0) + "self_attn.q_norm.weight" in t:  # Gemma3-class
+        has_qk = pre.format(0) + "self_attn.q_norm.weight" in t
+        if has_qk != bool(getattr(cfg, "qk_norm", False)):
+            raise ValueError(
+                f"config qk_norm={getattr(cfg, 'qk_norm', False)} but "
+                f"checkpoint {'has' if has_qk else 'lacks'} q_norm tensors"
+            )
+        if has_qk:  # Gemma3-class per-head q/k RMSNorm
+            # Gemma stores zero-centered norm weights (effective = 1 + w);
+            # qkv_heads applies plain rms_norm, so bake the offset in here
+            # — stored params are the EFFECTIVE weights (exact, and the
+            # spec tree stays identical to the Qwen3 shape)
             layers["q_norm"] = cast(
-                _stack(t, pre + "self_attn.q_norm.weight", L, False))
+                1.0 + _stack(t, pre + "self_attn.q_norm.weight", L, False))
             layers["k_norm"] = cast(
-                _stack(t, pre + "self_attn.k_norm.weight", L, False))
+                1.0 + _stack(t, pre + "self_attn.k_norm.weight", L, False))
         params = {
             "embed": cast(t["model.embed_tokens.weight"]),
             "layers": layers,

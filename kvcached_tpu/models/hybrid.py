@@ -101,6 +101,11 @@ class HybridConfig:
     #: RoPE frequency scaling ("linear", factor) / ("llama3", ...) — see
     #: llama.rope_inv_freqs
     rope_scaling: tuple | None = None
+    #: Gemma3-class per-group RoPE: sliding-window (local) layers use this
+    #: base frequency UNSCALED, full-attention (global) layers use
+    #: rope_theta + rope_scaling (HF rope_local_base_freq).  None = all
+    #: layers share rope_theta/rope_scaling (Gemma2/Qwen shape).
+    local_rope_theta: float | None = None
 
     def __post_init__(self):
         if len(self.layer_windows) != self.num_layers:
@@ -159,15 +164,35 @@ class HybridConfig:
         return tuple(out)
 
     @property
-    def layers_per_group(self) -> int:
+    def group_layer_counts(self) -> tuple:
+        """Layers per group, in group order (Gemma3's 5:1 pattern gives
+        e.g. (20, 4))."""
         gi = self.group_index
-        counts = [gi.count(g) for g in range(len(self.group_windows))]
+        return tuple(gi.count(g) for g in range(len(self.group_windows)))
+
+    @property
+    def equal_groups(self) -> bool:
+        return len(set(self.group_layer_counts)) <= 1
+
+    @property
+    def layers_per_group(self) -> int:
+        counts = self.group_layer_counts
         if len(set(counts)) != 1:
             raise ValueError(
                 f"groups must have equal layer counts to share one arena, "
-                f"got {counts}; pad layer_windows or use distinct pools"
+                f"got {counts}; unequal groups use per-group arenas "
+                f"(engine allocates one pool per group)"
             )
         return counts[0]
+
+    def rope_for_group(self, g: int) -> tuple:
+        """(theta, scaling) for group g's layers: Gemma3-class local
+        (sliding) groups use local_rope_theta unscaled; global groups —
+        and every group when local_rope_theta is unset — use
+        rope_theta + rope_scaling."""
+        if self.local_rope_theta is not None and self.group_windows[g] is not None:
+            return self.local_rope_theta, None
+        return self.rope_theta, self.rope_scaling
 
 
 def init_hybrid_params(cfg: HybridConfig, key: jax.Array) -> dict:
@@ -241,6 +266,19 @@ def _final_logits(x, params, cfg, tp_axis):
     return _cap_logits(lm_head_logits(x, params["lm_head"], tp_axis), cfg)
 
 
+def _pool_g(pools, g: int):
+    """Group g's arena: pools is either ONE shared arena array (equal
+    layer groups) or a per-group tuple (unequal groups, e.g. Gemma3's
+    5:1 local:global pattern — each group owns its own arena)."""
+    return pools[g] if isinstance(pools, tuple) else pools
+
+
+def _set_pool_g(pools, g: int, new):
+    if isinstance(pools, tuple):
+        return tuple(new if i == g else p for i, p in enumerate(pools))
+    return new
+
+
 def hybrid_decode_step(
     params: dict,
     cfg: HybridConfig,
@@ -278,35 +316,38 @@ def hybrid_decode_step(
 
         h = _norm(x, lp["attn_norm"], cfg)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q[:, None], positions[:, None], cfg.rope_theta,
-                 getattr(cfg, "rope_scaling", None))[:, 0]
-        k = rope(k[:, None], positions[:, None], cfg.rope_theta,
-                 getattr(cfg, "rope_scaling", None))[:, 0]
 
         def make_branch(g: int):
-            w = windows[g]  # STATIC per branch
+            w = windows[g]  # STATIC per branch (as are theta/scaling)
+            theta, scaling = cfg.rope_for_group(g)
 
             def branch(ops):
                 q, k, v, k_pools, v_pools = ops
-                return paged_attention_decode(
-                    q, k_pools, v_pools,
+                q = rope(q[:, None], positions[:, None], theta, scaling)[:, 0]
+                k = rope(k[:, None], positions[:, None], theta, scaling)[:, 0]
+                kp, vp = _pool_g(k_pools, g), _pool_g(v_pools, g)
+                attn, kp, vp = paged_attention_decode(
+                    q, kp, vp,
                     page_tables[g], seq_lens, l_in_g,
-                    k.astype(k_pools.dtype), v.astype(v_pools.dtype),
+                    k.astype(kp.dtype), v.astype(vp.dtype),
                     slot_pages[g], slot_offsets,
                     interpret=interpret, window=w,
                     sm_scale=_sm_scale(cfg),
                     logit_softcap=cfg.attn_softcap,
                 )
+                return (attn, k,
+                        _set_pool_g(k_pools, g, kp),
+                        _set_pool_g(v_pools, g, vp))
 
             return branch
 
-        attn, k_pools, v_pools = jax.lax.switch(
+        attn, k_roped, k_pools, v_pools = jax.lax.switch(
             g_idx, [make_branch(g) for g in range(G)],
             (q, k, v, k_pools, v_pools),
         )
         x = _attn_residual(x, attn.reshape(B, H * D), lp, cfg, tp_axis)
         x = _mlp_residual(x, lp, cfg, tp_axis)
-        return (x, k_pools, v_pools), ((k, v) if collect_kv else None)
+        return (x, k_pools, v_pools), ((k_roped, v) if collect_kv else None)
 
     layers = {
         "p": params["layers"],
@@ -366,35 +407,38 @@ def hybrid_verify_step(
 
         h = _norm(x, lp["attn_norm"], cfg)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q, positions, cfg.rope_theta,
-                 getattr(cfg, "rope_scaling", None))
-        k = rope(k, positions, cfg.rope_theta,
-                 getattr(cfg, "rope_scaling", None))
 
         def make_branch(g: int):
-            w = windows[g]  # STATIC per branch
+            w = windows[g]  # STATIC per branch (as are theta/scaling)
+            theta, scaling = cfg.rope_for_group(g)
 
             def branch(ops):
                 q, k, v, k_pools, v_pools = ops
-                return paged_attention_verify(
-                    q, k_pools, v_pools,
+                q = rope(q, positions, theta, scaling)
+                k = rope(k, positions, theta, scaling)
+                kp, vp = _pool_g(k_pools, g), _pool_g(v_pools, g)
+                attn, kp, vp = paged_attention_verify(
+                    q, kp, vp,
                     page_tables[g], seq_lens, l_in_g,
-                    k.astype(k_pools.dtype), v.astype(v_pools.dtype),
+                    k.astype(kp.dtype), v.astype(vp.dtype),
                     slot_pages[g], slot_offsets,
                     interpret=interpret, window=w,
                     sm_scale=_sm_scale(cfg),
                     logit_softcap=cfg.attn_softcap,
                 )
+                return (attn, k,
+                        _set_pool_g(k_pools, g, kp),
+                        _set_pool_g(v_pools, g, vp))
 
             return branch
 
-        attn, k_pools, v_pools = jax.lax.switch(
+        attn, k_roped, k_pools, v_pools = jax.lax.switch(
             g_idx, [make_branch(g) for g in range(G)],
             (q, k, v, k_pools, v_pools),
         )
         x = _attn_residual(x, attn.reshape(B, T, H * D), lp, cfg, tp_axis)
         x = _mlp_residual(x, lp, cfg, tp_axis)
-        return (x, k_pools, v_pools), ((k, v) if collect_kv else None)
+        return (x, k_pools, v_pools), ((k_roped, v) if collect_kv else None)
 
     layers = {
         "p": params["layers"],
@@ -448,28 +492,30 @@ def hybrid_prefill_step(
 
         h = _norm(x, lp["attn_norm"], cfg)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q, positions, cfg.rope_theta,
-                 getattr(cfg, "rope_scaling", None))
-        k = rope(k, positions, cfg.rope_theta,
-                 getattr(cfg, "rope_scaling", None))
 
         def make_branch(g: int):
             w = windows[g]
+            theta, scaling = cfg.rope_for_group(g)
 
             def branch(ops):
                 q, k, v, k_pools, v_pools = ops
-                k_pools, v_pools = write_prefill_kv(
-                    k_pools, v_pools,
+                q = rope(q, positions, theta, scaling)
+                k = rope(k, positions, theta, scaling)
+                kp, vp = _pool_g(k_pools, g), _pool_g(v_pools, g)
+                kp, vp = write_prefill_kv(
+                    kp, vp,
                     k.transpose(1, 0, 2), v.transpose(1, 0, 2),
                     chunk_pages[g], l_in_g, interpret=interpret,
                 )
                 attn = paged_prefill_attention(
-                    q, k_pools, v_pools, page_table[g], q_start, kv_len,
+                    q, kp, vp, page_table[g], q_start, kv_len,
                     l_in_g, interpret=interpret, window=w,
                     sm_scale=_sm_scale(cfg),
                     logit_softcap=cfg.attn_softcap,
                 )
-                return attn, k_pools, v_pools
+                return (attn,
+                        _set_pool_g(k_pools, g, kp),
+                        _set_pool_g(v_pools, g, vp))
 
             return branch
 
@@ -534,33 +580,35 @@ def hybrid_prefill_batch_step(
 
         h = _norm(x, lp["attn_norm"], cfg)
         q, k, v = qkv_heads(h, lp, H, KH, D, cfg.rms_eps)
-        q = rope(q, positions, cfg.rope_theta,
-                 getattr(cfg, "rope_scaling", None))
-        k = rope(k, positions, cfg.rope_theta,
-                 getattr(cfg, "rope_scaling", None))
 
         def make_branch(g: int):
             w = windows[g]
+            theta, scaling = cfg.rope_for_group(g)
 
             def branch(ops):
                 q, k, v, k_pools, v_pools = ops
+                q = rope(q, positions, theta, scaling)
+                k = rope(k, positions, theta, scaling)
+                kp, vp = _pool_g(k_pools, g), _pool_g(v_pools, g)
                 # batch flattens into one page stream (write pages are
                 # sequence-agnostic; pad entries discard via page 0)
-                k_pools, v_pools = write_prefill_kv(
-                    k_pools, v_pools,
+                kp, vp = write_prefill_kv(
+                    kp, vp,
                     k.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
                     v.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
                     chunk_pages[:, g].reshape(-1), l_in_g,
                     interpret=interpret,
                 )
                 attn = paged_prefill_attention_batch(
-                    q, k_pools, v_pools, page_tables[:, g],
+                    q, kp, vp, page_tables[:, g],
                     q_starts, kv_lens, l_in_g,
                     interpret=interpret, window=w,
                     sm_scale=_sm_scale(cfg),
                     logit_softcap=cfg.attn_softcap,
                 )
-                return attn, k_pools, v_pools
+                return (attn,
+                        _set_pool_g(k_pools, g, kp),
+                        _set_pool_g(v_pools, g, vp))
 
             return branch
 

@@ -535,3 +535,130 @@ class TestWeightMapping:
             assert got[0].output_tokens == want
         finally:
             eng.shutdown()
+
+
+class TestGemma3:
+    """Gemma3ForCausalLM maps onto the hybrid family with UNEQUAL layer
+    groups (the 5:1 local:global pattern → per-group arenas), per-head
+    q/k RMSNorm in the Gemma (1+w) convention (pre-applied at load), and
+    split RoPE — local layers at rope_local_base_freq unscaled, global
+    layers at rope_theta (+rope_scaling)."""
+
+    @pytest.fixture(scope="class")
+    def gemma3_ckpt(self, tmp_path_factory):
+        torch = pytest.importorskip("torch")
+        from transformers import Gemma3ForCausalLM
+        from transformers import Gemma3TextConfig as HFConfig
+
+        hc = HFConfig(
+            vocab_size=128,
+            hidden_size=256,
+            intermediate_size=256,
+            num_hidden_layers=6,  # default pattern: 5 sliding + 1 full
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=128,
+            rms_norm_eps=1e-6,
+            rope_theta=1_000_000.0,
+            rope_local_base_freq=10_000.0,
+            sliding_window=8,  # bites inside the test prompt
+            query_pre_attn_scalar=256,
+            attn_implementation="eager",
+            tie_word_embeddings=True,
+        )
+        torch.manual_seed(0)
+        model = Gemma3ForCausalLM(hc).eval()
+        d = tmp_path_factory.mktemp("gemma3_ckpt")
+        model.save_pretrained(str(d), safe_serialization=True)
+        return str(d), model
+
+    def test_config_maps_to_unequal_hybrid(self, gemma3_ckpt):
+        from kvcached_tpu.models.hf_loader import config_from_hf
+        from kvcached_tpu.models.hybrid import HybridConfig
+
+        cfg = config_from_hf(gemma3_ckpt[0])
+        assert isinstance(cfg, HybridConfig)
+        assert cfg.layer_windows == (8, 8, 8, 8, 8, None)
+        assert not cfg.equal_groups
+        assert cfg.group_layer_counts == (5, 1)
+        assert cfg.qk_norm and cfg.norm_offset and cfg.post_norms
+        assert cfg.attn_softcap is None and cfg.final_softcap is None
+        assert cfg.local_rope_theta == 10_000.0
+        assert cfg.rope_theta == 1_000_000.0
+
+    def test_greedy_generation_matches_transformers(self, gemma3_ckpt):
+        import torch
+
+        from kvcached_tpu.engine import EngineConfig, SamplingParams
+        from kvcached_tpu.models.hf_loader import engine_from_checkpoint
+
+        ckpt_dir, hf_model = gemma3_ckpt
+        # long enough that the sliding window (8) truncates attention AND
+        # the global layer still sees everything
+        prompt = [1, 17, 42, 99, 5, 64, 101, 7, 9, 33, 2, 58]
+        with torch.no_grad():
+            want = hf_model.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False
+            )[0][len(prompt):].tolist()
+
+        eng = engine_from_checkpoint(
+            ckpt_dir,
+            EngineConfig(
+                max_batch=2, max_model_len=64, page_tokens=16,
+                decode_horizon=2, prefill_buckets=(16, 32), num_pages=32,
+                interpret=True, kv_dtype="float32",
+            ),
+            dtype="float32",
+        )
+        try:
+            assert "q_norm" in eng.params["layers"]
+            assert isinstance(eng.k_pools, tuple) and len(eng.k_pools) == 2
+            got = eng.generate([prompt], SamplingParams(max_new_tokens=8))
+            assert got[0].output_tokens == want
+        finally:
+            eng.shutdown()
+
+    def test_local_rope_is_live(self, gemma3_ckpt):
+        """Collapsing the local base frequency onto the global one must
+        change the step LOGITS — proof the split-rope path is live in the
+        compiled graph (greedy tokens can survive the perturbation at
+        random-init scale; the logits cannot)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from kvcached_tpu.models.hf_loader import config_from_hf, params_from_hf
+        from kvcached_tpu.models.hybrid import hybrid_prefill_step
+
+        ckpt_dir, _ = gemma3_ckpt
+        cfg = config_from_hf(ckpt_dir, dtype="float32")
+        _, params = params_from_hf(ckpt_dir, cfg=cfg, dtype="float32")
+        P, T = 16, 16
+        KH, D = cfg.num_kv_heads, cfg.head_dim
+        G = len(cfg.group_windows)
+        pools = tuple(
+            jnp.zeros((n, 8, KH, P, D), jnp.float32)
+            for n in cfg.group_layer_counts
+        )
+        tokens = jnp.asarray(
+            [1, 17, 42, 99, 5, 64, 101, 7, 9, 33, 2, 58, 0, 0, 0, 0],
+            jnp.int32)
+        positions = jnp.arange(T)
+        chunk_pages = jnp.ones((G, 1), jnp.int32)
+        page_table = jnp.ones((G, 8), jnp.int32)
+
+        def logits_for(c):
+            lg, _, _ = hybrid_prefill_step(
+                params, c, tokens, positions, pools, pools,
+                chunk_pages, page_table, jnp.int32(0), jnp.int32(12),
+                interpret=True,
+            )
+            return lg
+
+        base = logits_for(cfg)
+        collapsed = logits_for(
+            dataclasses.replace(cfg, local_rope_theta=None))
+        assert not jnp.allclose(base, collapsed), (
+            "local rope made no difference to the logits"
+        )

@@ -335,3 +335,104 @@ class TestHybridBatchedPrefill:
         finally:
             eng.shutdown()
         assert got == want, "hybrid batched prefill on mesh diverged"
+
+
+class TestUnequalGroups:
+    """Gemma3-class UNEQUAL layer groups (5:1 local:global): each group
+    gets its own arena + pool; accounting, per-group shm limits, and
+    elastic reclamation work exactly as with the shared arena."""
+
+    @pytest.fixture(scope="class")
+    def ucfg(self):
+        cfg = HybridConfig.toy(num_layers=6, window=32)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, layer_windows=(32, 32, None, 32, 32, None))
+        # groups: (32 -> 4 layers, None -> 2 layers)
+        assert not cfg.equal_groups
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        return cfg, params
+
+    def test_token_exact_vs_dense(self, ucfg):
+        cfg, params = ucfg
+        prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+        want = dense_hybrid_reference(params, cfg, prompt, 48)
+        eng = make_engine(cfg, params, max_model_len=96, kv_dtype="float32")
+        try:
+            assert isinstance(eng.k_pools, tuple) and len(eng.k_pools) == 2
+            # per-group arenas have their groups' layer counts
+            assert eng.k_pools[0].shape[0] == 4
+            assert eng.k_pools[1].shape[0] == 2
+            got = eng.generate(
+                [prompt], SamplingParams(max_new_tokens=48)
+            )[0].output_tokens
+        finally:
+            eng.shutdown()
+        assert got == want, "unequal-group engine diverged from dense"
+
+    def test_spec_and_batched_prefill_token_exact(self, ucfg):
+        cfg, params = ucfg
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2],
+                   list(range(3, 40))]
+        sp = SamplingParams(max_new_tokens=10)
+
+        def run(**kw):
+            eng = make_engine(cfg, params, max_model_len=96,
+                              kv_dtype="float32", **kw)
+            try:
+                return [o.output_tokens
+                        for o in eng.generate(prompts, sp)], eng
+            finally:
+                eng.shutdown()
+
+        want, _ = run()
+        got_spec, eng = run(spec_decode=True, spec_gamma=2, spec_horizon=2)
+        assert got_spec == want, "spec decode diverged under unequal groups"
+        got_batch, eng = run(prefill_batch=3)
+        assert got_batch == want, "batched prefill diverged under unequal groups"
+
+    def test_per_group_elastic_and_remote_limit(self, ucfg):
+        """The sliding group reclaims pages mid-generation while the full
+        group keeps every page — now in SEPARATE arenas; a kvctl-style
+        limit write on the full group's ``_g1`` shm segment resizes only
+        that group's manager."""
+        import uuid
+
+        from kvcached_tpu import shm
+
+        cfg, params = ucfg
+        name = f"kvcached_uneq_{uuid.uuid4().hex[:6]}"
+        eng = make_engine(cfg, params, max_model_len=160, ipc_name=name)
+        try:
+            # distinct pools, distinct segments
+            assert eng.managers[0].page_allocator is not eng.managers[1].page_allocator
+            assert shm.get_kv_cache_info(name) is not None
+            assert shm.get_kv_cache_info(f"{name}_g1") is not None
+
+            prompt = [7] * 16
+            eng.add_request(prompt, SamplingParams(max_new_tokens=100))
+            peak_sw = peak_full = 0
+            while eng.has_unfinished():
+                eng.step()
+                if eng.running:
+                    seq = eng.running[0]
+                    peak_sw = max(peak_sw, sum(
+                        b is not None for b in seq.blocks_g[0]))
+                    peak_full = max(peak_full, sum(
+                        b is not None for b in seq.blocks_g[1]))
+            assert peak_sw <= 4, f"SW group never reclaimed: {peak_sw}"
+            assert peak_full >= 7, f"full group should keep pages: {peak_full}"
+
+            # operator cuts ONLY the full group's limit (kvctl limit path)
+            g1_cfg = eng.managers[1].cfg if hasattr(eng.managers[1], "cfg") else None
+            new_limit = 4 * eng.managers[1].page_allocator.page_bytes \
+                if hasattr(eng.managers[1].page_allocator, "page_bytes") else 1 << 20
+            shm.update_kv_cache_limit(f"{name}_g1", int(new_limit))
+            # the next alloc on group 1 applies the resize target
+            eng.managers[1].alloc(1)
+            assert shm.get_kv_cache_info(f"{name}_g1").total_size == int(new_limit)
+            # group 0's limit untouched
+            assert shm.get_kv_cache_info(name).total_size != int(new_limit)
+        finally:
+            eng.shutdown()

@@ -40,6 +40,11 @@ class TestFamilies:
         assert g2.query_scale == float(g2.head_dim)
         g2b = _model_cfg("gemma2", base_cfg(sliding_window=32, head_dim=256))
         assert g2b.query_scale == 256.0
+        g3 = _model_cfg("gemma3", base_cfg(num_layers=6, sliding_window=32))
+        assert g3.qk_norm and g3.local_rope_theta == 10_000.0
+        assert g3.layer_windows == (32, 32, 32, 32, 32, None)
+        assert not g3.equal_groups
+        assert g3.attn_softcap is None
         assert _model_cfg("hybrid", base_cfg(
             layer_windows=[None, 32],
         )).group_windows == (None, 32)
