@@ -1,13 +1,14 @@
-"""Example 15: model-family tour — Qwen2, Qwen3, and Gemma2 checkpoints
-served colocated from one runtime.
+"""Example 15: model-family tour — Qwen2, Qwen3, Gemma2, and Gemma3
+checkpoints served colocated from one runtime.
 
 The reference serves whatever vLLM/SGLang load; owning the engine means
 owning the architecture mapping.  This example writes tiny random HF
 checkpoints with transformers itself (Qwen2 = Llama + qkv biases, Qwen3 =
 Llama + per-head q/k norms, Gemma2 = the hybrid sliding/full family +
-geglu/post-norms/soft-capping), loads them through the HF loader, and
-serves all three from one AsyncEngineRunner — different architectures,
-one machine, shared HBM accounting.
+geglu/post-norms/soft-capping, Gemma3 = UNEQUAL 5:1 layer groups with
+per-group arenas + q/k norms + split local/global rope), loads them
+through the HF loader, and serves all four from one AsyncEngineRunner —
+different architectures, one machine, shared HBM accounting.
 
 Run: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python examples/15_model_family_tour.py
 """
@@ -31,6 +32,7 @@ def _write_ckpts(root: str) -> dict:
     import torch
     from transformers import (
         Gemma2Config, Gemma2ForCausalLM,
+        Gemma3ForCausalLM, Gemma3TextConfig,
         Qwen2Config, Qwen2ForCausalLM,
         Qwen3Config, Qwen3ForCausalLM,
     )
@@ -51,10 +53,17 @@ def _write_ckpts(root: str) -> dict:
          dict(sliding_window=16, query_pre_attn_scalar=256,
               attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
               attn_implementation="eager")),
+        ("gemma3", Gemma3TextConfig, Gemma3ForCausalLM,
+         dict(num_hidden_layers=6,  # 5 sliding : 1 full (unequal groups)
+              sliding_window=16, query_pre_attn_scalar=256,
+              rope_local_base_freq=10_000.0,
+              attn_implementation="eager")),
     ]:
+        if name == "gemma3":  # num_hidden_layers comes from extra
+            common = {k: v for k, v in common.items()}
         d = os.path.join(root, name)
-        Model(Cfg(**common, **extra)).save_pretrained(
-            d, safe_serialization=True)
+        kw = {**common, **extra}
+        Model(Cfg(**kw)).save_pretrained(d, safe_serialization=True)
         out[name] = d
     return out
 
@@ -85,6 +94,11 @@ def main():
             out = eng.generate([prompt], SamplingParams(max_new_tokens=8))[0]
             assert len(out.output_tokens) == 8
             print(f"{name} serves: {out.output_tokens}")
+
+        # the gemma3 engine runs per-GROUP arenas (unequal layer groups)
+        assert isinstance(engines["gemma3"].k_pools, tuple)
+        print("gemma3 per-group arenas:",
+              [kp.shape for kp in engines["gemma3"].k_pools])
 
         # level-2 sleep works for every checkpoint-backed family
         h = runner.models["gemma2"]

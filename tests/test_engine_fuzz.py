@@ -102,3 +102,33 @@ def test_second_seed_priority(toy):
     want, _ = _serve(toy, reqs, num_pages=96, policy="priority", max_batch=4)
     got, _ = _serve(toy, reqs, num_pages=8, policy="priority", max_batch=4)
     assert got == want
+
+
+def test_unequal_groups_pressure_invariance():
+    """The per-group-arena (Gemma3-class) path under pool pressure: the
+    same scenario with tight per-group pools (preemptions expected) must
+    produce byte-identical outputs as with ample pools — the round-5
+    unequal-groups allocator obeys the same invariant as the shared
+    arena."""
+    import dataclasses
+
+    from kvcached_tpu.models.hybrid import HybridConfig, init_hybrid_params
+
+    cfg = HybridConfig.toy(num_layers=3, window=16)
+    cfg = dataclasses.replace(cfg, layer_windows=(16, 16, None))
+    assert not cfg.equal_groups
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+    toy = (cfg, params)
+    reqs = _scenario(seed=11, n_reqs=6)
+    want, _ = _serve(toy, reqs, num_pages=96, policy="fcfs", max_batch=3)
+    saw_preempt = False
+    for pages in (6, 8):
+        got, preempts = _serve(
+            toy, reqs, num_pages=pages, policy="fcfs", max_batch=3
+        )
+        saw_preempt = saw_preempt or preempts > 0
+        assert got == want, (
+            f"unequal-group outputs changed under pressure "
+            f"(num_pages={pages}, preemptions={preempts})"
+        )
+    assert saw_preempt, "fuzz never triggered a preemption"
