@@ -49,8 +49,28 @@ def run_burst(elastic: bool, *, num_pages=96, burst=8, max_new=160,
     from kvcached_tpu.engine import EngineConfig, LLMEngine, SamplingParams
     from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
 
+    debug = os.environ.get("KVCACHED_BENCH_DEBUG")
+
+    def _dbg(tag):
+        if debug:
+            gb = sum(x.nbytes for x in jax.live_arrays()) / 2**30
+            print(f"[debug] {tag}: {gb:.2f} GB live", flush=True)
+
     cfg = model_cfg or LlamaConfig.toy()
+    # Init EVERY param tree before building any engine: random init makes
+    # GB-scale f32 transients (w_gate f32 alone is 2.8 GB at 3B), and once
+    # engine A's pool arenas sit in HBM those transients fragment the
+    # space the prefill program's workspace needs — observed as a
+    # RESOURCE_EXHAUSTED at warm-up with >2 GB nominally free.
     params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    idle_params = [
+        init_llama_params(cfg, jax.random.PRNGKey(1 + i))
+        if distinct_weights else params
+        for i in range(n_idle)
+    ]
+    import jax as _jax
+    _jax.block_until_ready(idle_params)
+    _dbg("params")
     ec = dict(
         max_batch=max_batch or (4 if interpret else 12),
         max_model_len=max_model_len, page_tokens=page_tokens,
@@ -65,13 +85,12 @@ def run_burst(elastic: bool, *, num_pages=96, burst=8, max_new=160,
     a = LLMEngine(cfg, EngineConfig(**ec), params=params)
     idle = [
         LLMEngine(
-            cfg, EngineConfig(**ec),
-            params=(init_llama_params(cfg, jax.random.PRNGKey(1 + i))
-                    if distinct_weights else params),
+            cfg, EngineConfig(**ec), params=idle_params[i],
             shared_pool=a.pool, pool_arrays=a.arrays,
         )
         for i in range(n_idle)
     ]
+    _dbg("engines built")
 
     if not elastic:
         # static partition: pin each model to an equal share of the pool
@@ -91,7 +110,9 @@ def run_burst(elastic: bool, *, num_pages=96, burst=8, max_new=160,
                 holds.append((e, h))
 
     # warm compile on A (prefill + decode programs)
+    _dbg("pre warm gen")
     a.generate([[1] * prompt_base], SamplingParams(max_new_tokens=2))
+    _dbg("post warm gen")
 
     # burst on A: submit all at once, measure TTFT per request.
     # staggered request shapes (real traces aren't lockstep): varied prompt
@@ -128,6 +149,9 @@ def run_burst(elastic: bool, *, num_pages=96, burst=8, max_new=160,
         e.manager.page_allocator.peak_in_use for e in (a, *idle)
     ) * a.kv_cfg.page_bytes
 
+    if debug:
+        print("[debug] per-req TTFT:",
+              [round(ttft.get(i, finish), 2) for i in ids], flush=True)
     lat = sorted(ttft.get(i, finish) for i in ids)
     mean = sum(lat) / len(lat)
     p99 = lat[min(len(lat) - 1, int(0.99 * len(lat)))]
@@ -161,16 +185,21 @@ def main():
 
         # Llama-3.2-3B geometry (hidden 3072, 28 layers, 24/8 heads, ffn
         # 8192) at 32k vocab: 3.0B params, 6.0 GB bf16 — TWO DISTINCT
-        # copies (12 GB) + a 2 GB shared pool fill the v5e's 16 GB like
-        # the reference's 3×8B fill an A100-80G.  One engine bursts while
-        # the other idles; page_tokens 32 halves page-table overhead at
-        # this depth (page = 28L × 8KH × 32 × 128 × 2B × 2 = 3.7 MB).
+        # copies (12 GB) + a 1.6 GB shared pool fill the v5e's 16 GB like
+        # the reference's 3×8B fill an A100-80G (a 2.1 GB pool OOMs once
+        # the prefill program's workspace lands on top of the weights).
+        # One engine bursts while the other idles; page_tokens 32 halves
+        # page-table overhead at this depth (page = 28L × 8KH × 32 × 128
+        # × 2B × 2 = 3.7 MB).  Burst demand ≈ 420 pages (12 × ~35
+        # pages/seq) — ~95% of the elastic pool (440) but far beyond a
+        # static half (220), so static queues/preempts while elastic
+        # absorbs the whole burst.
         burst = args.burst or 12
         kw = dict(
             interpret=False, page_tokens=32,
-            num_pages=args.num_pages or 560,  # ≈2.1 GB pool
-            adaptive_horizon=False, max_model_len=2048, max_new=1200,
-            hold_frac=0.02, prefill_buckets=(512,), prefill_batch=6,
+            num_pages=args.num_pages or 440,  # ≈1.6 GB pool
+            adaptive_horizon=False, max_model_len=2048, max_new=900,
+            hold_frac=0.02, prefill_buckets=(512,), prefill_batch=4,
             prompt_base=256, prompt_step=64, decode_horizon=8,
             max_batch=args.max_batch or 12,
             n_idle=1, distinct_weights=True,

@@ -305,6 +305,14 @@ def paged_prefill_attention_batch(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
     q_tile = min(q_tile, T)
+    # Every rows-sized VMEM buffer (q/out blocks, m/l/acc scratch) scales
+    # with ``rows = q_tile * group``: wide-GQA geometries (Llama-3B's
+    # 24q/8kv = group 3, MQA-heavy group 8+) overflow the ~16 MB
+    # scoped-VMEM frame at the default q_tile=128.  Cap rows at 256 by
+    # shrinking q_tile to the largest power of two <= 256/group; group<=2
+    # keeps the validated default unchanged.
+    if q_tile * group > 256:
+        q_tile = min(q_tile, 1 << max(3, (256 // group).bit_length() - 1))
     assert T % q_tile == 0, f"T={T} must be a multiple of q_tile={q_tile}"
     num_tiles = T // q_tile
     rows = q_tile * group
