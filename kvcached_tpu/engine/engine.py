@@ -463,15 +463,6 @@ class LLMEngine:
         if (self.num_groups > 1
                 and getattr(self.adapter, "layers_per_group", 0) is None):
             self._group_layers = tuple(self.adapter.group_layers)
-            if mesh is not None:
-                raise NotImplementedError(
-                    "unequal layer groups (per-group arenas) are "
-                    "single-device for now — no mesh"
-                )
-            if ec.kv_dtype == "int8":
-                raise NotImplementedError(
-                    "int8 KV with unequal layer groups is not supported"
-                )
             arena_layers = self._group_layers[0]
         else:
             arena_layers = (
@@ -556,7 +547,7 @@ class LLMEngine:
                             * self._group_layers[g] / total_layers
                         ),
                     )
-                pool_g = DevicePagePool(spec_g)
+                pool_g = DevicePagePool(spec_g, sharding=pool_sharding)
                 self._group_pools.append(pool_g)
                 k_g, v_g = pool_g.allocate_arrays()
                 ks.append(k_g)
@@ -870,16 +861,21 @@ class LLMEngine:
             not self._pp_axis
             and getattr(self.adapter, "num_stages", 0) > 1
         )
+        hybrid_groups = self.num_groups > 1 and not colocated_pp
         if self._pp_axis:
             want = [(self.mesh.shape["pp"], Lp, KH)]
         elif colocated_pp:
             want = [(Lp, KH), (self.adapter.num_layers, KH)]
+        elif hybrid_groups:
+            # plain hybrid layer groups: per MODEL layer only — the step
+            # fns split rows per group arena (equal AND unequal groups)
+            want = [(self.adapter.num_layers, KH)]
         else:
             want = [(Lp, KH)]
         if tuple(ks.shape) not in want or tuple(vs.shape) != tuple(ks.shape):
             raise ValueError(
                 f"set_kv_scales: expected shape in {want} "
-                f"(arena layers x kv heads"
+                f"({'model' if hybrid_groups else 'arena'} layers x kv heads"
                 + (", stage-stacked" if self._pp_axis else "")
                 + (", or per model layer" if colocated_pp else "")
                 + f"), got k={tuple(ks.shape)} v={tuple(vs.shape)}"
@@ -975,7 +971,18 @@ class LLMEngine:
             return
         if reset_scales:
             if ec.kv_dtype == "int8":
-                L, KH = self.kv_cfg.num_layers, self.adapter.num_kv_heads
+                KH = self.adapter.num_kv_heads
+                # plain hybrid layer groups (Gemma2/3-class): scales are
+                # per MODEL layer [L_model, KH] — the step fns split them
+                # into per-group arena-shaped arrays (models/hybrid.py
+                # _group_scales; within a group arena layer <-> model
+                # layer is a bijection).  Colocated pp keeps the arena
+                # contract (stages ALIAS arena indices, see set_kv_scales)
+                if (self.num_groups > 1
+                        and not getattr(self.adapter, "num_stages", 0)):
+                    L = self.adapter.num_layers
+                else:
+                    L = self.kv_cfg.num_layers
                 self.quant_scales = (
                     jnp.full((L, KH), ec.kv_scale, jnp.float32),
                     jnp.full((L, KH), ec.kv_scale, jnp.float32),
@@ -1075,6 +1082,30 @@ class LLMEngine:
             if not single_kv:
                 vs = jax.lax.all_gather(vs, dp, axis=1, tiled=True)
             so = jax.lax.all_gather(slot_offsets, dp, axis=0, tiled=True)
+            if isinstance(k_pools, tuple):
+                # per-GROUP arenas (unequal layer groups): split the
+                # gathered per-model-layer K/V rows per group and replay
+                # each group into its own arena.  Within a group arena
+                # layer <-> model layer is a bijection, so pool_layers is
+                # arange and per-model-layer scales slice directly.
+                sp = jax.lax.all_gather(slot_pages, dp, axis=1, tiled=True)
+                B_all = so.shape[0]
+                new_k, new_v = list(k_pools), list(v_pools)
+                for g in range(self.num_groups):
+                    sel = jnp.asarray(
+                        [i for i, gx in enumerate(group_index) if gx == g],
+                        jnp.int32,
+                    )
+                    Lg = sel.shape[0]
+                    new_k[g], new_v[g] = write_decode_tokens(
+                        k_pools[g], v_pools[g], ks[sel], vs[sel],
+                        jnp.arange(Lg, dtype=jnp.int32),
+                        jnp.broadcast_to(sp[g][None], (Lg, B_all)), so,
+                        interpret=ec.interpret,
+                        k_scales=scales[0][sel] if scales else None,
+                        v_scales=scales[1][sel] if scales else None,
+                    )
+                return tuple(new_k), tuple(new_v)
             if self.num_groups > 1:
                 sp = jax.lax.all_gather(slot_pages, dp, axis=1, tiled=True)
                 sp_l = sp[jnp.asarray(group_index, jnp.int32)]  # [Lk, B]
@@ -2547,6 +2578,14 @@ class LLMEngine:
                 self._decode_dispatch()
             return
         if self.waiting and len(self.running) < self.cfg.max_batch:
+            # burst admission must not starve decode: when rows are already
+            # running, alternate admission/prefill dispatches with decode
+            # exactly like the mid-chunk path above — otherwise a deep
+            # waiting queue (batched prefills back-to-back) delays every
+            # admitted row's first token until the whole queue prefills
+            if self.running and self._step_count % 2 == 0:
+                self._decode_dispatch()
+                return
             batch, head_blocked = self._collect_prefill_batch()
             if len(batch) >= 2:
                 self._prefill_chunk_batch(batch)

@@ -252,29 +252,33 @@ class HybridAdapter:
 
     def decode_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, tp_axis=None, interpret=False, collect_kv=False):
+                    *, tp_axis=None, interpret=False, quant_scales=None,
+                    collect_kv=False):
         from .hybrid import hybrid_decode_step
 
         return hybrid_decode_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
-            tp_axis=tp_axis, interpret=interpret, collect_kv=collect_kv,
+            tp_axis=tp_axis, interpret=interpret,
+            quant_scales=quant_scales, collect_kv=collect_kv,
         )
 
     def prefill_step(self, params, tokens, positions, k_pools, v_pools,
                      chunk_pages, page_table, q_start, true_len,
-                     *, tp_axis=None, interpret=False):
+                     *, tp_axis=None, interpret=False, quant_scales=None):
         from .hybrid import hybrid_prefill_step
 
         return hybrid_prefill_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             chunk_pages, page_table, q_start, true_len,
             tp_axis=tp_axis, interpret=interpret,
+            quant_scales=quant_scales,
         )
 
     def prefill_batch_step(self, params, tokens, positions, k_pools,
                            v_pools, chunk_pages, page_tables, q_starts,
-                           true_lens, *, tp_axis=None, interpret=False):
+                           true_lens, *, tp_axis=None, interpret=False,
+                           quant_scales=None):
         """Batched prefill across layer groups: chunk_pages [N, G, n] /
         page_tables [N, G, max_pages], each layer writing through its
         group's row."""
@@ -284,11 +288,13 @@ class HybridAdapter:
             params, self.cfg, tokens, positions, k_pools, v_pools,
             chunk_pages, page_tables, q_starts, true_lens,
             tp_axis=tp_axis, interpret=interpret,
+            quant_scales=quant_scales,
         )
 
     def verify_step(self, params, tokens, positions, k_pools, v_pools,
                     page_tables, slot_pages, slot_offsets, seq_lens,
-                    *, tp_axis=None, interpret=False, collect_kv=False):
+                    *, tp_axis=None, interpret=False, quant_scales=None,
+                    collect_kv=False):
         """Speculative-decode verification across layer groups (each group
         verifies with its own static window)."""
         from .hybrid import hybrid_verify_step
@@ -296,7 +302,8 @@ class HybridAdapter:
         return hybrid_verify_step(
             params, self.cfg, tokens, positions, k_pools, v_pools,
             page_tables, slot_pages, slot_offsets, seq_lens,
-            tp_axis=tp_axis, interpret=interpret, collect_kv=collect_kv,
+            tp_axis=tp_axis, interpret=interpret,
+            quant_scales=quant_scales, collect_kv=collect_kv,
         )
 
     def param_specs(self, tp_axis: str, *, kv_replicated: bool = False) -> dict:

@@ -279,6 +279,25 @@ def _set_pool_g(pools, g: int, new):
     return new
 
 
+def _group_scales(cfg, quant_scales, G: int):
+    """int8 KV: split per-MODEL-layer scales ([L_model, KH] each) into
+    per-group ARENA-shaped arrays ([L_g, KH]) the kernels index by
+    arena layer.  Within a group, arena layer <-> model layer is a
+    bijection (groups PARTITION the layer list — unlike colocated pp
+    stages, nothing aliases), so a static gather per group is exact."""
+    if quant_scales is None:
+        return None, None
+    gi = cfg.group_index
+    ks, vs = quant_scales
+    ksg, vsg = [], []
+    for g in range(G):
+        sel = jnp.asarray([i for i, gx in enumerate(gi) if gx == g],
+                          jnp.int32)
+        ksg.append(ks[sel])
+        vsg.append(vs[sel])
+    return tuple(ksg), tuple(vsg)
+
+
 def hybrid_decode_step(
     params: dict,
     cfg: HybridConfig,
@@ -293,6 +312,7 @@ def hybrid_decode_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    quant_scales: tuple | None = None,  # (k, v) scales [L_model, KH] f32
     collect_kv: bool = False,
 ):
     B = tokens.shape[0]
@@ -305,6 +325,8 @@ def hybrid_decode_step(
     KH = params["layers"]["wk"].shape[-1] // D
     windows = cfg.group_windows
     G = len(windows)
+    int8_kv = jnp.dtype(_pool_g(k_pools, 0).dtype) == jnp.int8
+    ksg, vsg = _group_scales(cfg, quant_scales, G)
 
     x = _embed(params, tokens, cfg)
 
@@ -326,14 +348,19 @@ def hybrid_decode_step(
                 q = rope(q[:, None], positions[:, None], theta, scaling)[:, 0]
                 k = rope(k[:, None], positions[:, None], theta, scaling)[:, 0]
                 kp, vp = _pool_g(k_pools, g), _pool_g(v_pools, g)
+                # int8: K/V stay unquantized — quantize-on-write happens
+                # in-kernel with group g's per-(arena-layer, head) scales
                 attn, kp, vp = paged_attention_decode(
                     q, kp, vp,
                     page_tables[g], seq_lens, l_in_g,
-                    k.astype(kp.dtype), v.astype(vp.dtype),
+                    k if int8_kv else k.astype(kp.dtype),
+                    v if int8_kv else v.astype(vp.dtype),
                     slot_pages[g], slot_offsets,
                     interpret=interpret, window=w,
                     sm_scale=_sm_scale(cfg),
                     logit_softcap=cfg.attn_softcap,
+                    k_scales=ksg[g] if ksg else None,
+                    v_scales=vsg[g] if vsg else None,
                 )
                 return (attn, k,
                         _set_pool_g(k_pools, g, kp),
@@ -378,6 +405,7 @@ def hybrid_verify_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    quant_scales: tuple | None = None,  # (k, v) scales [L_model, KH] f32
     collect_kv: bool = False,
 ):
     """Speculative-decode verification for hybrid layer groups: each layer
@@ -396,6 +424,8 @@ def hybrid_verify_step(
     KH = params["layers"]["wk"].shape[-1] // D
     windows = cfg.group_windows
     G = len(windows)
+    int8_kv = jnp.dtype(_pool_g(k_pools, 0).dtype) == jnp.int8
+    ksg, vsg = _group_scales(cfg, quant_scales, G)
 
     x = _embed(params, tokens, cfg)  # [B, T, E]
 
@@ -420,11 +450,14 @@ def hybrid_verify_step(
                 attn, kp, vp = paged_attention_verify(
                     q, kp, vp,
                     page_tables[g], seq_lens, l_in_g,
-                    k.astype(kp.dtype), v.astype(vp.dtype),
+                    k if int8_kv else k.astype(kp.dtype),
+                    v if int8_kv else v.astype(vp.dtype),
                     slot_pages[g], slot_offsets,
                     interpret=interpret, window=w,
                     sm_scale=_sm_scale(cfg),
                     logit_softcap=cfg.attn_softcap,
+                    k_scales=ksg[g] if ksg else None,
+                    v_scales=vsg[g] if vsg else None,
                 )
                 return (attn, k,
                         _set_pool_g(k_pools, g, kp),
@@ -469,6 +502,7 @@ def hybrid_prefill_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    quant_scales: tuple | None = None,  # (k, v) scales [L_model, KH] f32
 ):
     T = tokens.shape[0]
     # per-shard head counts come from the (possibly tp-sharded) weight
@@ -481,6 +515,7 @@ def hybrid_prefill_step(
     windows = cfg.group_windows
     G = len(windows)
     kv_len = q_start + true_len
+    ksg, vsg = _group_scales(cfg, quant_scales, G)
 
     x = _embed(params, tokens, cfg)
 
@@ -506,12 +541,16 @@ def hybrid_prefill_step(
                     kp, vp,
                     k.transpose(1, 0, 2), v.transpose(1, 0, 2),
                     chunk_pages[g], l_in_g, interpret=interpret,
+                    k_scale=ksg[g][l_in_g] if ksg else None,
+                    v_scale=vsg[g][l_in_g] if vsg else None,
                 )
                 attn = paged_prefill_attention(
                     q, kp, vp, page_table[g], q_start, kv_len,
                     l_in_g, interpret=interpret, window=w,
                     sm_scale=_sm_scale(cfg),
                     logit_softcap=cfg.attn_softcap,
+                    k_scales=ksg[g] if ksg else None,
+                    v_scales=vsg[g] if vsg else None,
                 )
                 return (attn,
                         _set_pool_g(k_pools, g, kp),
@@ -553,6 +592,7 @@ def hybrid_prefill_batch_step(
     *,
     tp_axis: str | None = None,
     interpret: bool = False,
+    quant_scales: tuple | None = None,  # (k, v) scales [L_model, KH] f32
 ):
     """Batched prefill across hybrid layer groups: N sequences' chunks in
     one dispatch, each layer writing through its GROUP's page row and
@@ -569,6 +609,7 @@ def hybrid_prefill_batch_step(
     windows = cfg.group_windows
     G = len(windows)
     kv_lens = q_starts + true_lens
+    ksg, vsg = _group_scales(cfg, quant_scales, G)
 
     x = _embed(params, tokens, cfg)  # [N, T, E]
 
@@ -598,6 +639,8 @@ def hybrid_prefill_batch_step(
                     v.transpose(2, 0, 1, 3).reshape(KH, N * T, D),
                     chunk_pages[:, g].reshape(-1), l_in_g,
                     interpret=interpret,
+                    k_scale=ksg[g][l_in_g] if ksg else None,
+                    v_scale=vsg[g][l_in_g] if vsg else None,
                 )
                 attn = paged_prefill_attention_batch(
                     q, kp, vp, page_tables[:, g],
@@ -605,6 +648,8 @@ def hybrid_prefill_batch_step(
                     interpret=interpret, window=w,
                     sm_scale=_sm_scale(cfg),
                     logit_softcap=cfg.attn_softcap,
+                    k_scales=ksg[g] if ksg else None,
+                    v_scales=vsg[g] if vsg else None,
                 )
                 return (attn,
                         _set_pool_g(k_pools, g, kp),

@@ -436,3 +436,66 @@ class TestUnequalGroups:
             assert shm.get_kv_cache_info(name).total_size != int(new_limit)
         finally:
             eng.shutdown()
+
+
+class TestUnequalGroupsMesh:
+    """Round-5 unblock: per-group arenas (unequal layer groups) compose
+    with the device mesh — pools shard per group on the kv-head axis
+    (tuple-prefix in_specs), and the dp replica equalizer replays each
+    group's per-model-layer K/V rows into its own arena."""
+
+    @pytest.fixture(scope="class")
+    def ucfg(self):
+        import dataclasses
+
+        cfg = HybridConfig.toy(num_layers=6, window=32, dtype="float32")
+        cfg = dataclasses.replace(
+            cfg, layer_windows=(32, 32, None, 32, 32, None))
+        assert not cfg.equal_groups
+        params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        return cfg, params
+
+    def _run(self, cfg, params, prompts, mesh=None, **over):
+        base = dict(max_batch=2, max_model_len=128, page_tokens=32,
+                    decode_horizon=4, prefill_buckets=(32,), num_pages=16,
+                    interpret=True, enable_prefix_caching=False)
+        base.update(over)
+        eng = LLMEngine(cfg, EngineConfig(**base), params=params, mesh=mesh)
+        try:
+            return [o.output_tokens for o in eng.generate(
+                prompts, SamplingParams(max_new_tokens=8))]
+        finally:
+            eng.shutdown()
+
+    def test_tp_and_dp_token_exact(self, ucfg):
+        import numpy as np
+
+        from jax.sharding import Mesh
+
+        cfg, params = ucfg
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2]]
+        want = self._run(cfg, params, prompts)
+        tp2 = Mesh(np.array(jax.devices()[:2]), ("tp",))
+        assert self._run(cfg, params, prompts, mesh=tp2) == want
+        assert self._run(cfg, params, prompts, mesh=tp2,
+                         spec_decode=True, spec_gamma=2,
+                         spec_horizon=2) == want
+        assert self._run(cfg, params, prompts, mesh=tp2,
+                         prefill_batch=2) == want
+        dptp = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "tp"))
+        assert self._run(cfg, params, prompts, mesh=dptp) == want, (
+            "dp equalizer diverged under per-group arenas"
+        )
+
+    def test_int8_on_mesh_matches_single_device(self, ucfg):
+        import numpy as np
+
+        from jax.sharding import Mesh
+
+        cfg, params = ucfg
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2]]
+        w8 = self._run(cfg, params, prompts, kv_dtype="int8", kv_scale=0.05)
+        tp2 = Mesh(np.array(jax.devices()[:2]), ("tp",))
+        g8 = self._run(cfg, params, prompts, mesh=tp2,
+                       kv_dtype="int8", kv_scale=0.05)
+        assert g8 == w8, "int8 quantization diverged across tp sharding"

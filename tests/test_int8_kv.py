@@ -325,3 +325,122 @@ class TestScaleShapeContract:
                 eng.set_kv_scales(bad, bad)
         finally:
             eng.shutdown()
+
+
+class TestInt8HybridGroups:
+    """int8 KV for the plain hybrid family (Gemma2/Gemma3-class layer
+    groups).  Scales are per MODEL layer ([L_model, KH]); the step fns
+    split them into per-group arena-shaped arrays (within a group, arena
+    layer <-> model layer is a bijection — models/hybrid.py
+    _group_scales).  Covers both the shared arena (equal groups) and
+    per-group arenas (unequal groups, Gemma3's local:global pattern)."""
+
+    def make(self, cfg, params, **kw):
+        # kv_scale 0.05 (range ±6.35) — random-init toy K/V are ~N(0,1);
+        # 0.02 clips the tails hard enough to flip near-tie argmaxes
+        d = dict(max_batch=3, max_model_len=128, page_tokens=32,
+                 decode_horizon=4, prefill_buckets=(32, 64), num_pages=32,
+                 interpret=True, kv_dtype="int8", kv_scale=0.05,
+                 enable_prefix_caching=False)
+        d.update(kw)
+        return LLMEngine(cfg, EngineConfig(**d), params=params)
+
+    def _run(self, cfg, params, prompts, **over):
+        eng = self.make(cfg, params, **over)
+        try:
+            return [
+                o.output_tokens
+                for o in eng.generate(
+                    prompts, SamplingParams(max_new_tokens=8))
+            ]
+        finally:
+            eng.shutdown()
+
+    @pytest.fixture(scope="class")
+    def equal(self):
+        from kvcached_tpu.models.hybrid import (
+            HybridConfig,
+            init_hybrid_params,
+        )
+
+        cfg = HybridConfig.toy(num_layers=4, window=32, dtype="float32")
+        return cfg, init_hybrid_params(cfg, jax.random.PRNGKey(0))
+
+    @pytest.fixture(scope="class")
+    def unequal(self):
+        import dataclasses
+
+        from kvcached_tpu.models.hybrid import (
+            HybridConfig,
+            init_hybrid_params,
+        )
+
+        cfg = HybridConfig.toy(num_layers=6, window=32, dtype="float32")
+        cfg = dataclasses.replace(
+            cfg, layer_windows=(32, 32, None, 32, 32, None))
+        assert not cfg.equal_groups
+        return cfg, init_hybrid_params(cfg, jax.random.PRNGKey(0))
+
+    def test_equal_groups_deterministic_spec_and_batched(self, equal):
+        cfg, params = equal
+        prompts = [[1, 2, 3, 4, 5, 6, 7], [9] * 5]
+        a = self._run(cfg, params, prompts)
+        assert a == self._run(cfg, params, prompts), "not deterministic"
+        ref = self._run(cfg, params, prompts, kv_dtype="float32")
+        assert [t[0] for t in a] == [t[0] for t in ref], (
+            "first tokens diverged beyond quantization tolerance"
+        )
+        spec = self._run(cfg, params, prompts, spec_decode=True,
+                         spec_gamma=2, spec_horizon=2)
+        assert spec == a, "int8 hybrid spec decode diverged from plain"
+        batched = self._run(cfg, params, prompts, prefill_batch=2)
+        assert batched == a, "int8 hybrid batched prefill diverged"
+
+    def test_unequal_groups_int8(self, unequal):
+        """The round-5 unblock: per-group arenas + int8 (both were
+        mutually exclusive before)."""
+        cfg, params = unequal
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2]]
+        eng = self.make(cfg, params)
+        try:
+            assert isinstance(eng.k_pools, tuple)
+            assert all(p.dtype == jnp.int8 for p in eng.k_pools)
+            assert eng.k_pools[0].shape[0] == 4  # sliding group arena
+            assert eng.k_pools[1].shape[0] == 2  # full group arena
+            a = [o.output_tokens for o in eng.generate(
+                prompts, SamplingParams(max_new_tokens=8))]
+        finally:
+            eng.shutdown()
+        assert a == self._run(cfg, params, prompts), "not deterministic"
+        ref = self._run(cfg, params, prompts, kv_dtype="float32")
+        assert [t[0] for t in a] == [t[0] for t in ref], (
+            "first tokens diverged beyond quantization tolerance"
+        )
+        spec = self._run(cfg, params, prompts, spec_decode=True,
+                         spec_gamma=2, spec_horizon=2)
+        assert spec == a, "int8 unequal-group spec decode diverged"
+        batched = self._run(cfg, params, prompts, prefill_batch=2)
+        assert batched == a, "int8 unequal-group batched prefill diverged"
+
+    def test_scale_contract_and_liveness(self, unequal):
+        """Hybrid scales are per MODEL layer; arena shapes are rejected;
+        absurd per-layer scales must change output (the split-per-group
+        rows really reach the kernels)."""
+        cfg, params = unequal
+        eng = self.make(cfg, params)
+        try:
+            L, KH = cfg.num_layers, cfg.num_kv_heads
+            out1 = eng.generate([[1, 2, 3]],
+                                SamplingParams(max_new_tokens=4))
+            good = np.full((L, KH), 0.02, np.float32)
+            eng.set_kv_scales(good, good)
+            arena = np.full((4, KH), 0.02, np.float32)
+            with pytest.raises(ValueError, match="set_kv_scales"):
+                eng.set_kv_scales(arena, arena)
+            eng.set_kv_scales(np.full((L, KH), 100.0),
+                              np.full((L, KH), 100.0))
+            out2 = eng.generate([[1, 2, 3]],
+                                SamplingParams(max_new_tokens=4))
+            assert out1[0].output_tokens != out2[0].output_tokens
+        finally:
+            eng.shutdown()
