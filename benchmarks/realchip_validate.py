@@ -48,7 +48,7 @@ F32_CASES = frozenset({
     # the softcap kernel-vs-reference arm scales q to exercise the tanh;
     # at default MXU precision the f32 pass decomposition alone drifts
     # the big pre-cap scores ~1e-4, which softmax amplifies to ~5e-3
-    "engine_gemma2",
+    "engine_gemma2", "engine_gemma3",
 })
 
 
@@ -502,6 +502,75 @@ def case_engine_gemma2():
         "attn softcap changed nothing — dropped?"
 
 
+def case_engine_gemma3():
+    """Gemma3-class UNEQUAL layer groups on the chip (round 5): per-group
+    arenas (3 local : 1 global), per-group RoPE (local_rope_theta on the
+    sliding group), per-head q/k norms — decode / spec verify / batched
+    prefill token-exact vs each other, and the local group's theta is
+    live.  The int8 composition runs as engine_gemma3_int8 (outside the
+    F32 precision scope)."""
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.hybrid import init_hybrid_params
+
+    cfg = _gemma3_cfg()
+    assert not cfg.equal_groups
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+    sps = [SamplingParams(max_new_tokens=12)] * 3
+    want, _ = _serve(cfg, params, _PROMPTS, sps)
+    got_spec, spec = _serve(cfg, params, _PROMPTS, sps, spec_decode=True)
+    assert got_spec == want, "gemma3 spec decode diverged on the chip"
+    got_pb, _ = _serve(cfg, params, _PROMPTS, sps, prefill_batch=4)
+    assert got_pb == want, "gemma3 batched prefill diverged on the chip"
+    # per-group rope liveness: the local group's theta must matter
+    import dataclasses
+
+    cfg_same = dataclasses.replace(cfg, local_rope_theta=None,
+                                   rope_theta=10.0)
+    got_same, _ = _serve(cfg_same, init_hybrid_params(
+        cfg_same, jax.random.PRNGKey(0)), _PROMPTS, sps)
+    assert got_same != want, "per-group rope changed nothing — dropped?"
+
+
+def _gemma3_cfg():
+    from kvcached_tpu.models.hybrid import HybridConfig
+
+    return HybridConfig(
+        vocab_size=128, hidden_size=128, num_layers=4, num_heads=4,
+        num_kv_heads=2, head_dim=128, intermediate_size=256,
+        dtype="float32", layer_windows=(16, 16, None, 16),
+        act="gelu_tanh", norm_offset=True, embed_scale=True,
+        post_norms=True, qk_norm=True, query_scale=128.0,
+        local_rope_theta=10000.0, rope_theta=1000000.0,
+    )
+
+
+def case_engine_gemma3_int8():
+    """int8 KV with UNEQUAL layer groups on the chip (round-5 unblock):
+    per-model-layer scales split per group arena.  NOT in F32_CASES —
+    the int8 kernels' bf16 MXU dots miscompile under the scoped
+    highest-precision override (the engine_gemma2 lesson)."""
+    from kvcached_tpu.engine import SamplingParams
+    from kvcached_tpu.models.hybrid import init_hybrid_params
+
+    cfg = _gemma3_cfg()
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+    sps = [SamplingParams(max_new_tokens=12)] * 3
+    i8 = dict(kv_dtype="int8", kv_scale=0.05, page_tokens=32,
+              prefill_buckets=(32, 64))
+    a8, _ = _serve(cfg, params, _PROMPTS, sps, **i8)
+    b8, _ = _serve(cfg, params, _PROMPTS, sps, **i8)
+    assert a8 == b8, "int8 unequal-group serving not deterministic"
+    f32, _ = _serve(cfg, params, _PROMPTS, sps, page_tokens=32,
+                    prefill_buckets=(32, 64))
+    assert all(a8[i][0] == f32[i][0] for i in a8), (
+        "int8 unequal-group first tokens diverged beyond quantization "
+        "tolerance"
+    )
+    # spec decode must be token-exact vs int8 plain under unequal groups
+    s8, _ = _serve(cfg, params, _PROMPTS, sps, spec_decode=True, **i8)
+    assert s8 == a8, "int8 unequal-group spec decode diverged"
+
+
 def case_engine_spec_llama():
     from kvcached_tpu.engine import SamplingParams
     from kvcached_tpu.models.llama import LlamaConfig, init_llama_params
@@ -632,6 +701,8 @@ CASES = {
     "engine_prefill_batch_hybrid": case_engine_prefill_batch_hybrid,
     "engine_qwen2_bias": case_engine_qwen2_bias,
     "engine_gemma2": case_engine_gemma2,
+    "engine_gemma3": case_engine_gemma3,
+    "engine_gemma3_int8": case_engine_gemma3_int8,
     "engine_spec_llama": case_engine_spec_llama,
     "engine_spec_mla": case_engine_spec_mla,
     "engine_spec_hybrid": case_engine_spec_hybrid,
