@@ -109,9 +109,13 @@ def run_burst(elastic: bool, *, num_pages=96, burst=8, max_new=160,
             if h:
                 holds.append((e, h))
 
-    # warm compile on A (prefill + decode programs)
+    # warm compile on A — including the BATCHED prefill program: its
+    # first execution costs seconds (trace + executable load through the
+    # tunnel), which would otherwise land inside the measured burst's
+    # first step and dominate every request's TTFT
     _dbg("pre warm gen")
-    a.generate([[1] * prompt_base], SamplingParams(max_new_tokens=2))
+    a.generate([[1] * prompt_base] * max(1, prefill_batch),
+               SamplingParams(max_new_tokens=2))
     _dbg("post warm gen")
 
     # burst on A: submit all at once, measure TTFT per request.
@@ -133,9 +137,16 @@ def run_burst(elastic: bool, *, num_pages=96, burst=8, max_new=160,
     ]
     ttft: dict[int, float] = {}
     pool_bytes = num_pages * a.kv_cfg.page_bytes
+    nstep = 0
     while a.has_unfinished():
+        t0 = time.perf_counter()
         a.step()
         now = time.perf_counter()
+        nstep += 1
+        if debug and nstep <= 24:
+            print(f"[debug] step {nstep}: {now - submit_t:6.2f}s "
+                  f"(+{now - t0:5.2f}s) running={len(a.running)} "
+                  f"waiting={len(a.waiting)}", flush=True)
         for seq in a.running:
             if seq.req.req_id not in ttft and seq.num_generated > 0:
                 ttft[seq.req.req_id] = now - submit_t
@@ -190,17 +201,20 @@ def main():
         # the prefill program's workspace lands on top of the weights).
         # One engine bursts while the other idles; page_tokens 32 halves
         # page-table overhead at this depth (page = 28L × 8KH × 32 × 128
-        # × 2B × 2 = 3.7 MB).  Burst demand ≈ 420 pages (12 × ~35
-        # pages/seq) — ~95% of the elastic pool (440) but far beyond a
-        # static half (220), so static queues/preempts while elastic
-        # absorbs the whole burst.
-        burst = args.burst or 12
+        # × 2B × 2 = 3.7 MB).  Long prompts (768-960 tokens ≈ 24-30 pages
+        # each) make the burst's PROMPTS alone (~270 pages) exceed the
+        # static half (220) — the reference's long-context regime where
+        # TTFT itself is memory-bound — while total demand (~395 pages
+        # incl. generation) stays inside the elastic pool (440), so
+        # static queues/preempts at admission and elastic absorbs the
+        # whole burst.
+        burst = args.burst or 10
         kw = dict(
             interpret=False, page_tokens=32,
             num_pages=args.num_pages or 440,  # ≈1.6 GB pool
-            adaptive_horizon=False, max_model_len=2048, max_new=900,
+            adaptive_horizon=False, max_model_len=2048, max_new=480,
             hold_frac=0.02, prefill_buckets=(512,), prefill_batch=4,
-            prompt_base=256, prompt_step=64, decode_horizon=8,
+            prompt_base=768, prompt_step=64, decode_horizon=8,
             max_batch=args.max_batch or 12,
             n_idle=1, distinct_weights=True,
             model_cfg=LlamaConfig(
