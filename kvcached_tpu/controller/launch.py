@@ -148,10 +148,18 @@ def build_runtime(config: dict) -> AsyncEngineRunner:
         # layers_per_group layers, NOT total layers — sharing must key on
         # the actual array shape
         gw = getattr(adapter, "group_windows", None)
-        arena_layers = (
-            adapter.layers_per_group if gw and len(gw) > 1
-            else adapter.num_layers
-        )
+        if gw and len(gw) > 1:
+            # equal groups: one shared arena of layers_per_group layers.
+            # UNEQUAL groups (Gemma3): per-group arenas — key on the full
+            # layer-count tuple so only identical patterns colocate
+            # (engine.pools/arrays carry one pool per group)
+            arena_layers = (
+                adapter.layers_per_group
+                if adapter.layers_per_group is not None
+                else tuple(adapter.group_layers)
+            )
+        else:
+            arena_layers = adapter.num_layers
         geom = (
             arena_layers,
             adapter.num_kv_heads,
@@ -171,7 +179,7 @@ def build_runtime(config: dict) -> AsyncEngineRunner:
             elif "hbm_utilization" in pool_cfg:
                 ec_kw["hbm_utilization"] = float(pool_cfg["hbm_utilization"])
             eng = LLMEngine(mcfg, EngineConfig(**ec_kw), params=params)
-            shared[geom] = (eng.pool, eng.arrays)
+            shared[geom] = (eng.pools, eng.arrays)
         # a checkpoint-backed model supports sleep level 2 (discard weights;
         # wake reloads from this dir)
         runner.add_model(m["name"], eng, ckpt_dir=m.get("checkpoint"))

@@ -496,13 +496,48 @@ class LLMEngine:
         if shared_pool is not None:
             if self._pp_axis:
                 raise NotImplementedError("pp placement with a shared pool")
-            if self._group_layers is not None:
-                raise NotImplementedError(
-                    "unequal layer groups cannot share a colocated pool "
-                    "(their page geometries differ)"
-                )
-            self.pool = shared_pool
             assert pool_arrays is not None, "shared pool requires shared arrays"
+            if self._group_layers is not None:
+                # colocated sharing of per-GROUP pools: a same-geometry
+                # unequal-group engine (e.g. two Gemma3 instances) passes
+                # the owner's ``engine.pools`` list + ``engine.arrays`` —
+                # pages stay fungible within each group ACROSS engines,
+                # exactly like the single-arena colocation path.  Pages
+                # are NOT fungible across groups (byte geometries differ),
+                # so the pool list must match group-for-group.
+                pools = (list(shared_pool)
+                         if isinstance(shared_pool, (list, tuple))
+                         else [shared_pool])
+                if len(pools) != self.num_groups:
+                    raise ValueError(
+                        f"unequal layer groups share colocated pools per "
+                        f"group: expected {self.num_groups} pools (the "
+                        f"owning engine's .pools), got {len(pools)}"
+                    )
+                for g, (p, cfg_g) in enumerate(zip(pools, self.kv_cfgs)):
+                    if (p.spec.num_layers != cfg_g.num_layers
+                            or p.spec.num_kv_heads != cfg_g.num_kv_heads
+                            or p.spec.page_tokens != cfg_g.page_tokens
+                            or p.spec.head_dim != cfg_g.head_dim):
+                        raise ValueError(
+                            f"group {g} pool geometry mismatch: pool has "
+                            f"L={p.spec.num_layers} KH={p.spec.num_kv_heads}"
+                            f" P={p.spec.page_tokens} D={p.spec.head_dim}, "
+                            f"model group needs L={cfg_g.num_layers} "
+                            f"KH={cfg_g.num_kv_heads} "
+                            f"P={cfg_g.page_tokens} D={cfg_g.head_dim}"
+                        )
+                self._group_pools = pools
+                self.pool = pools[0]
+            else:
+                if isinstance(shared_pool, (list, tuple)):
+                    if len(shared_pool) != 1:
+                        raise ValueError(
+                            "this model has one layer group; pass a single "
+                            "shared pool"
+                        )
+                    shared_pool = shared_pool[0]
+                self.pool = shared_pool
             self.arrays = (
                 pool_arrays
                 if isinstance(pool_arrays, PoolArrays)
@@ -834,6 +869,14 @@ class LLMEngine:
     @v_pools.setter
     def v_pools(self, v):
         self.arrays.v_pools = v
+
+    @property
+    def pools(self) -> list:
+        """Every physical pool this engine draws from: one per layer
+        group under per-group arenas (unequal groups), else the single
+        shared arena.  Pass this (with ``.arrays``) as ``shared_pool``
+        to colocate another same-geometry engine."""
+        return list(self._group_pools) if self._group_pools else [self.pool]
 
     # ------------------------------------------------------------- jit build
 

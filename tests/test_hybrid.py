@@ -499,3 +499,66 @@ class TestUnequalGroupsMesh:
         g8 = self._run(cfg, params, prompts, mesh=tp2,
                        kv_dtype="int8", kv_scale=0.05)
         assert g8 == w8, "int8 quantization diverged across tp sharding"
+
+
+class TestUnequalGroupsColocation:
+    """Two same-geometry unequal-group engines (e.g. two Gemma3
+    instances) colocate over SHARED per-group pools — the serverless
+    headline extended to per-group arenas.  Pages stay fungible within
+    each group across engines; geometry mismatches are loud errors."""
+
+    def test_shared_per_group_pools(self):
+        import dataclasses
+
+        cfg = HybridConfig.toy(num_layers=6, window=32, dtype="float32")
+        cfg = dataclasses.replace(
+            cfg, layer_windows=(32, 32, None, 32, 32, None))
+        pa = init_hybrid_params(cfg, jax.random.PRNGKey(0))
+        pb = init_hybrid_params(cfg, jax.random.PRNGKey(1))
+        base = dict(max_batch=2, max_model_len=128, page_tokens=8,
+                    num_pages=24, interpret=True, prefill_buckets=(16,),
+                    enable_prefix_caching=False)
+        a = LLMEngine(cfg, EngineConfig(**base), params=pa)
+        b = LLMEngine(cfg, EngineConfig(**base), params=pb,
+                      shared_pool=a.pools, pool_arrays=a.arrays)
+        ra = LLMEngine(cfg, EngineConfig(**base), params=pa)
+        rb = LLMEngine(cfg, EngineConfig(**base), params=pb)
+        try:
+            assert b._group_pools[0] is a._group_pools[0]
+            # B borrowing group-0 pages is visible to A (shared arena)
+            pre = a.managers[0].available_size()
+            h = b.managers[0].alloc(pre - 2)
+            assert a.managers[0].available_size() < 4
+            b.managers[0].free(h)
+
+            # INTERLEAVED serving: both engines hold live sequences in
+            # the same pools at once; outputs must match solo runs
+            # (no page collisions between engines or groups)
+            prompt = [1, 2, 3, 4, 5]
+            sp = SamplingParams(max_new_tokens=8)
+            a.add_request(prompt, sp)
+            b.add_request(prompt, sp)
+            while a.has_unfinished() or b.has_unfinished():
+                if a.has_unfinished():
+                    a.step()
+                if b.has_unfinished():
+                    b.step()
+            oa = a.finished_outputs[0].output_tokens
+            ob = b.finished_outputs[0].output_tokens
+            wa = ra.generate([prompt], sp)[0].output_tokens
+            wb = rb.generate([prompt], sp)[0].output_tokens
+            assert oa == wa, "engine A diverged under colocation"
+            assert ob == wb, "engine B diverged under colocation"
+
+            # geometry mismatch is a loud error, not silent corruption
+            import pytest as _pytest
+
+            cfg2 = dataclasses.replace(cfg, num_kv_heads=4, num_heads=8)
+            with _pytest.raises(ValueError, match="geometry mismatch"):
+                LLMEngine(cfg2, EngineConfig(**base),
+                          params=init_hybrid_params(
+                              cfg2, jax.random.PRNGKey(2)),
+                          shared_pool=a.pools, pool_arrays=a.arrays)
+        finally:
+            for e in (a, b, ra, rb):
+                e.shutdown()

@@ -121,3 +121,41 @@ class TestBuildRuntime:
             assert len(out[0].output_tokens) == 4
         finally:
             eng.shutdown()
+
+
+class TestUnequalGroupColocation:
+    def test_two_gemma3_models_share_per_group_pools(self):
+        """Round 5: two identical-geometry unequal-group (Gemma3-class)
+        models colocate over SHARED per-group pools through the YAML
+        launcher; a different unequal pattern gets its own pools."""
+        g3 = base_cfg(num_layers=3, layer_windows=[32, 32, None])
+        g3_other = base_cfg(num_layers=3, layer_windows=[32, None, None])
+        config = {
+            "pool": {"page_tokens": 16, "num_pages": 32},
+            "models": [
+                {"name": "x", "family": "gemma3", "config": dict(g3),
+                 "engine": dict(ENGINE)},
+                {"name": "y", "family": "gemma3", "config": dict(g3),
+                 "engine": dict(ENGINE)},
+                {"name": "z", "family": "gemma3", "config": dict(g3_other),
+                 "engine": dict(ENGINE)},
+            ],
+        }
+        runner = build_runtime(config)
+        try:
+            ex = runner.models["x"].engine
+            ey = runner.models["y"].engine
+            ez = runner.models["z"].engine
+            assert ex._group_pools is not None
+            # identical unequal pattern → shared per-group pools
+            assert ey._group_pools[0] is ex._group_pools[0]
+            assert ey._group_pools[1] is ex._group_pools[1]
+            # different pattern (2:1 vs 1:2) → its own pools
+            assert ez._group_pools[0] is not ex._group_pools[0]
+            out = ex.generate([[1, 2, 3]], SamplingParams(max_new_tokens=4))
+            assert len(out[0].output_tokens) == 4
+            outy = ey.generate([[4, 5]], SamplingParams(max_new_tokens=4))
+            assert len(outy[0].output_tokens) == 4
+        finally:
+            for h in runner.models.values():
+                h.engine.shutdown()
